@@ -1,0 +1,73 @@
+"""Transmittance compositing as vectorized prefix products.
+
+Replaces the sequential per-ray CUDA compositing kernels
+(raymarching.cu:501-693 ``composite_rays_train_*``) and the PyTorch-path math
+(nerf/renderer.py:174-218). Transmittance is a prefix product over the sample
+axis — an associative scan — so the whole ray batch vectorizes on TPU; the
+hand-derived CUDA backward is unnecessary (autodiff through cumprod matches).
+
+Early termination (reference T_thresh loop break) becomes a mask: sample i
+contributes iff the transmittance *entering* it is still >= T_thresh, which
+is exactly the CUDA break condition (it breaks before consuming the first
+sample whose entering T dropped below the threshold).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def composite_weights(sigmas, deltas, density_scale: float = 1.0, T_thresh: float = 0.0):
+    """Per-sample compositing weights.
+
+    Args:
+      sigmas: [..., T] densities.
+      deltas: [..., T] step sizes.
+      density_scale: scalar multiplier on sigma (renderer density_scale).
+      T_thresh: early-termination threshold on transmittance (0 disables).
+
+    Returns:
+      weights [..., T] float32 (alpha_i * T_i, zeroed after early exit).
+    """
+    sigmas = sigmas.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
+    alphas = 1.0 - jnp.exp(-deltas * density_scale * sigmas)  # [..., T]
+    # shifted cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j + 1e-15)
+    trans = jnp.cumprod(1.0 - alphas + 1e-15, axis=-1)
+    ones = jnp.ones_like(trans[..., :1])
+    trans_in = jnp.concatenate([ones, trans[..., :-1]], axis=-1)  # entering T
+    weights = alphas * trans_in
+    if T_thresh > 0.0:
+        weights = jnp.where(trans_in >= T_thresh, weights, 0.0)
+    return weights
+
+
+def composite_rays(
+    sigmas,
+    rgbs,
+    deltas,
+    ts=None,
+    bg_color=None,
+    density_scale: float = 1.0,
+    T_thresh: float = 0.0,
+):
+    """Full ray compositing: weights -> (image, depth, weights_sum).
+
+    Args:
+      sigmas [..., T], rgbs [..., T, 3], deltas [..., T].
+      ts: optional [..., T] depth coordinate per sample (z or t values); if
+        None depth is returned as zeros.
+      bg_color: None | scalar | [..., 3]; blended as image + (1-ws) * bg.
+
+    Returns dict(image [..., 3], depth [...], weights_sum [...], weights).
+    """
+    weights = composite_weights(sigmas, deltas, density_scale, T_thresh)
+    weights_sum = jnp.sum(weights, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs.astype(jnp.float32), axis=-2)
+    if ts is not None:
+        depth = jnp.sum(weights * ts.astype(jnp.float32), axis=-1)
+    else:
+        depth = jnp.zeros_like(weights_sum)
+    if bg_color is not None:
+        image = image + (1.0 - weights_sum)[..., None] * bg_color
+    return {"image": image, "depth": depth, "weights_sum": weights_sum, "weights": weights}

@@ -1,0 +1,178 @@
+"""Multiresolution hash-grid encoding (Instant-NGP), TPU-native.
+
+Replaces the gridencoder CUDA extension (gridencoder/src/gridencoder.cu) and
+the tcnn HashGrid used by the active FOC-NeRF model (nerf/network_tcnn.py:
+478-490). Layout parity with gridencoder/grid.py:96-136:
+
+  - per level l: resolution R_l = ceil(base * s^l), s = per-level scale;
+  - dense levels index with strides (R_l+1)^d (align_corners=False) while the
+    dense table fits in 2^log2_hashmap_size entries, padded to a multiple of 8;
+  - overflowing levels use the XOR-prime spatial hash
+    h = x ^ (y * 2654435761) ^ (z * 805459861)  (mod level size)
+    (gridencoder.cu:51-63, primes[0]==1);
+  - trilinear interpolation of the 2^3 corners; out-of-[0,1] inputs encode
+    to zeros (gridencoder.cu:110-135).
+
+TPU design: indices for all (level, corner) pairs are built with vector
+integer ops (VPU) and resolved through ONE fused gather from the flat
+[total, C] table; the backward pass is the XLA-generated scatter-add, so the
+op is fully differentiable w.r.t. both the table and the inputs (the input
+gradient flows through the trilinear weights — needed by D-NeRF deformation).
+A Pallas kernel variant can slot in behind the same signature for the hot
+path; the math here is the reference oracle for it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static description of a hash-grid encoding (hashable; safe to close over in jit)."""
+
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    per_level_scale: float = 2.0
+    input_dim: int = 3
+    # derived
+    resolutions: Tuple[int, ...] = ()
+    offsets: Tuple[int, ...] = ()  # num_levels + 1 entries, in table rows
+    hashed: Tuple[bool, ...] = ()
+
+    @classmethod
+    def create(
+        cls,
+        num_levels: int = 16,
+        level_dim: int = 2,
+        base_resolution: int = 16,
+        log2_hashmap_size: int = 19,
+        per_level_scale: float | None = None,
+        desired_resolution: float | None = None,
+        input_dim: int = 3,
+    ) -> "HashGridSpec":
+        if desired_resolution is not None:
+            per_level_scale = float(
+                np.exp2(np.log2(desired_resolution / base_resolution) / (num_levels - 1))
+            )
+        assert per_level_scale is not None
+        max_params = 2**log2_hashmap_size
+        resolutions, offsets, hashed = [], [0], []
+        offset = 0
+        for lvl in range(num_levels):
+            res = int(np.ceil(base_resolution * per_level_scale**lvl))
+            dense_size = (res + 1) ** input_dim
+            params_in_level = min(max_params, dense_size)
+            params_in_level = int(np.ceil(params_in_level / 8) * 8)
+            resolutions.append(res)
+            hashed.append(dense_size > max_params)
+            offset += params_in_level
+            offsets.append(offset)
+        return cls(
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            per_level_scale=float(per_level_scale),
+            input_dim=input_dim,
+            resolutions=tuple(resolutions),
+            offsets=tuple(offsets),
+            hashed=tuple(hashed),
+        )
+
+    @property
+    def table_rows(self) -> int:
+        return self.offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    def level_size(self, lvl: int) -> int:
+        return self.offsets[lvl + 1] - self.offsets[lvl]
+
+
+def hashgrid_init(rng: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jax.Array:
+    """Uniform(-1e-4, 1e-4) init, as gridencoder/grid.py:138-140."""
+    return jax.random.uniform(
+        rng, (spec.table_rows, spec.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+    )
+
+
+def _level_corner_indices(x01: jax.Array, spec: HashGridSpec, lvl: int):
+    """Corner table rows + trilinear weights for one level.
+
+    Returns (rows [N, 8] int32 — rows into the FLAT table, including the level
+    offset — and weights [N, 8] float32).
+    """
+    D = spec.input_dim
+    # exact CUDA arithmetic: scale = exp2(l * log2(s)) * H - 1 (gridencoder.cu:138)
+    scale = np.float32(np.exp2(lvl * np.log2(spec.per_level_scale)) * spec.base_resolution - 1.0)
+    res = spec.resolutions[lvl]
+    size = spec.level_size(lvl)
+
+    pos = x01.astype(jnp.float32) * scale + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    base = pos_grid.astype(jnp.uint32)  # [N, D]
+
+    n_corners = 1 << D
+    # corner bit pattern, following gridencoder.cu:166-178 (bit d -> +1 in dim d)
+    bits = np.array(
+        [[(c >> d) & 1 for d in range(D)] for c in range(n_corners)], dtype=np.float32
+    )  # [8, D]
+    w = jnp.prod(
+        jnp.where(bits[None, :, :] > 0, frac[:, None, :], 1.0 - frac[:, None, :]), axis=-1
+    )  # [N, 8]
+    corner = base[:, None, :] + bits.astype(np.uint32)[None, :, :]  # [N, 8, D] uint32
+
+    if spec.hashed[lvl]:
+        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
+        for d in range(D):
+            h = h ^ (corner[..., d] * jnp.uint32(_PRIMES[d]))
+        idx = h % jnp.uint32(size)
+    else:
+        stride = 1
+        idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
+        for d in range(D):
+            idx = idx + corner[..., d] * jnp.uint32(stride)
+            stride *= res + 1
+        # dense index < (res+1)^D <= size by construction; no modulo needed
+    rows = idx.astype(jnp.int32) + jnp.int32(spec.offsets[lvl])
+    return rows, w
+
+
+def hashgrid_encode(table: jax.Array, x01: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """Encode points x01 [..., D] in [0, 1] -> features [..., L * C].
+
+    Out-of-range inputs produce zero features (reference gridencoder.cu:110-135).
+    """
+    prefix = x01.shape[:-1]
+    x = x01.reshape(-1, spec.input_dim)
+    n = x.shape[0]
+
+    rows_l, w_l = [], []
+    for lvl in range(spec.num_levels):
+        rows, w = _level_corner_indices(x, spec, lvl)
+        rows_l.append(rows)
+        w_l.append(w)
+    rows = jnp.stack(rows_l, axis=1)  # [N, L, 8]
+    weights = jnp.stack(w_l, axis=1)  # [N, L, 8]
+
+    vals = jnp.take(table, rows.reshape(-1), axis=0)  # [N*L*8, C]
+    vals = vals.reshape(n, spec.num_levels, 1 << spec.input_dim, spec.level_dim)
+    out = jnp.sum(weights[..., None].astype(vals.dtype) * vals, axis=2)  # [N, L, C]
+
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(*prefix, spec.output_dim)

@@ -1,0 +1,171 @@
+"""Multi-object scene composition and rigid editing.
+
+Parity targets:
+  - COMBINED.py:203-251, 592-618 — per view, every per-object NeRF is
+    evaluated along shared rays; fields are fused per sample by max-density
+    selection (``best_densities_and_colors_v3``: sigma = max_k sigma_k,
+    rgb = rgb of the argmax object) and composited to RGBA;
+  - COMBINED.py:141-200 ``image_depth_generation`` — alpha channel is the
+    composited weights_sum;
+  - editable.py:443-471 ``modify_rays_for_object`` — the edited object's
+    rays are translated by (offset_x, offset_y, offset_z) before rendering,
+    i.e. a rigid translation of that object inside the composed scene.
+
+TPU-first redesign (removes the reference's >4-object OOM, README.md:111-113):
+  - all K object param sets are STACKED into one pytree (they share a
+    structure) and kept resident in HBM (~12.6M params each — no per-view
+    checkpoint reloading, COMBINED.py:597);
+  - objects are folded with ``lax.scan`` carrying a running
+    (max_sigma, argmax_rgb) per sample — memory is O(chunk x steps),
+    INDEPENDENT of K;
+  - the reference's [H*W, 512] x K full-field buffers never exist.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from focnerf_tpu.core.geometry import near_far_from_aabb
+from focnerf_tpu.models.nerf import NeRFConfig, color_fn, density_fn, encode_objfeat
+from focnerf_tpu.ops.composite import composite_rays
+
+
+def stack_object_params(params_list):
+    """List of identical-structure param pytrees -> stacked pytree [K, ...]."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def compose_rays(
+    stacked_params,
+    cfg: NeRFConfig,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    obj_feats: Optional[jax.Array] = None,  # [K, F] per-object conditioning
+    offsets: Optional[jax.Array] = None,  # [K, 3] rigid edit translations
+    *,
+    num_steps: int = 512,
+    bg_color=1.0,
+    aabb: Optional[jax.Array] = None,
+    min_near: float = 0.2,
+) -> Dict[str, Any]:
+    """Streaming max-density composition over K objects for one ray chunk.
+
+    Returns dict(image [N, 3], depth [N], alpha [N]) — RGBA as in the
+    reference compositor.
+    """
+    n = rays_o.shape[0]
+    if aabb is None:
+        b = cfg.bound
+        aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+
+    # shared sample grid from the UN-offset rays (editable.py caches the
+    # first object's rays for all non-edited objects, :443-471)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    z = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)[None, :]
+    z_vals = nears[:, None] + (fars - nears)[:, None] * z  # [N, T]
+    sample_dist = (fars - nears)[:, None] / num_steps
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate([deltas, sample_dist], axis=-1)
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (n, num_steps, 3))
+
+    K = jax.tree.leaves(stacked_params)[0].shape[0]
+    if offsets is None:
+        offsets = jnp.zeros((K, 3), jnp.float32)
+    if obj_feats is None and cfg.use_objfeat:
+        raise ValueError("cfg.use_objfeat=True requires per-object obj_feats [K, F]")
+
+    def fold_object(carry, xs):
+        best_sigma, best_rgb = carry
+        params_k, offset_k, feat_k = xs
+        # rigid edit: translate the object's field by shifting ray origins
+        o_k = rays_o + offset_k[None, :]
+        xyzs = o_k[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+        sigma_k, geo_k = density_fn(params_k, cfg, xyzs)
+        objfeat_enc = (
+            encode_objfeat(params_k, cfg, feat_k) if cfg.use_objfeat else None
+        )
+        rgb_k = color_fn(params_k, cfg, dirs, geo_k, objfeat_enc)
+        take = sigma_k > best_sigma  # max-density argmax selection (:247-251)
+        best_sigma = jnp.where(take, sigma_k, best_sigma)
+        best_rgb = jnp.where(take[..., None], rgb_k, best_rgb)
+        return (best_sigma, best_rgb), None
+
+    init = (
+        jnp.zeros((n, num_steps), jnp.float32),
+        jnp.zeros((n, num_steps, 3), jnp.float32),
+    )
+    feats = obj_feats if obj_feats is not None else jnp.zeros((K, 1), jnp.float32)
+    (fused_sigma, fused_rgb), _ = jax.lax.scan(
+        fold_object, init, (stacked_params, offsets, feats)
+    )
+
+    ori_z = jnp.clip((z_vals - nears[:, None]) / jnp.maximum(fars - nears, 1e-10)[:, None], 0, 1)
+    out = composite_rays(
+        fused_sigma,
+        fused_rgb,
+        deltas,
+        ts=ori_z,
+        bg_color=bg_color,
+        density_scale=cfg.density_scale,
+    )
+    return {
+        "image": out["image"],
+        "depth": out["depth"],
+        "alpha": out["weights_sum"],  # RGBA alpha (COMBINED.py:141-200)
+    }
+
+
+def compose_image(
+    stacked_params,
+    cfg: NeRFConfig,
+    pose,
+    intrinsics,
+    H: int,
+    W: int,
+    obj_feats=None,
+    offsets=None,
+    *,
+    num_steps: int = 512,
+    max_ray_batch: int = 4096,
+    bg_color=1.0,
+    aabb=None,
+    min_near: float = 0.2,
+):
+    """Full-image composition, chunked with lax.map. Returns (rgba [H,W,4], depth)."""
+    from focnerf_tpu.core.rays import get_rays
+
+    rays = get_rays(pose, intrinsics, H, W)
+    n = H * W
+    pad = (-n) % max_ray_batch
+    ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
+    rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0))).at[n:, 2].set(1.0)
+    ro = ro.reshape(-1, max_ray_batch, 3)
+    rd = rd.reshape(-1, max_ray_batch, 3)
+
+    def chunk_fn(chunk):
+        o, d = chunk
+        res = compose_rays(
+            stacked_params,
+            cfg,
+            o,
+            d,
+            obj_feats,
+            offsets,
+            num_steps=num_steps,
+            bg_color=bg_color,
+            aabb=aabb,
+            min_near=min_near,
+        )
+        return res["image"], res["depth"], res["alpha"]
+
+    images, depths, alphas = jax.lax.map(chunk_fn, (ro, rd))
+    rgba = jnp.concatenate(
+        [images.reshape(-1, 3)[:n], alphas.reshape(-1, 1)[:n]], axis=-1
+    ).reshape(H, W, 4)
+    depth = depths.reshape(-1)[:n].reshape(H, W)
+    return rgba, depth

@@ -1,0 +1,262 @@
+"""Volume rendering paths.
+
+``render_rays`` is the uniform-sampling path (parity target: the PyTorch
+``NeRFRenderer.run``, nerf/renderer.py:126-238): fixed ``num_steps`` linspace
+samples in [near, far], dense density/color evaluation, cumprod compositing.
+Everything is fixed-shape and jit-friendly; chunked ("staged") rendering is a
+``lax.map`` over ray chunks instead of a python loop (nerf/renderer.py:524-554).
+
+``render_rays_occupancy`` is the accelerated path (parity target:
+``NeRFRenderer.run_cuda``, nerf/renderer.py:243-354): occupancy-bitfield ray
+marching (ops/marching.py) into a fixed [N, slab] sample slab, one batched
+field evaluation, early-terminated compositing. The reference's shrinking
+``rays_alive`` worklist becomes transmittance masking — fixed shapes, no
+host syncs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from focnerf_tpu.core.geometry import near_far_from_aabb, sph_from_ray
+from focnerf_tpu.models.nerf import (
+    NeRFConfig,
+    background_fn,
+    color_fn,
+    density_fn,
+    encode_objfeat,
+)
+from focnerf_tpu.ops.composite import composite_rays
+from focnerf_tpu.ops.marching import march_rays
+
+
+def default_aabb(cfg: NeRFConfig) -> jnp.ndarray:
+    b = cfg.bound
+    return jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+
+
+def render_rays(
+    params,
+    cfg: NeRFConfig,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    *,
+    num_steps: int = 512,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    bg_color=None,
+    aabb: Optional[jax.Array] = None,
+    min_near: float = 0.2,
+    obj_feat: Optional[jax.Array] = None,
+    return_fields: bool = False,
+) -> Dict[str, Any]:
+    """Render a flat batch of rays with uniform sampling.
+
+    Args:
+      rays_o, rays_d: [N, 3] (rays_d unit norm).
+      num_steps: static sample count per ray (reference default 512).
+      rng: PRNG key, required when perturb=True.
+      bg_color: None -> white (1.0) unless cfg.bg_radius > 0 (learned bg);
+        or scalar / [3] / [N, 3] explicit background.
+      obj_feat: raw per-image YOLO feature [yolo_feats_dim] (FOC conditioning).
+      return_fields: also return per-sample sigmas/rgbs (composition needs them
+        only in the reference design; our compositor streams instead, but the
+        fields are exposed for parity and debugging).
+
+    Returns dict(image [N,3], depth [N], weights_sum [N], sigmas, rgbs?).
+    """
+    n = rays_o.shape[0]
+    if aabb is None:
+        aabb = default_aabb(cfg)
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    nears = nears[:, None]
+    fars = fars[:, None]
+
+    z = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)[None, :]  # [1, T]
+    z_vals = nears + (fars - nears) * z  # [N, T]
+    sample_dist = (fars - nears) / num_steps
+
+    if perturb:
+        assert rng is not None, "perturb=True requires rng"
+        z_vals = z_vals + (jax.random.uniform(rng, z_vals.shape) - 0.5) * sample_dist
+
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # [N, T, 3]
+    xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+
+    sigmas, geo_feat = density_fn(params, cfg, xyzs)  # [N, T], [N, T, G]
+
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate([deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)], -1)
+
+    objfeat_enc = None
+    if cfg.use_objfeat:
+        assert obj_feat is not None, "cfg.use_objfeat=True requires obj_feat"
+        objfeat_enc = encode_objfeat(params, cfg, obj_feat)
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    rgbs = color_fn(params, cfg, dirs, geo_feat, objfeat_enc)  # [N, T, 3]
+
+    if cfg.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+        bg = background_fn(params, cfg, sph, rays_d)
+    elif bg_color is None:
+        bg = 1.0
+    else:
+        bg = bg_color
+
+    # normalized depth coordinate, as the reference (renderer.py:205-206)
+    ori_z = jnp.clip((z_vals - nears) / jnp.maximum(fars - nears, 1e-10), 0.0, 1.0)
+
+    out = composite_rays(
+        sigmas, rgbs, deltas, ts=ori_z, bg_color=bg, density_scale=cfg.density_scale
+    )
+    result = {
+        "image": out["image"],
+        "depth": out["depth"],
+        "weights_sum": out["weights_sum"],
+        "sigmas": sigmas,
+    }
+    if return_fields:
+        result["rgbs"] = rgbs
+        result["z_vals"] = z_vals
+        result["deltas"] = deltas
+    return result
+
+
+def render_rays_occupancy(
+    params,
+    cfg: NeRFConfig,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    occ_bits: jax.Array,
+    *,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 128,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    bg_color=None,
+    aabb: Optional[jax.Array] = None,
+    min_near: float = 0.2,
+    T_thresh: float = 1e-4,
+    obj_feat: Optional[jax.Array] = None,
+    grid_size: int = 128,
+) -> Dict[str, Any]:
+    """Occupancy-accelerated render of a flat ray batch.
+
+    Mirrors run_cuda: adaptive dt marching restricted to occupied cells,
+    density_scale applied to sigma, depth normalized to [0, 1] by
+    clamp(depth - near) / (far - near) (nerf/renderer.py:288,299,347).
+    """
+    if aabb is None:
+        aabb = default_aabb(cfg)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+
+    m = march_rays(
+        rays_o,
+        rays_d,
+        nears,
+        fars,
+        occ_bits,
+        bound=cfg.bound,
+        dt_gamma=dt_gamma,
+        max_steps=max_steps,
+        slab=slab,
+        grid_size=grid_size,
+        rng=rng,
+        perturb=perturb,
+    )
+
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * m.ts[..., None]
+    xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+    sigmas, geo_feat = density_fn(params, cfg, xyzs)  # [N, K]
+    sigmas = jnp.where(m.valid, sigmas, 0.0)
+
+    objfeat_enc = None
+    if cfg.use_objfeat:
+        assert obj_feat is not None, "cfg.use_objfeat=True requires obj_feat"
+        objfeat_enc = encode_objfeat(params, cfg, obj_feat)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    rgbs = color_fn(params, cfg, dirs, geo_feat, objfeat_enc)
+
+    if cfg.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+        bg = background_fn(params, cfg, sph, rays_d)
+    elif bg_color is None:
+        bg = 1.0
+    else:
+        bg = bg_color
+
+    out = composite_rays(
+        sigmas,
+        rgbs,
+        m.dts,
+        ts=m.ts,
+        bg_color=bg,
+        density_scale=cfg.density_scale,
+        T_thresh=T_thresh,
+    )
+    depth = jnp.clip(out["depth"] - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-10)
+    return {
+        "image": out["image"],
+        "depth": depth,
+        "weights_sum": out["weights_sum"],
+        "sigmas": sigmas,
+        "n_samples": m.count,
+    }
+
+
+def render_image(
+    params,
+    cfg: NeRFConfig,
+    pose,
+    intrinsics,
+    H: int,
+    W: int,
+    *,
+    num_steps: int = 512,
+    max_ray_batch: int = 4096,
+    bg_color=None,
+    aabb=None,
+    min_near: float = 0.2,
+    obj_feat=None,
+):
+    """Full-image staged render: lax.map over fixed-size ray chunks.
+
+    Replaces the reference's python-loop staged mode (nerf/renderer.py:524-554)
+    with a single compiled scan — one compilation, no host round-trips.
+    Returns (image [H, W, 3], depth [H, W]).
+    """
+    from focnerf_tpu.core.rays import get_rays
+
+    rays = get_rays(pose, intrinsics, H, W)
+    n = H * W
+    pad = (-n) % max_ray_batch
+    ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
+    rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0))).at[n:, 2].set(1.0)
+    ro = ro.reshape(-1, max_ray_batch, 3)
+    rd = rd.reshape(-1, max_ray_batch, 3)
+
+    def chunk_fn(rays_chunk):
+        o, d = rays_chunk
+        res = render_rays(
+            params,
+            cfg,
+            o,
+            d,
+            num_steps=num_steps,
+            bg_color=bg_color,
+            aabb=aabb,
+            min_near=min_near,
+            obj_feat=obj_feat,
+        )
+        return res["image"], res["depth"]
+
+    images, depths = jax.lax.map(chunk_fn, (ro, rd))
+    image = images.reshape(-1, 3)[:n].reshape(H, W, 3)
+    depth = depths.reshape(-1)[:n].reshape(H, W)
+    return image, depth

@@ -1,0 +1,149 @@
+"""Evaluation metrics: PSNR / SSIM (jnp), LPIPS (optional torch sidecar).
+
+Replaces PSNRMeter / SSIMMeter / LPIPSMeter (nerf/utils.py:545-658). PSNR and
+SSIM are computed natively in JAX; LPIPS requires pretrained AlexNet/VGG
+weights (the ``lpips`` pip package), which this environment does not ship —
+``LPIPSMeter`` degrades to a no-op with a clear flag when unavailable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(pred: jax.Array, gt: jax.Array, max_val: float = 1.0) -> jax.Array:
+    """Peak signal-to-noise ratio in dB (PSNRMeter, nerf/utils.py:545-584)."""
+    mse = jnp.mean((pred.astype(jnp.float32) - gt.astype(jnp.float32)) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-20) / (max_val**2))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def ssim(
+    pred: jax.Array,
+    gt: jax.Array,
+    max_val: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+) -> jax.Array:
+    """Structural similarity (mean over image), matching the standard
+    torchmetrics/Wang et al. formulation used by SSIMMeter (utils.py:587-621).
+
+    pred/gt: [H, W, C] (or [B, H, W, C]) in [0, max_val].
+    """
+    if pred.ndim == 3:
+        pred = pred[None]
+        gt = gt[None]
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+
+    k = _gaussian_kernel(kernel_size, sigma)
+    kern2d = jnp.outer(k, k)[:, :, None, None]  # [K, K, 1, 1]
+
+    def filt(img):
+        # depthwise valid conv over H, W per channel
+        b, h, w, c = img.shape
+        x = jnp.transpose(img, (0, 3, 1, 2)).reshape(b * c, 1, h, w)
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.transpose(kern2d, (2, 3, 0, 1)),  # [1, 1, K, K]
+            window_strides=(1, 1),
+            padding="VALID",
+        )
+        hh, ww = y.shape[-2:]
+        return jnp.transpose(y.reshape(b, c, hh, ww), (0, 2, 3, 1))
+
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_p = filt(pred)
+    mu_g = filt(gt)
+    mu_p2, mu_g2, mu_pg = mu_p**2, mu_g**2, mu_p * mu_g
+    sig_p = filt(pred**2) - mu_p2
+    sig_g = filt(gt**2) - mu_g2
+    sig_pg = filt(pred * gt) - mu_pg
+    num = (2 * mu_pg + c1) * (2 * sig_pg + c2)
+    den = (mu_p2 + mu_g2 + c1) * (sig_p + sig_g + c2)
+    return jnp.mean(num / den)
+
+
+def rgba_ssim(pred_rgba: np.ndarray, gt_rgba: np.ndarray) -> float:
+    """SSIM over RGBA images (COMBINED.py:295-332 computes SSIM on 4-channel
+    composites); channels are averaged the same way."""
+    return float(ssim(jnp.asarray(pred_rgba), jnp.asarray(gt_rgba)))
+
+
+class Meter:
+    """Accumulating scalar meter with the reference's measure/report API."""
+
+    def __init__(self, name: str, fn):
+        self.name = name
+        self._fn = fn
+        self.clear()
+
+    def clear(self):
+        self.vals = []
+
+    def update(self, pred, gt):
+        self.vals.append(float(self._fn(pred, gt)))
+
+    def measure(self) -> float:
+        return float(np.mean(self.vals)) if self.vals else 0.0
+
+    def report(self) -> str:
+        return f"{self.name} = {self.measure():.6f}"
+
+
+def PSNRMeter() -> Meter:
+    return Meter("PSNR", psnr)
+
+
+def SSIMMeter() -> Meter:
+    return Meter("SSIM", ssim)
+
+
+class LPIPSMeter:
+    """LPIPS metric via the optional torch ``lpips`` package.
+
+    The reference uses lpips-alex (nerf/utils.py:624-658); pretrained weights
+    are unavailable offline, so this meter reports ``available=False`` and
+    measures 0 rather than crashing the eval loop.
+    """
+
+    def __init__(self, net: str = "alex"):
+        self.name = f"LPIPS ({net})"
+        self.vals = []
+        try:  # pragma: no cover - depends on optional package
+            import lpips
+            import torch
+
+            self._torch = torch
+            self._fn = lpips.LPIPS(net=net)
+            self.available = True
+        except Exception:
+            self._fn = None
+            self.available = False
+
+    def clear(self):
+        self.vals = []
+
+    def update(self, pred, gt):  # pred/gt: [H, W, 3] in [0, 1]
+        if not self.available:
+            return
+        t = self._torch
+        to = lambda x: t.from_numpy(np.asarray(x)).permute(2, 0, 1)[None] * 2 - 1
+        with t.no_grad():
+            self.vals.append(float(self._fn(to(pred), to(gt))))
+
+    def measure(self) -> float:
+        return float(np.mean(self.vals)) if self.vals else 0.0
+
+    def report(self) -> str:
+        return f"{self.name} = {self.measure():.6f}"

@@ -1,0 +1,60 @@
+"""Training state as an explicit pytree.
+
+The reference's ``Trainer`` god-class (nerf/utils.py:660-1557) holds model,
+optimizer, GradScaler, EMA, schedulers and counters as mutable attributes.
+Here all of it is one immutable pytree threaded through jitted steps; bf16
+training on TPU needs no loss scaler, and the LR schedule is folded into the
+optax optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+
+
+class TrainState(NamedTuple):
+    step: jax.Array  # int32 global step
+    params: Any
+    opt_state: Any
+    ema_params: Any  # EMA shadow of params (decay 0.95, num-updates ramp)
+    ema_count: jax.Array  # int32, for the torch_ema-style decay ramp
+
+
+def make_optimizer(lr: float = 1e-2, iters: int = 30000) -> optax.GradientTransformation:
+    """Adam(0.9, 0.99, eps=1e-15) with LambdaLR 0.1**(step/iters).
+
+    Matches main_nerf.py:211 (optimizer) and :265 (scheduler, stepped every
+    iteration). Note the reference trains hash-table and MLPs with the same LR.
+    """
+    schedule = lambda step: lr * 0.1 ** jnp.minimum(step / iters, 1.0)
+    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
+
+
+def create_train_state(
+    rng: jax.Array,
+    cfg: NeRFConfig,
+    optimizer: optax.GradientTransformation,
+    params: Optional[Any] = None,
+) -> TrainState:
+    if params is None:
+        params = init_nerf_params(rng, cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=params,
+        ema_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def ema_update(ema_params, params, count, decay: float = 0.95):
+    """torch_ema-style EMA with warmup ramp: d = min(decay, (1+n)/(10+n))."""
+    n = count.astype(jnp.float32)
+    d = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
+    return jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema_params, params)

@@ -1,0 +1,142 @@
+"""Jitted train / eval steps.
+
+Parity target: ``Trainer.train_step`` (nerf/utils.py:818-905) and
+``Trainer.eval_step`` (:907-950):
+
+  - RGBA ground truth is composited onto a *pixel-wise random* background
+    during training (utils.py:853) and a white background at eval;
+  - loss = per-ray mean-channel MSE, plus 1e-8 * ||sigma outside the object
+    mask|| (renderer.py:163-165, utils.py:880) for FOC masked training;
+  - error-map EMA update 0.1*old + 0.9*new at the sampled coarse cells
+    (utils.py:884-899).
+
+One deliberate fix vs the reference: the outside-mask penalty there indexes
+rays by *batch position* against a 64x64-downsampled mask, pairing random
+pixels with unrelated mask cells (utils.py:132, renderer.py:165). Here the
+mask is gathered at the actually-sampled pixel indices, so the penalty means
+what it says. (Weight 1e-8 keeps the loss numerically near-identical.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from focnerf_tpu.models.nerf import NeRFConfig
+from focnerf_tpu.render.renderer import render_rays
+from focnerf_tpu.train.state import TrainState, ema_update
+
+
+def make_train_step(
+    cfg: NeRFConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    num_steps: int = 512,
+    min_near: float = 0.2,
+    ema_decay: float = 0.95,
+    mask_penalty: float = 1e-8,
+    donate: bool = True,
+):
+    """Build a jitted train step.
+
+    The returned function has signature
+      (state, batch, rng) -> (state, metrics)
+    with batch = dict(rays_o [N,3], rays_d [N,3], pixels [N,3|4],
+                      ray_mask [N] bool (optional), obj_feat [F] (optional),
+                      error_map [128*128] + inds_coarse [N] (optional)).
+    """
+
+    def loss_fn(params, batch, rng):
+        pixels = batch["pixels"]
+        c = pixels.shape[-1]
+        k_bg, k_perturb = jax.random.split(rng)
+
+        if c == 4 and cfg.bg_radius <= 0:
+            bg = jax.random.uniform(k_bg, pixels[..., :3].shape)  # pixel-wise random
+            gt = pixels[..., :3] * pixels[..., 3:] + bg * (1.0 - pixels[..., 3:])
+        else:
+            bg = 1.0
+            gt = pixels[..., :3]
+
+        out = render_rays(
+            params,
+            cfg,
+            batch["rays_o"],
+            batch["rays_d"],
+            num_steps=num_steps,
+            rng=k_perturb,
+            perturb=True,
+            bg_color=bg,
+            min_near=min_near,
+            obj_feat=batch.get("obj_feat"),
+        )
+        per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
+        loss = jnp.mean(per_ray)
+
+        ray_mask = batch.get("ray_mask")
+        if ray_mask is not None:
+            outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
+            loss = loss + mask_penalty * jnp.linalg.norm(outside.reshape(-1))
+        return loss, per_ray
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch, rng):
+        (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, state.ema_count, ema_decay)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            ema_count=state.ema_count + 1,
+        )
+        metrics = {"loss": loss, "per_ray_error": per_ray}
+        return new_state, metrics
+
+    return train_step
+
+
+def update_error_map(error_map, inds_coarse, per_ray_error):
+    """EMA update of the 128x128 importance map (nerf/utils.py:884-899)."""
+    old = error_map[inds_coarse]
+    return error_map.at[inds_coarse].set(0.1 * old + 0.9 * per_ray_error)
+
+
+def make_eval_step(
+    cfg: NeRFConfig,
+    *,
+    num_steps: int = 512,
+    min_near: float = 0.2,
+    bg_color: float = 1.0,
+):
+    """Jitted eval: render rays against a fixed background, return pred + gt."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        pixels = batch["pixels"]
+        c = pixels.shape[-1]
+        if c == 4:
+            gt = pixels[..., :3] * pixels[..., 3:] + bg_color * (1.0 - pixels[..., 3:])
+        else:
+            gt = pixels[..., :3]
+        out = render_rays(
+            params,
+            cfg,
+            batch["rays_o"],
+            batch["rays_d"],
+            num_steps=num_steps,
+            bg_color=bg_color,
+            min_near=min_near,
+            obj_feat=batch.get("obj_feat"),
+        )
+        return out["image"], out["depth"], gt
+
+    return eval_step

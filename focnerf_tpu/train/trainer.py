@@ -1,0 +1,292 @@
+"""Training orchestration: epochs, eval, occupancy maintenance, checkpoints.
+
+Functional-core/imperative-shell rebuild of the reference ``Trainer``
+(nerf/utils.py:660-1557). The hot path is one jitted ``train_step``; this
+class only owns the loop, logging, metric meters, checkpoint policy and the
+occupancy-grid maintenance cadence (update every ``update_extra_interval``
+steps, ref nerf/utils.py:1216-1219 + renderer.py:419-507).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focnerf_tpu.models.nerf import NeRFConfig, density_fn
+from focnerf_tpu.ops.occupancy import (
+    OccupancyState,
+    init_occupancy,
+    mark_untrained_grid,
+    occupancy_bitfield,
+    update_occupancy,
+)
+from focnerf_tpu.render.renderer import render_image
+from focnerf_tpu.train.checkpoints import CheckpointManager
+from focnerf_tpu.train.meters import LPIPSMeter, PSNRMeter, SSIMMeter
+from focnerf_tpu.train.state import TrainState, create_train_state, make_optimizer
+from focnerf_tpu.train.steps import make_eval_step, make_train_step, update_error_map
+
+
+class Trainer:
+    def __init__(
+        self,
+        name: str,
+        cfg: NeRFConfig,
+        workspace: str = "workspace",
+        *,
+        lr: float = 1e-2,
+        iters: int = 30000,
+        num_steps: int = 512,
+        max_ray_batch: int = 4096,
+        use_occupancy: bool = False,
+        dt_gamma: float = 1 / 128,
+        max_steps: int = 1024,
+        train_slab: int = 128,
+        density_thresh: float = 10.0,
+        update_extra_interval: int = 16,
+        ema_decay: float = 0.95,
+        min_near: float = 0.2,
+        eval_interval: int = 50,
+        max_keep_ckpt: int = 2,
+        use_checkpoint: str = "latest",
+        seed: int = 0,
+        use_tensorboard: bool = True,
+    ):
+        self.name = name
+        self.cfg = cfg
+        self.workspace = workspace
+        self.iters = iters
+        self.num_steps = num_steps
+        self.max_ray_batch = max_ray_batch
+        self.use_occupancy = use_occupancy
+        self.dt_gamma = dt_gamma
+        self.max_steps = max_steps
+        self.train_slab = train_slab
+        self.density_thresh = density_thresh
+        self.update_extra_interval = update_extra_interval
+        self.min_near = min_near
+        self.eval_interval = eval_interval
+        self.epoch = 0
+        self.global_step = 0
+
+        os.makedirs(workspace, exist_ok=True)
+        self.log_path = os.path.join(workspace, f"log_{name}.txt")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(workspace, "run", name))
+            except Exception:
+                self._tb = None
+
+        self.rng = jax.random.key(seed)
+        self.optimizer = make_optimizer(lr=lr, iters=iters)
+        self.state: TrainState = create_train_state(
+            jax.random.key(seed), cfg, self.optimizer
+        )
+        self.occupancy: Optional[OccupancyState] = (
+            init_occupancy(cfg.bound) if use_occupancy else None
+        )
+
+        self._train_step = make_train_step(
+            cfg,
+            self.optimizer,
+            num_steps=num_steps,
+            min_near=min_near,
+            ema_decay=ema_decay,
+            donate=False,
+        )
+        self._eval_step = make_eval_step(cfg, num_steps=num_steps, min_near=min_near)
+
+        self.metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
+        self.ckpt = CheckpointManager(
+            os.path.join(workspace, "checkpoints"), max_keep=max_keep_ckpt
+        )
+        if use_checkpoint == "latest":
+            restored = self.ckpt.restore(self.state, self.occupancy)
+            if restored is not None:
+                self.state, occ, _ = restored
+                if occ is not None:
+                    self.occupancy = occ
+                self.global_step = int(self.state.step)
+                self.log(f"[INFO] resumed from step {self.global_step}")
+        elif use_checkpoint not in ("scratch", ""):
+            mgr = CheckpointManager(use_checkpoint)
+            restored = mgr.restore(self.state, self.occupancy)
+            if restored is not None:
+                self.state, occ, _ = restored
+                if occ is not None:
+                    self.occupancy = occ
+                self.global_step = int(self.state.step)
+
+    # ------------------------------------------------------------------ logging
+    def log(self, msg: str):
+        print(msg)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    # ------------------------------------------------------------------ train
+    def _next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def _maybe_update_occupancy(self):
+        if self.occupancy is None:
+            return
+        if self.global_step % self.update_extra_interval != 0:
+            return
+        params = self.state.params
+        cfg = self.cfg
+        dens = lambda x: density_fn(params, cfg, x)[0]
+        self.occupancy = update_occupancy(
+            self.occupancy,
+            dens,
+            self._next_rng(),
+            bound=cfg.bound,
+            density_scale=cfg.density_scale,
+        )
+
+    def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1, steps_per_epoch: Optional[int] = None):
+        if steps_per_epoch is None:
+            steps_per_epoch = train_dataset.n_views
+        if self.occupancy is not None:
+            self.occupancy = mark_untrained_grid(
+                self.occupancy,
+                jnp.asarray(train_dataset.poses),
+                train_dataset.intrinsics,
+                bound=self.cfg.bound,
+            )
+        for _ in range(max_epochs):
+            self.epoch += 1
+            t0 = time.time()
+            losses = []
+            for _ in range(steps_per_epoch):
+                self._maybe_update_occupancy()
+                k = self._next_rng()
+                batch = train_dataset.train_batch(k)
+                self.state, metrics = self._train_step(self.state, batch, k)
+                self.global_step += 1
+                losses.append(metrics["loss"])
+                if train_dataset.error_map is not None and "inds_coarse" in batch:
+                    view = batch["view"]
+                    em = train_dataset.error_map[view]
+                    em = update_error_map(em, batch["inds_coarse"], metrics["per_ray_error"])
+                    train_dataset.error_map = train_dataset.error_map.at[view].set(em)
+            mean_loss = float(jnp.mean(jnp.stack(losses)))
+            self.log(
+                f"[epoch {self.epoch}] loss={mean_loss:.6f} "
+                f"steps={self.global_step} time={time.time()-t0:.1f}s"
+            )
+            if self._tb is not None:
+                self._tb.add_scalar("train/loss", mean_loss, self.global_step)
+            if valid_dataset is not None and self.epoch % self.eval_interval == 0:
+                self.evaluate(valid_dataset)
+            self.save_checkpoint()
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, dataset, name: str = "val", save_images: bool = True, use_ema: bool = True):
+        params = self.state.ema_params if use_ema else self.state.params
+        for m in self.metrics:
+            m.clear()
+        out_dir = os.path.join(self.workspace, "validation")
+        os.makedirs(out_dir, exist_ok=True)
+        for v in range(dataset.n_views):
+            view = dataset.eval_view(v)
+            img, depth = render_image(
+                params,
+                self.cfg,
+                jnp.asarray(view["pose"]),
+                dataset.intrinsics,
+                dataset.H,
+                dataset.W,
+                num_steps=self.num_steps,
+                max_ray_batch=self.max_ray_batch,
+                min_near=self.min_near,
+                obj_feat=view.get("obj_feat"),
+                bg_color=1.0,
+            )
+            if "pixels" in view:
+                gt = np.asarray(view["pixels"]).reshape(dataset.H, dataset.W, -1)
+                if gt.shape[-1] == 4:
+                    gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+                for m in self.metrics:
+                    m.update(np.asarray(img), gt)
+            if save_images:
+                self._save_image(
+                    os.path.join(out_dir, f"{self.name}_{name}_{self.epoch:04d}_{v:04d}.png"),
+                    np.asarray(img),
+                )
+        report = " | ".join(m.report() for m in self.metrics)
+        self.log(f"[eval epoch {self.epoch}] {report}")
+        if self._tb is not None:
+            for m in self.metrics:
+                self._tb.add_scalar(f"eval/{m.name}", m.measure(), self.global_step)
+        return {m.name: m.measure() for m in self.metrics}
+
+    def test(self, dataset, write_video: bool = True, use_ema: bool = True):
+        """Render the test split; optionally write an mp4 (utils.py:1072-1076)."""
+        params = self.state.ema_params if use_ema else self.state.params
+        out_dir = os.path.join(self.workspace, "results")
+        os.makedirs(out_dir, exist_ok=True)
+        frames = []
+        for v in range(dataset.n_views):
+            view = dataset.eval_view(v)
+            img, depth = render_image(
+                params,
+                self.cfg,
+                jnp.asarray(view["pose"]),
+                dataset.intrinsics,
+                dataset.H,
+                dataset.W,
+                num_steps=self.num_steps,
+                max_ray_batch=self.max_ray_batch,
+                min_near=self.min_near,
+                obj_feat=view.get("obj_feat"),
+                bg_color=1.0,
+            )
+            arr = np.asarray(img)
+            frames.append((np.clip(arr, 0, 1) * 255).astype(np.uint8))
+            self._save_image(os.path.join(out_dir, f"{self.name}_{v:04d}.png"), arr)
+            self._save_image(
+                os.path.join(out_dir, f"{self.name}_{v:04d}_depth.png"), np.asarray(depth)
+            )
+        if write_video and len(frames) > 1:
+            from focnerf_tpu.utils.video import write_video as _wv
+
+            _wv(os.path.join(out_dir, f"{self.name}.mp4"), frames, fps=25)
+        return frames
+
+    @staticmethod
+    def _save_image(path: str, arr: np.ndarray):
+        import imageio.v2 as imageio
+
+        if arr.ndim == 2:
+            arr = arr / max(float(arr.max()), 1e-6)
+            arr = np.repeat(arr[..., None], 3, -1)
+        imageio.imwrite(path, (np.clip(arr, 0, 1) * 255).astype(np.uint8))
+
+    # ------------------------------------------------------------------ ckpt/mesh
+    def save_checkpoint(self):
+        self.ckpt.save(self.state, self.occupancy)
+
+    def save_mesh(self, resolution: int = 256, threshold: float = 10.0, path: Optional[str] = None):
+        """Extract a density iso-surface mesh (utils.py:971-992, 512-542)."""
+        from focnerf_tpu.utils.mesh_extract import extract_mesh, save_obj
+
+        params = self.state.ema_params
+        dens = lambda x: density_fn(params, self.cfg, x)[0]
+        verts, faces = extract_mesh(
+            dens, bound=self.cfg.bound, resolution=resolution, threshold=threshold
+        )
+        if path is None:
+            os.makedirs(os.path.join(self.workspace, "meshes"), exist_ok=True)
+            path = os.path.join(self.workspace, "meshes", f"{self.name}_{self.epoch}.obj")
+        save_obj(path, verts, faces)
+        self.log(f"[mesh] saved {path} ({len(verts)} verts, {len(faces)} faces)")
+        return path

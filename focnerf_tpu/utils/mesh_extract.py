@@ -1,0 +1,211 @@
+"""Density-field iso-surface extraction and mesh export.
+
+Replaces the reference chain extract_fields -> PyMCubes -> trimesh
+(nerf/utils.py:512-542, 971-992):
+
+  - the density field is queried in chunks on-device (extract_fields);
+  - iso-surface via marching tetrahedra: the native C++ implementation
+    (native/marching_tets.cpp, loaded through ctypes) when built, otherwise
+    a vectorized numpy fallback implementing the same 6-tet decomposition;
+  - OBJ / PLY writers replace trimesh.export.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NATIVE_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libfocnerf_native.so"),
+    os.path.join(os.path.dirname(__file__), "libfocnerf_native.so"),
+]
+
+_lib = None
+
+
+def _native_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _NATIVE_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            lib = ctypes.CDLL(p)
+            lib.marching_tets.restype = ctypes.c_int64
+            lib.marching_tets.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            _lib = lib
+            return _lib
+    return None
+
+
+def extract_fields(
+    density_eval: Callable,
+    bound: float,
+    resolution: int = 256,
+    chunk: int = 128**2 * 8,
+) -> np.ndarray:
+    """Query sigma on a dense grid over [-bound, bound]^3 (utils.py:512-527)."""
+    xs = np.linspace(-bound, bound, resolution, dtype=np.float32)
+    grid = np.empty((resolution, resolution, resolution), np.float32)
+    # slab over x to bound memory; each slab is one device call
+    for xi in range(resolution):
+        yy, zz = np.meshgrid(xs, xs, indexing="ij")
+        pts = np.stack([np.full_like(yy, xs[xi]), yy, zz], -1).reshape(-1, 3)
+        sig = np.asarray(density_eval(jnp.asarray(pts)))
+        grid[xi] = sig.reshape(resolution, resolution)
+    return grid
+
+
+_TETS = np.array(
+    [[0, 5, 1, 3], [0, 5, 3, 7], [0, 5, 7, 4], [0, 7, 3, 2], [0, 7, 2, 6], [0, 7, 6, 4]]
+)
+
+
+def _marching_tets_numpy(grid: np.ndarray, iso: float) -> np.ndarray:
+    """Vectorized numpy marching tetrahedra (same decomposition as the C++)."""
+    nx, ny, nz = grid.shape
+    # cube corner values [X, Y, Z, 8] and positions
+    vals = np.empty((nx - 1, ny - 1, nz - 1, 8), np.float32)
+    pos = np.empty((nx - 1, ny - 1, nz - 1, 8, 3), np.float32)
+    base = np.stack(
+        np.meshgrid(
+            np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
+        ),
+        -1,
+    ).astype(np.float32)
+    for c in range(8):
+        dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        vals[..., c] = grid[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
+        pos[..., c, :] = base + np.array([dx, dy, dz], np.float32)
+
+    # keep only boundary cubes
+    inside = vals > iso
+    mixed = inside.any(-1) & (~inside).any(-1)
+    vals = vals[mixed]  # [M, 8]
+    pos = pos[mixed]  # [M, 8, 3]
+
+    tris = []
+
+    def edge(pi, pj, vi, vj):
+        denom = vj - vi
+        t = np.where(denom == 0, 0.5, (iso - vi) / np.where(denom == 0, 1, denom))
+        t = np.clip(t, 0, 1)[..., None]
+        return pi + t * (pj - pi)
+
+    for tet in _TETS:
+        tv = vals[:, tet]  # [M, 4]
+        tp = pos[:, tet]  # [M, 4, 3]
+        m = (tv > iso).astype(np.int8)
+        code = m[:, 0] + 2 * m[:, 1] + 4 * m[:, 2] + 8 * m[:, 3]
+        for case in range(1, 15):
+            sel = code == case
+            if not sel.any():
+                continue
+            ins = [v for v in range(4) if case & (1 << v)]
+            outs = [v for v in range(4) if not case & (1 << v)]
+            V, P = tv[sel], tp[sel]
+            if len(ins) == 1:
+                i = ins[0]
+                t0 = edge(P[:, i], P[:, outs[0]], V[:, i], V[:, outs[0]])
+                t1 = edge(P[:, i], P[:, outs[1]], V[:, i], V[:, outs[1]])
+                t2 = edge(P[:, i], P[:, outs[2]], V[:, i], V[:, outs[2]])
+                tris.append(np.stack([t0, t1, t2], 1))
+            elif len(ins) == 3:
+                o = outs[0]
+                t0 = edge(P[:, ins[0]], P[:, o], V[:, ins[0]], V[:, o])
+                t1 = edge(P[:, ins[1]], P[:, o], V[:, ins[1]], V[:, o])
+                t2 = edge(P[:, ins[2]], P[:, o], V[:, ins[2]], V[:, o])
+                tris.append(np.stack([t0, t1, t2], 1))
+            else:  # 2 in / 2 out -> quad
+                i0, i1 = ins
+                o0, o1 = outs
+                a = edge(P[:, i0], P[:, o0], V[:, i0], V[:, o0])
+                b = edge(P[:, i0], P[:, o1], V[:, i0], V[:, o1])
+                c = edge(P[:, i1], P[:, o1], V[:, i1], V[:, o1])
+                d = edge(P[:, i1], P[:, o0], V[:, i1], V[:, o0])
+                tris.append(np.stack([a, b, c], 1))
+                tris.append(np.stack([a, c, d], 1))
+    if not tris:
+        return np.zeros((0, 3, 3), np.float32)
+    return np.concatenate(tris, 0)
+
+
+def marching_tets(grid: np.ndarray, iso: float) -> np.ndarray:
+    """Triangle soup [T, 3, 3] in grid-index coordinates."""
+    lib = _native_lib()
+    if lib is None:
+        return _marching_tets_numpy(grid, iso)
+    g = np.ascontiguousarray(grid, np.float32)
+    ptr = g.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    n = lib.marching_tets(ptr, *g.shape, iso, None, 0)
+    out = np.empty((int(n), 9), np.float32)
+    optr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.marching_tets(ptr, *g.shape, iso, optr, int(n))
+    return out.reshape(-1, 3, 3)
+
+
+def weld_vertices(tri_soup: np.ndarray, decimals: int = 5):
+    """Triangle soup -> (verts [V, 3], faces [F, 3]) by exact-coordinate weld."""
+    flat = tri_soup.reshape(-1, 3)
+    key = np.round(flat, decimals)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    faces = inv.reshape(-1, 3)
+    # drop degenerate faces
+    good = (
+        (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
+    )
+    return uniq.astype(np.float32), faces[good].astype(np.int32)
+
+
+def extract_mesh(
+    density_eval: Callable,
+    bound: float,
+    resolution: int = 256,
+    threshold: float = 10.0,
+):
+    """Full pipeline: density grid -> marching tets -> world-space mesh."""
+    grid = extract_fields(density_eval, bound, resolution)
+    soup = marching_tets(grid, threshold)
+    verts, faces = weld_vertices(soup)
+    # grid index -> world coords in [-bound, bound]
+    verts = verts / (resolution - 1) * (2 * bound) - bound
+    return verts, faces
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for t in faces + 1:  # OBJ is 1-indexed
+            f.write(f"f {t[0]} {t[1]} {t[2]}\n")
+
+
+def save_ply(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "wb") as f:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(faces)}\n"
+            "property list uchar int vertex_indices\nend_header\n"
+        )
+        f.write(header.encode())
+        f.write(verts.astype("<f4").tobytes())
+        counts = np.full((len(faces), 1), 3, np.uint8)
+        body = np.empty(len(faces), dtype=[("n", "u1"), ("idx", "<i4", 3)])
+        body["n"] = 3
+        body["idx"] = faces
+        f.write(body.tobytes())

@@ -1,0 +1,314 @@
+"""Occupancy grid + ray marching tests, incl. sequential CUDA-port oracle."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focnerf_tpu.core.geometry import near_far_from_aabb
+from focnerf_tpu.ops.marching import SQRT3, candidate_ts, march_rays
+from focnerf_tpu.ops.occupancy import (
+    OccupancyState,
+    cascade_count,
+    init_occupancy,
+    linear_index,
+    mark_untrained_grid,
+    occupancy_bitfield,
+    pack_bits,
+    unpack_bits,
+    update_occupancy,
+)
+
+
+class TestOccupancyState:
+    def test_cascades(self):
+        assert cascade_count(1.0) == 1
+        assert cascade_count(2.0) == 2
+        assert cascade_count(4.0) == 3
+        assert cascade_count(1.5) == 2
+
+    def test_bitfield_threshold(self):
+        occ = init_occupancy(1.0, grid_size=8)
+        grid = occ.density_grid.at[0, 5].set(100.0).at[0, 6].set(0.5)
+        occ = occ._replace(density_grid=grid, mean_density=jnp.float32(2.0))
+        bits = occupancy_bitfield(occ, density_thresh=10.0)  # thresh = min(2, 10) = 2
+        assert bool(bits[0, 5]) and not bool(bits[0, 6])
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        bits = jnp.asarray(rng.random(128) > 0.5)
+        packed = pack_bits(bits)
+        assert packed.shape == (16,)
+        np.testing.assert_array_equal(np.asarray(unpack_bits(packed)), np.asarray(bits))
+
+
+class TestUpdateOccupancy:
+    def _density(self, xyz):
+        # ball of density 50 at center, radius 0.4
+        r = jnp.linalg.norm(xyz, axis=-1)
+        return jnp.where(r < 0.4, 50.0, 0.0)
+
+    def test_full_update_marks_ball(self):
+        gs = 32
+        occ = init_occupancy(1.0, grid_size=gs)
+        occ = update_occupancy(
+            occ, self._density, jax.random.key(0), bound=1.0, grid_size=gs, chunk=gs**3, full=True
+        )
+        assert int(occ.iter_density) == 1
+        bits = np.asarray(occupancy_bitfield(occ, 10.0)).reshape(gs, gs, gs)
+        c = gs // 2
+        assert bits[c, c, c]  # center occupied
+        assert not bits[0, 0, 0]  # corner empty
+        assert 0 < bits.mean() < 0.3
+
+    def test_ema_decay(self):
+        gs = 16
+        occ = init_occupancy(1.0, grid_size=gs)
+        occ1 = update_occupancy(
+            occ, self._density, jax.random.key(0), bound=1.0, grid_size=gs, chunk=gs**3, full=True
+        )
+        # now density drops to zero everywhere: grid decays by 0.95 per step
+        zero = lambda x: jnp.zeros(x.shape[0])
+        occ2 = update_occupancy(
+            occ1, zero, jax.random.key(1), bound=1.0, grid_size=gs, chunk=gs**3, full=True
+        )
+        g1 = np.asarray(occ1.density_grid)
+        g2 = np.asarray(occ2.density_grid)
+        hot = g1 > 1.0
+        np.testing.assert_allclose(g2[hot], g1[hot] * 0.95, rtol=1e-5)
+
+    def test_partial_update_touches_occupied(self):
+        gs = 16
+        occ = init_occupancy(1.0, grid_size=gs)
+        occ = update_occupancy(
+            occ, self._density, jax.random.key(0), bound=1.0, grid_size=gs, chunk=gs**3, full=True
+        )
+        occ_p = update_occupancy(
+            occ, self._density, jax.random.key(1), bound=1.0, grid_size=gs, chunk=gs**3 // 2,
+            full=False,
+        )
+        # occupied region must stay occupied after partial refresh
+        bits = np.asarray(occupancy_bitfield(occ_p, 10.0)).reshape(gs, gs, gs)
+        c = gs // 2
+        assert bits[c, c, c]
+
+    def test_untrained_cells_stay_negative(self):
+        gs = 16
+        occ = init_occupancy(1.0, grid_size=gs)
+        occ = occ._replace(density_grid=occ.density_grid.at[0, 0].set(-1.0))
+        occ = update_occupancy(
+            occ, self._density, jax.random.key(0), bound=1.0, grid_size=gs, chunk=gs**3, full=True
+        )
+        assert float(occ.density_grid[0, 0]) == -1.0
+
+
+class TestMarkUntrained:
+    def test_camera_behind_marks_far_side(self):
+        gs = 16
+        occ = init_occupancy(1.0, grid_size=gs)
+        # one camera at z=-3 looking along +z
+        pose = jnp.eye(4).at[2, 3].set(-3.0)
+        occ = mark_untrained_grid(
+            occ, pose[None], (gs * 2.0, gs * 2.0, gs / 2, gs / 2), bound=1.0, grid_size=gs,
+            chunk=gs**3,
+        )
+        g = np.asarray(occ.density_grid).reshape(gs, gs, gs)
+        # cells along the optical axis (in front of camera) remain 0 (seen)
+        assert g[gs // 2, gs // 2, gs // 2] == 0.0
+        # some lateral cells outside the narrow frustum are -1
+        assert (g == -1).sum() > 0
+
+
+def _seq_candidate_ts(t0, num, dt_min, dt_max, dt_gamma):
+    ts, dts = [], []
+    t = t0
+    for _ in range(num):
+        dt = min(max(t * dt_gamma, dt_min), dt_max)
+        ts.append(t)
+        dts.append(dt)
+        t = t + dt
+    return np.array(ts), np.array(dts)
+
+
+class TestCandidateTs:
+    @pytest.mark.parametrize("gamma", [0.0, 1 / 128, 1 / 16])
+    def test_matches_sequential(self, gamma):
+        dt_min = 2 * SQRT3 / 1024
+        dt_max = 2 * SQRT3 * 2 / 128
+        for t0 in [0.2, 1.0, 5.0]:
+            ts, dts = candidate_ts(jnp.array([t0]), 64, dt_min, dt_max, gamma)
+            ts_ref, dts_ref = _seq_candidate_ts(t0, 64, dt_min, dt_max, gamma)
+            np.testing.assert_allclose(np.asarray(ts)[0], ts_ref, rtol=2e-4)
+            np.testing.assert_allclose(np.asarray(dts)[0], dts_ref, rtol=2e-4)
+
+
+def _seq_march_reference(o, d, near, far, bits, bound, gs, dt_gamma, max_steps, cascades):
+    """Python port of kernel_march_rays_train (raymarching.cu:312-490), incl. skip."""
+    dt_min = 2 * SQRT3 / max_steps
+    dt_max = 2 * SQRT3 * (2 ** (cascades - 1)) / gs
+    t = near
+    out = []
+    steps = 0
+    guard = 0
+    while t < far and steps < max_steps and guard < 100000:
+        guard += 1
+        x = np.clip(o + t * d, -bound, bound)
+        dt = min(max(t * dt_gamma, dt_min), dt_max)
+        mx = np.max(np.abs(x))
+        e_pos = np.frexp(mx)[1]
+        e_dt = np.frexp(dt * gs * 0.5)[1]
+        level = int(min(cascades - 1, max(0, max(e_pos, e_dt))))
+        mip_bound = min(2.0**level, bound)
+        n = np.clip((0.5 * (x / mip_bound + 1) * gs).astype(int), 0, gs - 1)
+        idx = level * gs**3 + n[0] * gs * gs + n[1] * gs + n[2]
+        if bits[idx]:
+            out.append((t, dt))
+            steps += 1
+            t += dt
+        else:
+            rH = 1.0 / gs
+            tt_c = []
+            for ax in range(3):
+                sgn = 1.0 if d[ax] >= 0 else -1.0
+                tt_c.append(
+                    (((n[ax] + 0.5 + 0.5 * sgn) * rH * 2 - 1) * mip_bound - x[ax]) / d[ax]
+                )
+            tt = t + max(0.0, min(tt_c))
+            while t < tt:
+                t += min(max(t * dt_gamma, dt_min), dt_max)
+    return out
+
+
+class TestMarchRays:
+    def _setup(self, gs=32, bound=1.0, occupy="ball"):
+        cascades = cascade_count(bound)
+        bits = np.zeros((cascades, gs, gs, gs), bool)
+        r = (np.arange(gs) + 0.5) / gs * 2 - 1  # cell centers in [-1, 1]
+        X, Y, Z = np.meshgrid(r, r, r, indexing="ij")
+        if occupy == "ball":
+            bits[0] = X**2 + Y**2 + Z**2 < 0.45**2
+        elif occupy == "all":
+            bits[:] = True
+        return jnp.asarray(bits.reshape(cascades, -1)), bits, cascades
+
+    def test_matches_sequential_cuda_port(self):
+        gs, bound = 32, 1.0
+        occ_bits, bits_np, cascades = self._setup(gs, bound)
+        rng = np.random.default_rng(0)
+        n = 16
+        o = np.zeros((n, 3), np.float32)
+        o[:, 2] = -2.5
+        d = rng.normal(0, 0.08, (n, 3)).astype(np.float32)
+        d[:, 2] += 1
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+        aabb = jnp.array([-bound] * 3 + [bound] * 3, jnp.float32)
+        nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+        m = march_rays(
+            jnp.asarray(o), jnp.asarray(d), nears, fars, occ_bits,
+            bound=bound, dt_gamma=1 / 128, max_steps=512, slab=256, grid_size=gs,
+        )
+        for i in range(n):
+            ref = _seq_march_reference(
+                o[i], d[i], float(nears[i]), float(fars[i]), bits_np.reshape(-1),
+                bound, gs, 1 / 128, 512, cascades,
+            )
+            cnt = int(m.count[i])
+            assert cnt == len(ref), f"ray {i}: {cnt} vs {len(ref)} samples"
+            if cnt:
+                got_t = np.asarray(m.ts[i, :cnt])
+                ref_t = np.array([t for t, _ in ref])
+                np.testing.assert_allclose(got_t, ref_t, rtol=1e-3, atol=1e-4)
+
+    def test_empty_grid_no_samples(self):
+        gs = 16
+        occ_bits = jnp.zeros((1, gs**3), bool)
+        o = jnp.array([[0.0, 0.0, -2.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+        m = march_rays(o, d, nears, fars, occ_bits, bound=1.0, max_steps=128, slab=32, grid_size=gs)
+        assert int(m.count[0]) == 0
+        assert not bool(m.valid.any())
+
+    def test_full_grid_uniform_steps(self):
+        gs = 16
+        occ_bits, _, _ = self._setup(gs, 1.0, occupy="all")
+        o = jnp.array([[0.0, 0.0, -2.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+        m = march_rays(o, d, nears, fars, occ_bits, bound=1.0, dt_gamma=0.0, max_steps=512, slab=512, grid_size=gs)
+        cnt = int(m.count[0])
+        # segment length 2.0, dt = 2*sqrt(3)/512 -> ~295 steps
+        assert abs(cnt - int(2.0 / (2 * SQRT3 / 512))) <= 1
+        ts = np.asarray(m.ts[0, :cnt])
+        np.testing.assert_allclose(np.diff(ts), 2 * SQRT3 / 512, rtol=1e-4)
+
+    def test_miss_rays(self):
+        gs = 16
+        occ_bits, _, _ = self._setup(gs, 1.0, occupy="all")
+        o = jnp.array([[0.0, 50.0, -2.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+        m = march_rays(o, d, nears, fars, occ_bits, bound=1.0, max_steps=64, slab=16, grid_size=gs)
+        assert int(m.count[0]) == 0
+
+    def test_slab_overflow_truncates(self):
+        gs = 16
+        occ_bits, _, _ = self._setup(gs, 1.0, occupy="all")
+        o = jnp.array([[0.0, 0.0, -2.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+        m = march_rays(o, d, nears, fars, occ_bits, bound=1.0, dt_gamma=0.0, max_steps=512, slab=8, grid_size=gs)
+        assert int(m.count[0]) == 8
+        assert np.asarray(m.ts[0] > 0).all()
+
+    def test_perturb_jitters_start(self):
+        gs = 16
+        occ_bits, _, _ = self._setup(gs, 1.0, occupy="all")
+        o = jnp.zeros((4, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+        nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+        m1 = march_rays(o, d, nears, fars, occ_bits, bound=1.0, max_steps=64, slab=16,
+                        grid_size=gs, rng=jax.random.key(0), perturb=True)
+        m2 = march_rays(o, d, nears, fars, occ_bits, bound=1.0, max_steps=64, slab=16, grid_size=gs)
+        t1 = np.asarray(m1.ts[:, 0])
+        t2 = np.asarray(m2.ts[:, 0])
+        assert np.all(t1 >= t2)
+        assert np.any(t1 > t2)
+
+
+class TestOccupancyRender:
+    def test_occupancy_path_close_to_uniform_path(self):
+        """The accelerated path must agree with the dense path on a simple scene."""
+        from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+        from focnerf_tpu.render.renderer import render_rays, render_rays_occupancy
+
+        cfg = NeRFConfig(
+            num_levels=4, base_resolution=4, log2_hashmap_size=12,
+            use_objfeat=False, compute_dtype=jnp.float32,
+        )
+        params = init_nerf_params(jax.random.key(0), cfg)
+        gs = 64
+        occ_bits = jnp.ones((1, gs**3), bool)  # fully occupied -> both paths dense
+
+        rng = np.random.default_rng(1)
+        n = 32
+        o = np.zeros((n, 3), np.float32)
+        o[:, 2] = -2.5
+        d = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+        d[:, 2] += 1
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+
+        dense = render_rays(params, cfg, o, d, num_steps=512, bg_color=1.0)
+        accel = render_rays_occupancy(
+            params, cfg, o, d, occ_bits, dt_gamma=0.0, max_steps=768, slab=768,
+            bg_color=1.0, grid_size=gs,
+        )
+        # sampling patterns differ (uniform-in-[near,far] vs fixed dt) so allow
+        # a loose tolerance; both must see the same radiance field.
+        np.testing.assert_allclose(
+            np.asarray(accel["image"]), np.asarray(dense["image"]), atol=0.05
+        )

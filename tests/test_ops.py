@@ -1,0 +1,244 @@
+"""Unit tests for encoder ops and compositing (golden values + gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focnerf_tpu.ops.activation import trunc_exp
+from focnerf_tpu.ops.composite import composite_rays, composite_weights
+from focnerf_tpu.ops.freq import freq_encode, freq_output_dim
+from focnerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init
+from focnerf_tpu.ops.sh import sh_encode
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class TestTruncExp:
+    def test_forward(self):
+        x = jnp.array([-2.0, 0.0, 3.0])
+        np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp([-2.0, 0.0, 3.0]), rtol=1e-5)
+
+    def test_grad_clamped(self):
+        g = jax.grad(lambda x: trunc_exp(x).sum())(jnp.array([20.0, 1.0]))
+        np.testing.assert_allclose(np.asarray(g), [np.exp(15.0), np.exp(1.0)], rtol=1e-5)
+
+
+class TestSH:
+    def test_degree_1_constant(self):
+        d = jnp.array([[0.3, -0.5, 0.81]])
+        out = np.asarray(sh_encode(d, degree=1))
+        np.testing.assert_allclose(out, [[0.28209479]], rtol=1e-6)
+
+    def test_output_dims(self):
+        d = jnp.ones((5, 3)) / np.sqrt(3)
+        for deg in (1, 2, 3, 4):
+            assert sh_encode(d, degree=deg).shape == (5, deg**2)
+
+    def test_degree2_components(self):
+        d = jnp.array([[0.6, 0.0, 0.8]])
+        out = np.asarray(sh_encode(d, degree=2))[0]
+        C1 = 0.4886025119029199
+        np.testing.assert_allclose(out[1:], [-C1 * 0.0, C1 * 0.8, -C1 * 0.6], rtol=1e-6, atol=1e-8)
+
+
+class TestFreq:
+    def test_dims_and_values(self):
+        x = jnp.array([[0.25, -1.0]])
+        deg = 3
+        out = np.asarray(freq_encode(x, degree=deg))
+        assert out.shape == (1, freq_output_dim(2, deg))
+        np.testing.assert_allclose(out[0, :2], [0.25, -1.0])
+        np.testing.assert_allclose(out[0, 2:4], np.sin([0.25, -1.0]), rtol=1e-6)
+        np.testing.assert_allclose(out[0, 4:6], np.cos([0.25, -1.0]), rtol=1e-6)
+        np.testing.assert_allclose(out[0, 6:8], np.sin([0.5, -2.0]), rtol=1e-6)
+
+
+def _np_hashgrid_reference(table, x, spec):
+    """Independent numpy reimplementation of the gridencoder forward."""
+    n = x.shape[0]
+    out = np.zeros((n, spec.num_levels, spec.level_dim), np.float32)
+    for lvl in range(spec.num_levels):
+        scale = np.float32(
+            np.exp2(lvl * np.log2(spec.per_level_scale)) * spec.base_resolution - 1.0
+        )
+        res = spec.resolutions[lvl]
+        size = spec.level_size(lvl)
+        for b in range(n):
+            if np.any(x[b] < 0) or np.any(x[b] > 1):
+                continue
+            pos = x[b] * scale + 0.5
+            pg = np.floor(pos).astype(np.uint32)
+            fr = pos - pg
+            acc = np.zeros(spec.level_dim, np.float32)
+            for c in range(8):
+                w = 1.0
+                cc = pg.copy()
+                for d in range(3):
+                    if (c >> d) & 1:
+                        w *= fr[d]
+                        cc[d] += 1
+                    else:
+                        w *= 1 - fr[d]
+                if spec.hashed[lvl]:
+                    h = np.uint32(0)
+                    for d in range(3):
+                        h ^= np.uint32(cc[d] * np.uint32(_PRIMES[d]))
+                    idx = int(h % np.uint32(size))
+                else:
+                    idx = int(cc[0] + cc[1] * (res + 1) + cc[2] * (res + 1) ** 2)
+                acc += w * table[spec.offsets[lvl] + idx]
+            out[b, lvl] = acc
+    return out.reshape(n, -1)
+
+
+class TestHashGrid:
+    def _spec(self, **kw):
+        kw.setdefault("num_levels", 4)
+        kw.setdefault("base_resolution", 4)
+        kw.setdefault("log2_hashmap_size", 7)
+        kw.setdefault("per_level_scale", 2.0)
+        return HashGridSpec.create(**kw)
+
+    def test_layout_matches_reference_wrapper(self):
+        # bound=1 production spec: L16/C2/T2^19/base16 -> 2048 top resolution
+        spec = HashGridSpec.create(desired_resolution=2048)
+        assert spec.resolutions[0] == 16 and spec.resolutions[-1] == 2048
+        assert spec.per_level_scale == pytest.approx(np.exp2(np.log2(2048 / 16) / 15))
+        # dense until (res+1)^3 > 2^19
+        for lvl, res in enumerate(spec.resolutions):
+            assert spec.hashed[lvl] == ((res + 1) ** 3 > 2**19)
+            assert spec.level_size(lvl) % 8 == 0
+            assert spec.level_size(lvl) <= 2**19
+        assert spec.output_dim == 32
+
+    def test_matches_numpy_reference(self):
+        spec = self._spec()
+        rng = np.random.default_rng(0)
+        table = rng.normal(size=(spec.table_rows, spec.level_dim)).astype(np.float32)
+        x = rng.uniform(0, 1, size=(32, 3)).astype(np.float32)
+        got = np.asarray(hashgrid_encode(jnp.asarray(table), jnp.asarray(x), spec))
+        want = _np_hashgrid_reference(table, x, spec)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_hashed_levels_exercised(self):
+        spec = self._spec()
+        assert any(spec.hashed), "test spec must include hashed levels"
+        assert not all(spec.hashed), "test spec must include dense levels"
+
+    def test_trilinear_exact_on_dense_level(self):
+        # single dense level, res 4: table holds f(x,y,z) = linear function =>
+        # trilinear interp must reproduce it exactly
+        spec = HashGridSpec.create(
+            num_levels=1, level_dim=1, base_resolution=4, log2_hashmap_size=10, per_level_scale=2.0
+        )
+        res = spec.resolutions[0]
+        coords = np.stack(
+            np.meshgrid(np.arange(res + 1), np.arange(res + 1), np.arange(res + 1), indexing="ij"),
+            -1,
+        ).reshape(-1, 3)
+        # table laid out with stride (res+1): idx = x + y*(res+1) + z*(res+1)^2
+        table = np.zeros((spec.table_rows, 1), np.float32)
+        flat = coords[:, 0] + coords[:, 1] * (res + 1) + coords[:, 2] * (res + 1) ** 2
+        lin = (2.0 * coords[:, 0] - 3.0 * coords[:, 1] + 0.5 * coords[:, 2]).astype(np.float32)
+        table[flat, 0] = lin
+        x = np.array([[0.3, 0.7, 0.2], [0.0, 0.0, 0.0], [0.99, 0.5, 0.01]], np.float32)
+        got = np.asarray(hashgrid_encode(jnp.asarray(table), jnp.asarray(x), spec))[:, 0]
+        scale = res - 1.0  # exp2(0)*4 - 1
+        pos = x * scale + 0.5
+        want = 2.0 * pos[:, 0] - 3.0 * pos[:, 1] + 0.5 * pos[:, 2]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_oob_is_zero(self):
+        spec = self._spec()
+        table = hashgrid_init(jax.random.key(0), spec)
+        x = jnp.array([[1.2, 0.5, 0.5], [-0.1, 0.2, 0.3]])
+        out = np.asarray(hashgrid_encode(table, x, spec))
+        np.testing.assert_array_equal(out, 0.0)
+
+    def test_table_gradient_is_scatter_of_weights(self):
+        spec = self._spec(num_levels=2)
+        rng = np.random.default_rng(1)
+        table = jnp.asarray(rng.normal(size=(spec.table_rows, spec.level_dim)), jnp.float32)
+        x = jnp.asarray(rng.uniform(0.05, 0.95, size=(8, 3)), jnp.float32)
+
+        g = jax.grad(lambda t: hashgrid_encode(t, x, spec).sum())(table)
+        # finite-difference check on a handful of touched entries
+        touched = np.nonzero(np.asarray(g).sum(-1))[0][:5]
+        eps = 1e-3
+        for row in touched:
+            tp = table.at[row, 0].add(eps)
+            tm = table.at[row, 0].add(-eps)
+            fd = (
+                float(hashgrid_encode(tp, x, spec).sum())
+                - float(hashgrid_encode(tm, x, spec).sum())
+            ) / (2 * eps)
+            assert fd == pytest.approx(float(g[row, 0]), rel=1e-3, abs=1e-4)
+
+    def test_input_gradient_flows(self):
+        # needed by D-NeRF: grad w.r.t. the (deformed) input position
+        spec = self._spec(num_levels=2)
+        table = hashgrid_init(jax.random.key(2), spec) * 1e4  # make grads non-tiny
+        x = jnp.array([[0.33, 0.44, 0.55]])
+        g = jax.grad(lambda p: hashgrid_encode(table, p, spec).sum())(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.any(np.asarray(g) != 0)
+
+    def test_batched_shape(self):
+        spec = self._spec()
+        table = hashgrid_init(jax.random.key(3), spec)
+        x = jnp.zeros((4, 7, 3)) + 0.5
+        assert hashgrid_encode(table, x, spec).shape == (4, 7, spec.output_dim)
+
+
+def _seq_composite_reference(sigmas, deltas, rgbs, T_thresh, density_scale=1.0):
+    """Sequential python port of the CUDA compositing loop (raymarching.cu:540-567)."""
+    n, T = sigmas.shape
+    image = np.zeros((n, 3))
+    ws = np.zeros(n)
+    for i in range(n):
+        Tcur = 1.0
+        for t in range(T):
+            if Tcur < T_thresh:
+                break
+            alpha = 1.0 - np.exp(-deltas[i, t] * density_scale * sigmas[i, t])
+            w = alpha * Tcur
+            image[i] += w * rgbs[i, t]
+            ws[i] += w
+            Tcur *= 1.0 - alpha + 1e-15
+    return image, ws
+
+
+class TestComposite:
+    def test_matches_sequential_reference(self):
+        rng = np.random.default_rng(0)
+        sigmas = rng.uniform(0, 20, size=(16, 32)).astype(np.float32)
+        deltas = rng.uniform(0.01, 0.1, size=(16, 32)).astype(np.float32)
+        rgbs = rng.uniform(0, 1, size=(16, 32, 3)).astype(np.float32)
+        for thresh in (0.0, 1e-4, 1e-1):
+            out = composite_rays(
+                jnp.asarray(sigmas), jnp.asarray(rgbs), jnp.asarray(deltas), T_thresh=thresh
+            )
+            img_ref, ws_ref = _seq_composite_reference(sigmas, deltas, rgbs, thresh)
+            np.testing.assert_allclose(np.asarray(out["image"]), img_ref, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out["weights_sum"]), ws_ref, rtol=1e-4, atol=1e-5)
+
+    def test_opaque_wall(self):
+        sigmas = jnp.concatenate([jnp.zeros((1, 5)), jnp.full((1, 1), 1e6), jnp.zeros((1, 4))], -1)
+        deltas = jnp.full((1, 10), 0.1)
+        w = np.asarray(composite_weights(sigmas, deltas))
+        np.testing.assert_allclose(w[0, 5], 1.0, rtol=1e-5)
+        np.testing.assert_allclose(w[0, 6:], 0.0, atol=1e-6)
+
+    def test_bg_blend(self):
+        out = composite_rays(
+            jnp.zeros((2, 4)), jnp.zeros((2, 4, 3)), jnp.ones((2, 4)), bg_color=1.0
+        )
+        np.testing.assert_allclose(np.asarray(out["image"]), 1.0)
+
+    def test_grad_finite(self):
+        rng = np.random.default_rng(1)
+        sigmas = jnp.asarray(rng.uniform(0, 5, (4, 16)), jnp.float32)
+        deltas = jnp.full((4, 16), 0.05)
+        g = jax.grad(lambda s: composite_weights(s, deltas).sum())(sigmas)
+        assert np.all(np.isfinite(np.asarray(g)))
