@@ -1,0 +1,136 @@
+"""Benchmark: training throughput (rays/sec) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 1e7 rays/sec/chip (BASELINE.md north star).
+
+Design notes for the tunneled-TPU environment: the chip sits behind a
+high-latency relay and identical repeated dispatches can be deduplicated, so
+the benchmark (a) folds K train steps into ONE jitted lax.fori_loop with
+on-device batch sampling (zero host round-trips inside the measurement) and
+(b) derives fresh rng/batches per step from the loop counter.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from focnerf_tpu.core.camera import rand_poses
+from focnerf_tpu.core.rays import get_rays
+from focnerf_tpu.models.nerf import NeRFConfig
+from focnerf_tpu.train.state import create_train_state, make_optimizer
+from focnerf_tpu.train.steps import make_train_step
+
+N_RAYS = 4096
+SLAB = 32  # per-ray sample budget (occupancy path; ref mean_count is ~16-32)
+MAX_STEPS = 512
+WARMUP_STEPS = 2
+BENCH_STEPS = 10
+BASELINE_RAYS_PER_SEC = 1.0e7
+
+
+def build_scene():
+    """Synthetic sphere scene fully resident on device."""
+    H = W = 64
+    fx = 80.0
+    poses = rand_poses(np.random.default_rng(0), 8, radius=2.5)
+    all_o, all_d, all_rgb = [], [], []
+    for p in poses:
+        rays = get_rays(jnp.asarray(p), (fx, fx, W / 2, H / 2), H, W)
+        o, d = np.asarray(rays["rays_o"]), np.asarray(rays["rays_d"])
+        b = np.sum(o * d, -1)
+        c = np.sum(o * o, -1) - 0.25
+        disc = b * b - c
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        hit = (disc > 0) & (t > 0)
+        pt = o + t[:, None] * d
+        rgb = np.ones((o.shape[0], 3), np.float32)
+        rgb[hit] = np.where(pt[hit, 1:2] > 0, [[0.9, 0.2, 0.1]], [[0.1, 0.3, 0.9]])
+        all_o.append(o)
+        all_d.append(d)
+        all_rgb.append(rgb)
+    return (
+        jnp.asarray(np.concatenate(all_o)),
+        jnp.asarray(np.concatenate(all_d)),
+        jnp.asarray(np.concatenate(all_rgb)),
+    )
+
+
+def main():
+    import optax
+
+    from focnerf_tpu.render.renderer import render_rays_occupancy
+
+    cfg = NeRFConfig(use_objfeat=False)
+    optimizer = make_optimizer(lr=1e-2, iters=30000)
+    state = create_train_state(jax.random.key(0), cfg, optimizer)
+
+    all_o, all_d, all_rgb = build_scene()
+
+    # sphere occupancy (~7% occupied, lego-like): the production train path
+    gs = 128
+    r = (jnp.arange(gs) + 0.5) / gs * 2 - 1
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    occ_bits = ((X**2 + Y**2 + Z**2) < 0.55**2).reshape(1, -1)
+
+    def loss_fn(params, batch, rng):
+        out = render_rays_occupancy(
+            params, cfg, batch["rays_o"], batch["rays_d"], occ_bits,
+            dt_gamma=0.0, max_steps=MAX_STEPS, slab=SLAB, bg_color=1.0,
+            rng=rng, perturb=True,
+        )
+        return jnp.mean((out["image"] - batch["pixels"]) ** 2)
+
+    def train_step(state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    def run_steps(state, base_rng, n):
+        def body(i, carry):
+            state, _ = carry
+            rng = jax.random.fold_in(base_rng, i)
+            idx = jax.random.randint(
+                jax.random.fold_in(rng, 1), (N_RAYS,), 0, all_o.shape[0]
+            )
+            batch = {
+                "rays_o": all_o[idx],
+                "rays_d": all_d[idx],
+                "pixels": all_rgb[idx],
+            }
+            state, loss = train_step(state, batch, rng)
+            return state, loss
+
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
+    run = jax.jit(run_steps, static_argnums=(2,))
+
+    # warmup + compile
+    state, loss = run(state, jax.random.key(1), WARMUP_STEPS)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    state, loss = run(state, jax.random.key(2), BENCH_STEPS)
+    loss = float(loss)  # full fetch: honest sync
+    dt = time.time() - t0
+
+    rays_per_sec = N_RAYS * BENCH_STEPS / dt
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    assert np.isfinite(loss), f"bench produced non-finite loss: {loss}"
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Unified option set for all CLIs.
+
+Replaces the reference's duplicated argparse blocks (flags.py:4-65 and its
+drifted copy at main_nerf.py:18-77 — e.g. the --yolo_model default differed
+between them; here there is exactly one definition). One dataclass, one
+``add_args``/``from_args`` pair, shared by every app.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Options:
+    path: str = ""
+    workspace: str = "workspace"
+    seed: int = 0
+    test: bool = False
+
+    # training (flags.py:14-23)
+    iters: int = 30000
+    lr: float = 1e-2
+    ckpt: str = "latest"
+    num_rays: int = 4096
+    cuda_ray: bool = False  # kept name for parity; enables occupancy marching
+    max_steps: int = 1024
+    num_steps: int = 512
+    upsample_steps: int = 0
+    update_extra_interval: int = 16
+    max_ray_batch: int = 4096
+    patch_size: int = 1
+    train_slab: int = 128  # TPU addition: per-ray sample budget (occupancy path)
+
+    # precision / backend (flags.py:26-29)
+    fp16: bool = False  # bf16 compute on TPU
+
+    # dataset (flags.py:31-43)
+    color_space: str = "srgb"
+    preload: bool = True
+    bound: float = 2.0
+    scale: float = 0.33
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    dt_gamma: float = 1 / 128
+    min_near: float = 0.2
+    density_thresh: float = 10.0
+    bg_radius: float = -1.0
+    downscale: int = 1
+
+    # GUI / viewer (flags.py:45-51)
+    gui: bool = False
+    W: int = 1920
+    H: int = 1080
+    radius: float = 5.0
+    fovy: float = 50.0
+    max_spp: int = 64
+
+    # experimental (flags.py:53-56)
+    error_map: bool = False
+    clip_text: str = ""
+    rand_pose: int = -1
+
+    # yolo / objects / composition (flags.py:58-64)
+    yolo_model: str = "yolov8s-seg.pt"
+    disable_yolo: bool = False
+    legacy: bool = False
+    n_chunks: int = 5  # 0 turns off obj-feat conditioning
+    bound_inf: Optional[Tuple[float, ...]] = None
+    edit_x: float = 0.0
+    ckpt_dir: str = ""
+    objects_of_interest: List[str] = dataclasses.field(default_factory=list)
+    mo_density_infer: bool = False
+
+    # editing (editable.py:76-79)
+    edit_object: str = ""
+    offset_x: float = 0.0
+    offset_y: float = 0.0
+    offset_z: float = 0.0
+
+    # dnerf
+    dnerf_variant: str = "deform"
+    time_slots: int = 64
+
+    @property
+    def use_objfeat(self) -> bool:
+        return self.n_chunks > 0
+
+    def nerf_config(self, yolo_feats_dim: int = 144):
+        import jax.numpy as jnp
+
+        from focnerf_tpu.models.nerf import NeRFConfig
+
+        return NeRFConfig(
+            bound=self.bound,
+            use_objfeat=self.use_objfeat,
+            yolo_feats_dim=yolo_feats_dim,
+            bg_radius=self.bg_radius,
+            compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+        )
+
+    def dnerf_config(self):
+        import jax.numpy as jnp
+
+        from focnerf_tpu.models.dnerf import DNeRFConfig
+
+        return DNeRFConfig(
+            bound=self.bound,
+            variant=self.dnerf_variant,
+            use_objfeat=False,
+            bg_radius=self.bg_radius,
+            compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+        )
+
+    def dataset_options(self, split_num_rays: Optional[int] = None):
+        from focnerf_tpu.data.provider import DatasetOptions
+
+        return DatasetOptions(
+            path=self.path,
+            scale=self.scale,
+            offset=tuple(self.offset),
+            downscale=self.downscale,
+            num_rays=split_num_rays or self.num_rays,
+            preload_dtype="float16" if self.fp16 else "float32",
+            rand_pose=self.rand_pose,
+            radius=self.radius,
+            error_map=self.error_map,
+            patch_size=self.patch_size,
+            color_space=self.color_space,
+            edit_x=self.edit_x,
+        )
+
+
+def build_parser(edit: bool = False, dnerf: bool = False) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("path", type=str)
+    p.add_argument("-O", action="store_true", help="equals --fp16 --cuda_ray --preload")
+    defaults = Options()
+    for f in dataclasses.fields(Options):
+        if f.name == "path":
+            continue
+        arg = f"--{f.name}"
+        if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
+            p.add_argument(arg, action="store_true", default=getattr(defaults, f.name))
+        elif f.name in ("offset", "bound_inf", "objects_of_interest"):
+            p.add_argument(arg, nargs="+", default=getattr(defaults, f.name))
+        else:
+            caster = type(getattr(defaults, f.name)) if getattr(defaults, f.name) is not None else str
+            p.add_argument(arg, type=caster, default=getattr(defaults, f.name))
+    return p
+
+
+def parse_options(argv=None, **parser_kw) -> Options:
+    args = build_parser(**parser_kw).parse_args(argv)
+    d = vars(args)
+    O_flag = d.pop("O", False)
+    opt = Options(**{k: v for k, v in d.items() if k in {f.name for f in dataclasses.fields(Options)}})
+    if opt.offset is not None:
+        opt.offset = tuple(float(x) for x in opt.offset)
+    if opt.bound_inf is not None and not isinstance(opt.bound_inf, tuple):
+        opt.bound_inf = tuple(float(x) for x in opt.bound_inf)
+    if O_flag:
+        opt.fp16 = True
+        opt.cuda_ray = True
+        opt.preload = True
+    return opt

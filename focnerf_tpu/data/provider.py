@@ -132,6 +132,16 @@ class NeRFDataset:
             )
             for i in range(n_test + 1):
                 poses.append(_slerp(f0, f1, i / n_test))
+            if self.H is None:  # no h/w in json: peek at one frame for dims
+                for fr in frames:
+                    p = os.path.join(root, fr["file_path"])
+                    if not os.path.splitext(p)[1]:
+                        p += ".png"
+                    if os.path.exists(p):
+                        img = _load_image(p)
+                        self.H = img.shape[0] // opt.downscale
+                        self.W = img.shape[1] // opt.downscale
+                        break
         else:
             if self.mode == "colmap" and split in ("train", "val"):
                 # every-8th-frame holdout (provider.py:205-209)
@@ -147,7 +157,7 @@ class NeRFDataset:
                 if opt.edit_x:
                     pose[0, 3] += opt.edit_x
                 img_path = os.path.join(root, f["file_path"])
-                if self.mode == "blender" and not os.path.splitext(img_path)[1]:
+                if not os.path.splitext(img_path)[1]:  # blender omits extensions
                     img_path += ".png"
                 if not os.path.exists(img_path):
                     continue
@@ -169,36 +179,34 @@ class NeRFDataset:
         self.n_views = len(self.poses)
 
         # ---- per-object masking (FOC): apply object mask as the alpha channel
+        # mask_details: {"masks": [V, H, W] bool, "feats": [V, F]} aligned with
+        # the kept frame order (the yolo sidecar writes splits in the same
+        # transforms.json frame order with the same missing-image skip rule).
         self.obj_feats = None
         self.masks = None
         if mask_details is not None and images:
-            masked = []
-            feats = []
-            msks = []
+            masks_arr = np.asarray(mask_details["masks"])
+            feats_arr = np.asarray(mask_details.get("feats"), np.float32) if (
+                mask_details.get("feats") is not None
+            ) else np.zeros((len(images), 144), np.float32)
+            masked, feats, msks = [], [], []
             for i, img in enumerate(images):
-                det = mask_details.get(os.path.basename(self.paths[i]), None)
-                if det is None:
-                    det = mask_details.get(self.paths[i], None)
-                if det is None:
-                    mask = np.ones((self.H, self.W), bool)
-                    feat = np.zeros(144, np.float32)
-                else:
-                    mask = det["mask"]
-                    if mask.shape != (self.H, self.W):
-                        import cv2
+                mask = masks_arr[i] if i < len(masks_arr) else np.ones((self.H, self.W), bool)
+                if mask.shape != (self.H, self.W):
+                    import cv2
 
-                        mask = (
-                            cv2.resize(
-                                mask.astype(np.uint8), (self.W, self.H),
-                                interpolation=cv2.INTER_NEAREST,
-                            )
-                            > 0
+                    mask = (
+                        cv2.resize(
+                            mask.astype(np.uint8), (self.W, self.H),
+                            interpolation=cv2.INTER_NEAREST,
                         )
-                    feat = det.get("obj_feat", np.zeros(144, np.float32))
+                        > 0
+                    )
+                feat = feats_arr[i] if i < len(feats_arr) else np.zeros(144, np.float32)
                 rgb = img[..., :3]
                 rgba = np.concatenate([rgb, mask[..., None].astype(np.float32)], axis=-1)
                 masked.append(rgba)
-                feats.append(np.asarray(feat, np.float32))
+                feats.append(feat)
                 msks.append(mask)
             images = masked
             self.obj_feats = np.stack(feats)  # [V, F]

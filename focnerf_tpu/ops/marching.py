@@ -138,24 +138,20 @@ def march_rays(
 
     valid = occ & (ts < fars[:, None])
 
-    # first-K compaction: rank within valid, scatter into the slab (unique
-    # indices; clipped/overflowing entries dropped) — replaces atomicAdd.
-    rank = jnp.cumsum(valid, axis=-1) - 1  # [N, S]
-    keep = valid & (rank < slab)
-    ray_idx = jnp.broadcast_to(jnp.arange(n)[:, None], rank.shape)
-    dest = jnp.where(keep, ray_idx * slab + rank, n * slab)  # OOB -> dropped
-
-    out_t = jnp.zeros((n * slab,), jnp.float32).at[dest.reshape(-1)].set(
-        ts.reshape(-1), mode="drop", unique_indices=True
-    )
-    out_dt = jnp.zeros((n * slab,), jnp.float32).at[dest.reshape(-1)].set(
-        dts.reshape(-1), mode="drop", unique_indices=True
-    )
+    # first-K compaction per ray: stable argsort moves valid candidates to the
+    # front in order; a [N, slab] take_along_axis reads them back. This is a
+    # vectorized per-row bitonic sort — far cheaper on TPU than the scatter
+    # formulation (XLA scatter serializes; sort stays on the VPU). Replaces
+    # the CUDA two-pass atomicAdd compaction (raymarching.cu:405-406).
+    order = jnp.argsort(~valid, axis=-1, stable=True)[:, :slab]  # [N, K]
+    out_t = jnp.take_along_axis(ts, order, axis=-1)
+    out_dt = jnp.take_along_axis(dts, order, axis=-1)
     count = jnp.minimum(jnp.sum(valid, axis=-1), slab)
     k = jnp.arange(slab)[None, :]
+    keep = k < count[:, None]
     return MarchResult(
-        ts=out_t.reshape(n, slab),
-        dts=out_dt.reshape(n, slab),
-        valid=k < count[:, None],
+        ts=jnp.where(keep, out_t, 0.0),
+        dts=jnp.where(keep, out_dt, 0.0),
+        valid=keep,
         count=count,
     )

@@ -1,0 +1,149 @@
+"""Volume rendering for dynamic (time-conditioned) NeRF fields.
+
+Parity target: dnerf/renderer.py — the static renderer with time threaded
+through density/color, a time-axis occupancy grid ([T_slots, CAS, H^3],
+dnerf/renderer.py:74,92-100; bitfield indexed by floor(t * T_slots) :286),
+and the deformation L1 regularizer surfaced to the trainer
+(dnerf/utils.py:117-119).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from focnerf_tpu.core.geometry import near_far_from_aabb
+from focnerf_tpu.models.dnerf import DNeRFConfig, dnerf_color, dnerf_density
+from focnerf_tpu.ops.composite import composite_rays
+
+
+def render_rays_dnerf(
+    params,
+    cfg: DNeRFConfig,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    t: jax.Array,  # scalar time in [0, 1]
+    *,
+    num_steps: int = 512,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    bg_color=None,
+    aabb: Optional[jax.Array] = None,
+    min_near: float = 0.2,
+) -> Dict[str, Any]:
+    n = rays_o.shape[0]
+    if aabb is None:
+        b = cfg.bound
+        aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    nears = nears[:, None]
+    fars = fars[:, None]
+    z = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)[None, :]
+    z_vals = nears + (fars - nears) * z
+    sample_dist = (fars - nears) / num_steps
+    if perturb:
+        assert rng is not None
+        z_vals = z_vals + (jax.random.uniform(rng, z_vals.shape) - 0.5) * sample_dist
+
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+
+    sigmas, geo, aux = dnerf_density(params, cfg, xyzs, t)
+
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate([deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)], -1)
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    rgbs = dnerf_color(params, cfg, dirs, geo, t, aux.get("basis_coeff"))
+
+    bg = 1.0 if bg_color is None else bg_color
+    ori_z = jnp.clip((z_vals - nears) / jnp.maximum(fars - nears, 1e-10), 0.0, 1.0)
+    out = composite_rays(
+        sigmas, rgbs, deltas, ts=ori_z, bg_color=bg, density_scale=cfg.density_scale
+    )
+    result = {
+        "image": out["image"],
+        "depth": out["depth"],
+        "weights_sum": out["weights_sum"],
+        "sigmas": sigmas,
+    }
+    if "deform" in aux:
+        # L1 deformation regularizer (dnerf/utils.py:117-119)
+        result["deform_mean"] = jnp.mean(jnp.abs(aux["deform"]))
+    return result
+
+
+class TimeOccupancyState(NamedTuple):
+    """Occupancy grid with a time axis (dnerf/renderer.py:74)."""
+
+    density_grid: jax.Array  # [T_slots, CAS, H^3]
+    mean_density: jax.Array
+    iter_density: jax.Array
+
+
+def init_time_occupancy(bound: float, time_slots: int = 64, grid_size: int = 128):
+    from focnerf_tpu.ops.occupancy import cascade_count
+
+    cas = cascade_count(bound)
+    return TimeOccupancyState(
+        density_grid=jnp.zeros((time_slots, cas, grid_size**3), jnp.float32),
+        mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
+    )
+
+
+def update_time_occupancy(
+    occ: TimeOccupancyState,
+    density_eval_t,  # (xyz, t) -> sigma
+    rng: jax.Array,
+    *,
+    bound: float,
+    time_slot: jax.Array,  # int slot to refresh this call (ref loops all; we rotate)
+    density_scale: float = 1.0,
+    decay: float = 0.95,
+    grid_size: int = 128,
+    chunk: int = 2**15,
+):
+    """Refresh ONE time slot per call (round-robin keeps cost bounded under jit).
+
+    The reference refreshes every (t, cascade) pair each update
+    (dnerf/renderer.py update_extra_state loops times); rotating slots hits
+    each time index every ``time_slots`` updates at 1/T the cost.
+    """
+    from focnerf_tpu.ops.occupancy import _cascade_world_coords, cell_centers
+
+    t_slots, cas_total, n_cells = occ.density_grid.shape
+    coords = cell_centers(grid_size)
+    coords01 = 2.0 * coords.astype(jnp.float32) / (grid_size - 1) - 1.0
+    t_val = (time_slot.astype(jnp.float32) + 0.5) / t_slots
+
+    new_slot = []
+    for cas in range(cas_total):
+        k = jax.random.fold_in(rng, cas)
+        cxyz, half = _cascade_world_coords(coords01, cas, bound, grid_size)
+        jitter = (jax.random.uniform(k, cxyz.shape) * 2.0 - 1.0) * half
+        pts = (cxyz + jitter).reshape(-1, chunk, 3)
+        sig = jax.lax.map(lambda p: density_eval_t(p, t_val), pts).reshape(-1)
+        new_slot.append(sig * density_scale)
+    tmp = jnp.stack(new_slot)  # [CAS, H^3]
+
+    old = occ.density_grid[time_slot]
+    valid = (old >= 0) & (tmp >= 0)
+    updated = jnp.where(valid, jnp.maximum(old * decay, tmp), old)
+    grid = occ.density_grid.at[time_slot].set(updated)
+    return TimeOccupancyState(
+        density_grid=grid,
+        mean_density=jnp.mean(jnp.clip(grid, 0.0, None)),
+        iter_density=occ.iter_density + 1,
+    )
+
+
+def time_occupancy_bitfield(occ: TimeOccupancyState, t: jax.Array, density_thresh: float):
+    """Bool [CAS, H^3] for the slot containing time t (dnerf/renderer.py:286)."""
+    t_slots = occ.density_grid.shape[0]
+    slot = jnp.clip((t * t_slots).astype(jnp.int32), 0, t_slots - 1)
+    thresh = jnp.minimum(occ.mean_density, density_thresh)
+    return occ.density_grid[slot] > thresh

@@ -38,6 +38,38 @@ def default_aabb(cfg: NeRFConfig) -> jnp.ndarray:
     return jnp.array([-b, -b, -b, b, b, b], jnp.float32)
 
 
+def sample_pdf(rng, bins, weights, n_samples: int, det: bool = False):
+    """Inverse-CDF importance sampling (nerf/renderer.py:13-44).
+
+    bins [..., T+1] edges, weights [..., T] -> samples [..., n_samples].
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # [..., T+1]
+
+    if det:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,))
+
+    # batched right-searchsorted: #{i : cdf_i <= u} per ray (compare-all form)
+    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
+    flat_u = u.reshape(-1, u.shape[-1])
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(flat_cdf, flat_u)
+    inds = inds.reshape(u.shape)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
 def render_rays(
     params,
     cfg: NeRFConfig,
@@ -45,6 +77,7 @@ def render_rays(
     rays_d: jax.Array,
     *,
     num_steps: int = 512,
+    upsample_steps: int = 0,
     rng: Optional[jax.Array] = None,
     perturb: bool = False,
     bg_color=None,
@@ -58,6 +91,9 @@ def render_rays(
     Args:
       rays_o, rays_d: [N, 3] (rays_d unit norm).
       num_steps: static sample count per ray (reference default 512).
+      upsample_steps: extra importance samples drawn from the coarse weight
+        PDF (the torch-ngp two-pass path, legacy/nerf/renderer.py; the FOC
+        run() accepts but defaults it to 0).
       rng: PRNG key, required when perturb=True.
       bg_color: None -> white (1.0) unless cfg.bg_radius > 0 (learned bg);
         or scalar / [3] / [N, 3] explicit background.
@@ -82,7 +118,27 @@ def render_rays(
 
     if perturb:
         assert rng is not None, "perturb=True requires rng"
-        z_vals = z_vals + (jax.random.uniform(rng, z_vals.shape) - 0.5) * sample_dist
+        rng, k_pert = jax.random.split(rng)
+        z_vals = z_vals + (jax.random.uniform(k_pert, z_vals.shape) - 0.5) * sample_dist
+
+    if upsample_steps > 0:
+        # coarse density pass -> importance samples -> merged sorted z grid
+        assert rng is not None, "upsample_steps > 0 requires rng"
+        rng, k_up = jax.random.split(rng)
+        xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyz_c = jnp.clip(xyz_c, aabb[:3], aabb[3:])
+        sig_c, _ = density_fn(params, cfg, xyz_c)
+        from focnerf_tpu.ops.composite import composite_weights
+
+        deltas_c = jnp.diff(z_vals, axis=-1)
+        deltas_c = jnp.concatenate(
+            [deltas_c, jnp.broadcast_to(sample_dist, deltas_c[..., :1].shape)], -1
+        )
+        w_c = composite_weights(sig_c, deltas_c, cfg.density_scale)
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        new_z = sample_pdf(k_up, mids, w_c[..., 1:-1], upsample_steps, det=not perturb)
+        new_z = jax.lax.stop_gradient(new_z)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, new_z], axis=-1), axis=-1)
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # [N, T, 3]
     xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])

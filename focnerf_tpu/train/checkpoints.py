@@ -26,6 +26,43 @@ import orbax.checkpoint as ocp
 from focnerf_tpu.train.state import TrainState
 
 
+def save_model_config(directory: str, cfg) -> None:
+    """Persist the model config beside the orbax data so checkpoints are
+    self-describing (the reference relies on CLI flags matching at load time,
+    which silently breaks composition when they don't)."""
+    import dataclasses
+    import json
+
+    import jax.numpy as jnp
+
+    d = dataclasses.asdict(cfg)
+    d["compute_dtype"] = "bfloat16" if cfg.compute_dtype == jnp.bfloat16 else "float32"
+    d["__class__"] = type(cfg).__name__
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "model_config.json"), "w") as f:
+        json.dump(d, f, indent=2)
+
+
+def load_model_config(directory: str):
+    """Load a saved model config; None if absent."""
+    import json
+
+    import jax.numpy as jnp
+
+    path = os.path.join(directory, "model_config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    cls_name = d.pop("__class__", "NeRFConfig")
+    d["compute_dtype"] = jnp.bfloat16 if d.get("compute_dtype") == "bfloat16" else jnp.float32
+    if cls_name == "DNeRFConfig":
+        from focnerf_tpu.models.dnerf import DNeRFConfig as cls
+    else:
+        from focnerf_tpu.models.nerf import NeRFConfig as cls
+    return cls(**d)
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_keep: int = 2):
         self.directory = os.path.abspath(directory)
@@ -66,6 +103,34 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def load_object_params(ckpt_dir: str, cfg=None, use_ema: bool = True):
+    """Restore just the model params (EMA by default) from an orbax checkpoint dir.
+
+    Used by composition/editing to load each per-object field
+    (COMBINED.py:597 load_checkpoint — but once at startup, not per view).
+    The saved model_config.json (if present) wins over the passed cfg, so a
+    checkpoint always restores with the architecture it was trained with.
+    Returns (params, cfg_used).
+    """
+    import jax
+
+    from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+    saved_cfg = load_model_config(ckpt_dir)
+    if saved_cfg is not None:
+        cfg = saved_cfg
+    if cfg is None:
+        raise ValueError(f"no model_config.json under {ckpt_dir} and no cfg given")
+    template = create_train_state(jax.random.key(0), cfg, make_optimizer())
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore(template)
+    mgr.close()
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    state = restored[0]
+    return (state.ema_params if use_ema else state.params), cfg
 
 
 def gather_checkpoints(ckpt_dir: str) -> list:

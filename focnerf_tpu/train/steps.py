@@ -83,8 +83,7 @@ def make_train_step(
             loss = loss + mask_penalty * jnp.linalg.norm(outside.reshape(-1))
         return loss, per_ray
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, batch, rng):
+    def train_step_impl(state: TrainState, batch, rng):
         (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
@@ -101,6 +100,8 @@ def make_train_step(
         metrics = {"loss": loss, "per_ray_error": per_ray}
         return new_state, metrics
 
+    train_step = jax.jit(train_step_impl, donate_argnums=(0,) if donate else ())
+    train_step.raw = train_step_impl  # un-jitted impl for sharded wrappers
     return train_step
 
 

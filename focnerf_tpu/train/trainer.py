@@ -105,9 +105,11 @@ class Trainer:
         self._eval_step = make_eval_step(cfg, num_steps=num_steps, min_near=min_near)
 
         self.metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
-        self.ckpt = CheckpointManager(
-            os.path.join(workspace, "checkpoints"), max_keep=max_keep_ckpt
-        )
+        ckpt_dir = os.path.join(workspace, "checkpoints")
+        self.ckpt = CheckpointManager(ckpt_dir, max_keep=max_keep_ckpt)
+        from focnerf_tpu.train.checkpoints import save_model_config
+
+        save_model_config(ckpt_dir, cfg)
         if use_checkpoint == "latest":
             restored = self.ckpt.restore(self.state, self.occupancy)
             if restored is not None:

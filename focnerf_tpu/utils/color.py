@@ -1,0 +1,11 @@
+"""Color-space conversions (nerf/utils.py:46-53, jit-scripted in the ref)."""
+
+import jax.numpy as jnp
+
+
+def linear_to_srgb(x):
+    return jnp.where(x < 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+
+
+def srgb_to_linear(x):
+    return jnp.where(x < 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)

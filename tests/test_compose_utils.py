@@ -1,0 +1,245 @@
+"""Tests: multi-object composition, feats synthesis, meters, mesh, video, native loader."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focnerf_tpu.data.feats import (
+    calculate_avg_feats,
+    calculate_feats,
+    load_obj_feats,
+    save_obj_feats,
+)
+from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+from focnerf_tpu.render.compose import compose_image, compose_rays, stack_object_params
+from focnerf_tpu.train.meters import PSNRMeter, SSIMMeter, psnr, ssim
+
+TINY = NeRFConfig(
+    num_levels=2, base_resolution=4, log2_hashmap_size=8,
+    use_objfeat=False, compute_dtype=jnp.float32,
+)
+
+
+class TestCompose:
+    def _params_k(self, k=3):
+        return stack_object_params(
+            [init_nerf_params(jax.random.key(i), TINY) for i in range(k)]
+        )
+
+    def test_compose_shapes(self):
+        sp = self._params_k(3)
+        o = jnp.zeros((16, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((16, 3)).at[:, 2].set(1.0)
+        out = compose_rays(sp, TINY, o, d, num_steps=16)
+        assert out["image"].shape == (16, 3)
+        assert out["alpha"].shape == (16,)
+
+    def test_single_object_matches_render(self):
+        """K=1 composition must equal the plain renderer."""
+        from focnerf_tpu.render.renderer import render_rays
+
+        params = init_nerf_params(jax.random.key(7), TINY)
+        sp = stack_object_params([params])
+        o = jnp.zeros((8, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((8, 3)).at[:, 2].set(1.0)
+        out_c = compose_rays(sp, TINY, o, d, num_steps=32, bg_color=1.0)
+        out_r = render_rays(params, TINY, o, d, num_steps=32, bg_color=1.0)
+        np.testing.assert_allclose(
+            np.asarray(out_c["image"]), np.asarray(out_r["image"]), atol=2e-5
+        )
+
+    def test_max_density_selection(self):
+        """The denser object's color must win at shared samples."""
+        p_dense = init_nerf_params(jax.random.key(1), TINY)
+        # crank one model's density via the sigma net output weights
+        p_dense["sigma_net"][-1] = p_dense["sigma_net"][-1].at[:, 0].set(5.0)
+        p_thin = init_nerf_params(jax.random.key(2), TINY)
+        p_thin["sigma_net"][-1] = p_thin["sigma_net"][-1].at[:, 0].set(-5.0)
+        sp = stack_object_params([p_thin, p_dense])
+        o = jnp.zeros((4, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+        out = compose_rays(sp, TINY, o, d, num_steps=16, bg_color=0.0)
+        from focnerf_tpu.render.renderer import render_rays
+
+        solo = render_rays(p_dense, TINY, o, d, num_steps=16, bg_color=0.0)
+        np.testing.assert_allclose(
+            np.asarray(out["image"]), np.asarray(solo["image"]), atol=1e-4
+        )
+
+    def test_offsets_shift_field(self):
+        params = init_nerf_params(jax.random.key(3), TINY)
+        # amplify the grid so density varies spatially (a near-uniform random
+        # field would be translation-invariant and the test vacuous)
+        params["grid"] = params["grid"] * 1e4
+        sp = stack_object_params([params])
+        o = jnp.zeros((8, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((8, 3)).at[:, 2].set(1.0)
+        a = compose_rays(sp, TINY, o, d, num_steps=16, offsets=jnp.zeros((1, 3)))
+        b = compose_rays(sp, TINY, o, d, num_steps=16, offsets=jnp.array([[0.4, 0, 0]]))
+        assert not np.allclose(np.asarray(a["image"]), np.asarray(b["image"]))
+
+    def test_compose_image_rgba(self):
+        sp = self._params_k(2)
+        pose = jnp.eye(4).at[2, 3].set(-2.0)
+        rgba, depth = compose_image(
+            sp, TINY, pose, (10.0, 10.0, 4.0, 4.0), 8, 8, num_steps=8, max_ray_batch=32
+        )
+        assert rgba.shape == (8, 8, 4) and depth.shape == (8, 8)
+        assert np.all(np.asarray(rgba[..., 3]) >= 0)
+
+    def test_many_objects_no_oom(self):
+        """Memory is O(1) in object count: 12 objects on the tiny config."""
+        sp = self._params_k(12)
+        o = jnp.zeros((8, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((8, 3)).at[:, 2].set(1.0)
+        out = compose_rays(sp, TINY, o, d, num_steps=16)
+        assert np.all(np.isfinite(np.asarray(out["image"])))
+
+
+class TestFeats:
+    def test_inverse_distance_weighting(self):
+        train_poses = np.stack([np.eye(4), np.eye(4)]).astype(np.float32)
+        train_poses[0, :3, 3] = [0, 0, 1]
+        train_poses[1, :3, 3] = [0, 0, 9]
+        feats = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+        test_pose = np.eye(4, dtype=np.float32)
+        test_pose[:3, 3] = [0, 0, 1.1]  # very close to view 0
+        out = calculate_feats(test_pose[None], feats, train_poses)
+        assert out.shape == (1, 2)
+        assert out[0, 0] > 0.95
+
+    def test_avg(self):
+        f = np.array([[1.0, 3.0], [3.0, 5.0]])
+        np.testing.assert_allclose(calculate_avg_feats(f), [2.0, 4.0])
+
+    def test_sidecar_roundtrip(self, tmp_path):
+        p = str(tmp_path / "obj_feats" / "cup.npz")
+        save_obj_feats(p, np.ones((3, 144)), np.stack([np.eye(4)] * 3))
+        d = load_obj_feats(p)
+        assert d["obj_feats"].shape == (3, 144)
+        assert d["poses"].shape == (3, 4, 4)
+
+
+class TestMeters:
+    def test_psnr_known(self):
+        a = jnp.zeros((8, 8, 3))
+        b = jnp.full((8, 8, 3), 0.1)
+        np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-3)
+
+    def test_ssim_identical_is_one(self):
+        img = jax.random.uniform(jax.random.key(0), (32, 32, 3))
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_decreases_with_noise(self):
+        img = jax.random.uniform(jax.random.key(1), (32, 32, 3))
+        noisy = jnp.clip(img + jax.random.normal(jax.random.key(2), img.shape) * 0.2, 0, 1)
+        assert float(ssim(img, noisy)) < 0.9
+
+    def test_meter_accumulation(self):
+        m = PSNRMeter()
+        a = jnp.zeros((4, 4, 3))
+        m.update(a, a + 0.1)
+        m.update(a, a + 0.1)
+        assert m.measure() == pytest.approx(20.0, rel=1e-4)
+        m.clear()
+        assert m.measure() == 0.0
+
+
+class TestMeshExtract:
+    def test_sphere_mesh(self):
+        from focnerf_tpu.utils.mesh_extract import extract_mesh
+
+        def dens(x):
+            return jnp.where(jnp.linalg.norm(x, axis=-1) < 0.5, 100.0, 0.0)
+
+        verts, faces = extract_mesh(dens, bound=1.0, resolution=32, threshold=10.0)
+        assert len(verts) > 50 and len(faces) > 50
+        r = np.linalg.norm(verts, axis=-1)
+        # all vertices near the r=0.5 shell (grid resolution tolerance)
+        assert abs(r.mean() - 0.5) < 0.08
+
+    def test_native_matches_numpy(self):
+        from focnerf_tpu.utils.mesh_extract import (
+            _marching_tets_numpy,
+            _native_lib,
+            marching_tets,
+        )
+
+        if _native_lib() is None:
+            pytest.skip("native lib not built")
+        rng = np.random.default_rng(0)
+        grid = rng.normal(size=(8, 8, 8)).astype(np.float32)
+        soup_native = marching_tets(grid, 0.0)
+        soup_np = _marching_tets_numpy(grid, 0.0)
+        assert soup_native.shape == soup_np.shape
+        # same triangle set up to ordering: compare sorted centroids
+        ca = np.sort(soup_native.mean(1), axis=0)
+        cb = np.sort(soup_np.mean(1), axis=0)
+        np.testing.assert_allclose(ca, cb, atol=1e-4)
+
+    def test_obj_writer(self, tmp_path):
+        from focnerf_tpu.utils.mesh_extract import save_obj
+
+        p = str(tmp_path / "m.obj")
+        save_obj(p, np.zeros((3, 3), np.float32), np.array([[0, 1, 2]]))
+        txt = open(p).read()
+        assert txt.count("v ") == 3 and "f 1 2 3" in txt
+
+
+class TestVideo:
+    def test_write_video(self, tmp_path):
+        from focnerf_tpu.utils.video import write_video
+
+        frames = [np.full((16, 16, 3), i * 10, np.uint8) for i in range(8)]
+        path = str(tmp_path / "out.mp4")
+        write_video(path, frames, fps=4)
+        written = os.listdir(tmp_path)
+        assert written, "no video or frames written"
+
+
+class TestNativeLoader:
+    def test_batches(self):
+        import ctypes
+
+        from focnerf_tpu.utils.mesh_extract import _NATIVE_PATHS
+
+        lib_path = next((os.path.abspath(p) for p in _NATIVE_PATHS if os.path.exists(p)), None)
+        if lib_path is None:
+            pytest.skip("native lib not built")
+        lib = ctypes.CDLL(lib_path)
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ]
+        lib.loader_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
+
+        V, P, C, B = 4, 64, 3, 16
+        imgs = np.arange(V * P * C, dtype=np.uint32).astype(np.uint8)
+        imgs = np.ascontiguousarray(imgs)
+        h = lib.loader_create(
+            imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), V, P, C, B, 2, 4, 42
+        )
+        view = ctypes.c_int32()
+        inds = np.empty(B, np.int32)
+        pixels = np.empty(B * C, np.float32)
+        for _ in range(5):
+            lib.loader_next(
+                h, ctypes.byref(view),
+                inds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                pixels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            assert 0 <= view.value < V
+            assert inds.min() >= 0 and inds.max() < P
+            # pixels must match the source image bytes / 255
+            base = view.value * P * C
+            want = imgs[base + inds[0] * C] / 255.0
+            assert pixels[0] == pytest.approx(want, abs=1e-6)
+        lib.loader_destroy(h)

@@ -1,0 +1,165 @@
+"""D-NeRF model family tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focnerf_tpu.models.dnerf import (
+    DNeRFConfig,
+    dnerf_density,
+    dnerf_field,
+    init_dnerf_params,
+)
+from focnerf_tpu.render.dnerf_renderer import (
+    init_time_occupancy,
+    render_rays_dnerf,
+    time_occupancy_bitfield,
+    update_time_occupancy,
+)
+
+
+def tiny_cfg(variant):
+    return DNeRFConfig(
+        variant=variant,
+        num_levels=2,
+        base_resolution=4,
+        log2_hashmap_size=8,
+        deform_layers=2,
+        deform_hidden=16,
+        compute_dtype=jnp.float32,
+        use_objfeat=False,
+    )
+
+
+class TestVariants:
+    @pytest.mark.parametrize("variant", ["deform", "basis", "hyper"])
+    def test_field_shapes(self, variant):
+        cfg = tiny_cfg(variant)
+        params = init_dnerf_params(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (16, 3), minval=-1, maxval=1)
+        d = jnp.ones((16, 3)) / np.sqrt(3.0)
+        sigma, rgb, aux = dnerf_field(params, cfg, x, d, jnp.float32(0.5))
+        assert sigma.shape == (16,) and rgb.shape == (16, 3)
+        assert np.all(np.isfinite(np.asarray(sigma)))
+        assert 0 <= float(rgb.min()) and float(rgb.max()) <= 1
+
+    def test_deform_time_dependence(self):
+        cfg = tiny_cfg("deform")
+        params = init_dnerf_params(jax.random.key(2), cfg)
+        # scale deform weights so the warp is non-negligible
+        params["deform_net"] = [w * 20 for w in params["deform_net"]]
+        x = jax.random.uniform(jax.random.key(3), (32, 3), minval=-1, maxval=1)
+        s0, _, _ = dnerf_density(params, cfg, x, jnp.float32(0.0))
+        s1, _, _ = dnerf_density(params, cfg, x, jnp.float32(0.9))
+        assert not np.allclose(np.asarray(s0), np.asarray(s1))
+
+    def test_deform_grad_flows_through_warp(self):
+        cfg = tiny_cfg("deform")
+        params = init_dnerf_params(jax.random.key(4), cfg)
+        x = jnp.array([[0.3, -0.2, 0.5]])
+
+        def loss(p):
+            s, _, _ = dnerf_density(p, cfg, x, jnp.float32(0.3))
+            return s.sum()
+
+        g = jax.grad(loss)(params)
+        dn = np.concatenate([np.asarray(w).ravel() for w in g["deform_net"]])
+        assert np.any(dn != 0), "no gradient into the deformation net"
+
+    def test_basis_coefficients_sum_to_one(self):
+        cfg = tiny_cfg("basis")
+        params = init_dnerf_params(jax.random.key(5), cfg)
+        x = jnp.zeros((4, 3))
+        _, _, aux = dnerf_density(params, cfg, x, jnp.float32(0.7))
+        np.testing.assert_allclose(float(aux["basis_coeff"].sum()), 1.0, rtol=1e-5)
+
+    def test_hyper_grid_is_5d(self):
+        cfg = tiny_cfg("hyper")
+        params = init_dnerf_params(jax.random.key(6), cfg)
+        # 3 + hyper_dim input dims -> different table size than the 3d grid
+        cfg3 = tiny_cfg("deform")
+        params3 = init_dnerf_params(jax.random.key(6), cfg3)
+        assert params["grid"].shape[0] != params3["grid"].shape[0]
+
+
+class TestDnerfRenderer:
+    def test_render_and_deform_reg(self):
+        cfg = tiny_cfg("deform")
+        params = init_dnerf_params(jax.random.key(0), cfg)
+        o = jnp.zeros((8, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((8, 3)).at[:, 2].set(1.0)
+        out = render_rays_dnerf(params, cfg, o, d, jnp.float32(0.2), num_steps=16)
+        assert out["image"].shape == (8, 3)
+        assert "deform_mean" in out and np.isfinite(float(out["deform_mean"]))
+
+    def test_overfit_two_frames(self):
+        """The deformation field should absorb a moving sphere."""
+        import optax
+
+        cfg = DNeRFConfig(
+            variant="deform", num_levels=6, base_resolution=4, log2_hashmap_size=13,
+            deform_layers=3, deform_hidden=32, compute_dtype=jnp.float32,
+            use_objfeat=False,
+        )
+        params = init_dnerf_params(jax.random.key(0), cfg)
+        opt = optax.adam(5e-3, b1=0.9, b2=0.99, eps=1e-15)
+        opt_state = opt.init(params)
+
+        n = 24
+        o = jnp.zeros((n, 3)).at[:, 2].set(-2.2)
+        xs = jnp.linspace(-0.55, 0.55, n)
+        dirs = jnp.stack([xs, jnp.zeros(n), jnp.ones(n)], -1)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        def gt(t):  # sphere slides +x with time; hit rays turn red
+            cx = -0.25 + 0.5 * t
+            b = jnp.sum(o * dirs, -1)
+            oc = o - jnp.array([cx, 0, 0.0])
+            c = jnp.sum(oc * oc, -1) - 0.3**2
+            hit = (jnp.sum(oc * dirs, -1) ** 2 - c) > 0
+            return jnp.where(hit[:, None], jnp.array([[1.0, 0.0, 0.0]]), 1.0)
+
+        times = [0.0, 1.0]
+        gts = [gt(t) for t in times]
+
+        @jax.jit
+        def step(params, opt_state, key):
+            def loss_fn(p):
+                l = 0.0
+                for t, g in zip(times, gts):
+                    out = render_rays_dnerf(
+                        p, cfg, o, dirs, jnp.float32(t), num_steps=48, bg_color=1.0
+                    )
+                    l += jnp.mean((out["image"] - g) ** 2)
+                return l
+            l, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state, l
+
+        losses = []
+        for i in range(150):
+            params, opt_state, l = step(params, opt_state, jax.random.key(i))
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.3, f"{losses[0]} -> {losses[-1]}"
+
+
+class TestTimeOccupancy:
+    def test_slot_update_and_bitfield(self):
+        gs, slots = 16, 4
+        occ = init_time_occupancy(1.0, time_slots=slots, grid_size=gs)
+
+        def dens_t(xyz, t):
+            # ball appears only in later half of time
+            r = jnp.linalg.norm(xyz, axis=-1)
+            return jnp.where((r < 0.4) & (t > 0.5), 100.0, 0.0)
+
+        for slot in range(slots):
+            occ = update_time_occupancy(
+                occ, dens_t, jax.random.key(slot), bound=1.0,
+                time_slot=jnp.int32(slot), grid_size=gs, chunk=gs**3,
+            )
+        bits_early = time_occupancy_bitfield(occ, jnp.float32(0.1), 10.0)
+        bits_late = time_occupancy_bitfield(occ, jnp.float32(0.9), 10.0)
+        assert not bool(bits_early.any())
+        assert bool(bits_late.any())

@@ -1,0 +1,173 @@
+"""Tests: sample_pdf, upsample path, dilation, scripts, viewer state."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focnerf_tpu.render.renderer import sample_pdf
+
+
+class TestSamplePDF:
+    def test_concentrates_on_heavy_bins(self):
+        n, t = 4, 32
+        bins = jnp.broadcast_to(jnp.linspace(0, 1, t), (n, t))
+        w = jnp.zeros((n, t - 1)).at[:, 20].set(1.0)  # all mass in one bin
+        s = sample_pdf(jax.random.key(0), bins, w, 64)
+        lo, hi = float(bins[0, 20]), float(bins[0, 21])
+        frac_in = float(jnp.mean((s >= lo - 1e-3) & (s <= hi + 1e-3)))
+        assert frac_in > 0.95
+
+    def test_det_mode_sorted_and_deterministic(self):
+        bins = jnp.linspace(0, 1, 16)[None]
+        w = jnp.ones((1, 15))
+        a = sample_pdf(jax.random.key(0), bins, w, 8, det=True)
+        b = sample_pdf(jax.random.key(9), bins, w, 8, det=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.all(np.diff(np.asarray(a)[0]) >= -1e-6)
+
+    def test_uniform_weights_near_uniform_samples(self):
+        bins = jnp.linspace(0, 1, 64)[None]
+        w = jnp.ones((1, 63))
+        s = np.asarray(sample_pdf(jax.random.key(1), bins, w, 4096))
+        assert abs(s.mean() - 0.5) < 0.02
+
+
+class TestUpsamplePath:
+    def test_render_with_upsample(self):
+        from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+        from focnerf_tpu.render.renderer import render_rays
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        params = init_nerf_params(jax.random.key(0), cfg)
+        o = jnp.zeros((4, 3)).at[:, 2].set(-2.0)
+        d = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+        out = render_rays(
+            params, cfg, o, d, num_steps=16, upsample_steps=16,
+            rng=jax.random.key(1), bg_color=1.0,
+        )
+        assert out["sigmas"].shape == (4, 32)  # num + upsample samples
+        assert np.all(np.isfinite(np.asarray(out["image"])))
+
+
+class TestDilation:
+    def test_grows_to_target(self):
+        from focnerf_tpu.utils.dilation import increase_dilation_percentage
+
+        m = np.zeros((32, 32), bool)
+        m[12:20, 12:20] = True
+        base = m.sum()
+        out = increase_dilation_percentage(m, 50.0)
+        assert out.sum() >= base * 1.5
+        assert out[12:20, 12:20].all()  # original region kept
+
+    def test_no_growth_for_zero_target(self):
+        from focnerf_tpu.utils.dilation import increase_dilation_percentage
+
+        m = np.zeros((8, 8), bool)
+        m[3, 3] = True
+        out = increase_dilation_percentage(m, 0.0)
+        assert out.sum() == 1
+
+
+class TestScripts:
+    def test_sort_transforms(self, tmp_path):
+        from focnerf_tpu.utils.scripts import sort_transforms
+
+        p = str(tmp_path / "t.json")
+        with open(p, "w") as f:
+            json.dump(
+                {"frames": [{"file_path": "r_10"}, {"file_path": "r_2"}, {"file_path": "r_1"}]},
+                f,
+            )
+        sort_transforms(p)
+        with open(p) as f:
+            frames = json.load(f)["frames"]
+        assert [fr["file_path"] for fr in frames] == ["r_1", "r_2", "r_10"]
+
+    def test_folder_to_video(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from focnerf_tpu.utils.scripts import folder_to_video
+
+        for i in range(4):
+            imageio.imwrite(
+                str(tmp_path / f"f_{i}.png"), np.full((8, 8, 3), i * 40, np.uint8)
+            )
+        folder_to_video(str(tmp_path), fps=2)
+        assert any(f.endswith(".mp4") or "video" in f for f in os.listdir(tmp_path))
+
+
+class TestViewer:
+    def test_render_and_dynamic_resolution(self):
+        from focnerf_tpu.viewer.server import ViewerState
+
+        calls = []
+
+        def render_fn(pose, intr, H, W, t):
+            calls.append((H, W))
+            assert pose.shape == (4, 4)
+            return np.zeros((H, W, 3), np.float32)
+
+        vs = ViewerState(render_fn, W=64, H=64, frame_budget_ms=1e9)
+        img = vs.render({"theta": 0.5, "phi": 0.2, "radius": 2.0})
+        assert img.shape[2] == 3
+        # instant render -> downscale should decrease toward 1
+        for _ in range(5):
+            vs.render({"theta": 0.5, "phi": 0.2, "radius": 2.0})
+        assert vs.downscale == 1
+
+    def test_http_endpoints(self):
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from focnerf_tpu.viewer.server import ViewerState, make_handler
+
+        vs = ViewerState(lambda p, i, H, W, t: np.zeros((H, W, 3)), W=32, H=32)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(vs))
+        port = srv.server_address[1]
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        try:
+            page = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read()
+            assert b"canvas" in page
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/render",
+                data=json.dumps({"theta": 0.1, "phi": 0.1, "radius": 2.0}).encode(),
+            )
+            png = urllib.request.urlopen(req).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            status = json.loads(
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/status").read()
+            )
+            assert "training" in status
+        finally:
+            srv.shutdown()
+
+
+class TestMultiObjectWrapper:
+    def test_mo_density_argmax(self):
+        from focnerf_tpu.models.multiobject import mo_density_fn, mo_field_fn
+        from focnerf_tpu.models.nerf import NeRFConfig, density_fn, init_nerf_params
+        from focnerf_tpu.render.compose import stack_object_params
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        p1 = init_nerf_params(jax.random.key(1), cfg)
+        p2 = init_nerf_params(jax.random.key(2), cfg)
+        sp = stack_object_params([p1, p2])
+        x = jax.random.uniform(jax.random.key(3), (16, 3), minval=-1, maxval=1)
+        sigma, geo = mo_density_fn(sp, cfg, x)
+        s1, _ = density_fn(p1, cfg, x)
+        s2, _ = density_fn(p2, cfg, x)
+        np.testing.assert_allclose(
+            np.asarray(sigma), np.maximum(np.asarray(s1), np.asarray(s2)), rtol=1e-5
+        )
+        d = jnp.ones((16, 3)) / np.sqrt(3.0)
+        sig_f, rgb = mo_field_fn(sp, cfg, x, d)
+        assert rgb.shape == (16, 3)

@@ -173,16 +173,41 @@ class TestHashGrid:
                 float(hashgrid_encode(tp, x, spec).sum())
                 - float(hashgrid_encode(tm, x, spec).sum())
             ) / (2 * eps)
-            assert fd == pytest.approx(float(g[row, 0]), rel=1e-3, abs=1e-4)
+            assert fd == pytest.approx(float(g[row, 0]), rel=2e-3, abs=5e-4)
 
     def test_input_gradient_flows(self):
         # needed by D-NeRF: grad w.r.t. the (deformed) input position
         spec = self._spec(num_levels=2)
         table = hashgrid_init(jax.random.key(2), spec) * 1e4  # make grads non-tiny
         x = jnp.array([[0.33, 0.44, 0.55]])
-        g = jax.grad(lambda p: hashgrid_encode(table, p, spec).sum())(x)
+        g = jax.grad(lambda p: hashgrid_encode(table, p, spec, input_grads=True).sum())(x)
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.any(np.asarray(g) != 0)
+
+    def test_sorted_bwd_matches_autodiff(self):
+        """The sorted-scatter custom VJP must produce identical table grads."""
+        spec = self._spec()
+        rng = np.random.default_rng(5)
+        table = jnp.asarray(rng.normal(size=(spec.table_rows, spec.level_dim)), jnp.float32)
+        x = jnp.asarray(rng.uniform(0, 1, size=(64, 3)), jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(64, spec.output_dim)), jnp.float32)
+
+        def f_custom(t):
+            return (hashgrid_encode(t, x, spec) * cot).sum()
+
+        def f_plain(t):
+            return (hashgrid_encode(t, x, spec, input_grads=True) * cot).sum()
+
+        g1 = jax.grad(f_custom)(table)
+        g2 = jax.grad(f_plain)(table)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+    def test_default_path_drops_input_grads(self):
+        spec = self._spec(num_levels=2)
+        table = hashgrid_init(jax.random.key(2), spec)
+        x = jnp.array([[0.33, 0.44, 0.55]])
+        g = jax.grad(lambda p: hashgrid_encode(table, p, spec).sum())(x)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
 
     def test_batched_shape(self):
         spec = self._spec()

@@ -1,0 +1,177 @@
+"""Dataset provider + CLI app tests on a synthetic on-disk scene."""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from helpers import make_synthetic_scene
+
+from focnerf_tpu.data.provider import DatasetOptions, NeRFDataset
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    return make_synthetic_scene(root)
+
+
+def _opts(scene, **kw):
+    kw.setdefault("scale", 1.0)
+    kw.setdefault("num_rays", 64)
+    return DatasetOptions(path=scene, **kw)
+
+
+class TestProvider:
+    def test_blender_load(self, scene):
+        ds = NeRFDataset(_opts(scene), split="train")
+        assert ds.mode == "blender"
+        assert ds.n_views == 6
+        assert ds.H == ds.W == 32
+        assert ds.images.shape == (6, 32 * 32, 4)  # RGBA from disk
+        np.testing.assert_allclose(
+            ds.intrinsics[:2], [1.2 * 32, 1.2 * 32], rtol=1e-5
+        )
+
+    def test_poses_roundtrip_through_ngp_conversion(self, scene):
+        """Poses written by the helper must land back on ngp convention."""
+        ds = NeRFDataset(_opts(scene), split="train")
+        for p in ds.poses:
+            R = p[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            # camera on the r=2.5 orbit looking at origin
+            np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 2.5, rtol=1e-4)
+            fwd = R[:, 2]
+            cos = fwd @ (-p[:3, 3] / np.linalg.norm(p[:3, 3]))
+            assert cos > 0.999
+
+    def test_train_batch_shapes(self, scene):
+        ds = NeRFDataset(_opts(scene), split="train")
+        b = ds.train_batch(jax.random.key(0))
+        assert b["rays_o"].shape == (64, 3)
+        assert b["rays_d"].shape == (64, 3)
+        assert b["pixels"].shape == (64, 4)
+        assert float(jnp.abs(b["rays_o"][0]).max()) > 0
+
+    def test_batch_pixels_match_image(self, scene):
+        """GT gather must align with sampled ray indices."""
+        from focnerf_tpu.core.rays import get_rays
+
+        ds = NeRFDataset(_opts(scene), split="train")
+        b = ds.train_batch(jax.random.key(1), view=2)
+        full = get_rays(ds.poses_dev[2], ds.intrinsics, ds.H, ds.W)
+        # reconstruct indices by matching ray directions
+        d0 = np.asarray(b["rays_d"][0])
+        alld = np.asarray(full["rays_d"])
+        idx = np.argmin(np.linalg.norm(alld - d0, axis=-1))
+        want = np.asarray(ds.images[2][idx])
+        np.testing.assert_allclose(np.asarray(b["pixels"][0]), want, atol=1e-6)
+
+    def test_masked_dataset(self, scene):
+        masks = np.zeros((6, 32, 32), bool)
+        masks[:, 8:24, 8:24] = True
+        feats = np.random.default_rng(0).normal(size=(6, 144)).astype(np.float32)
+        ds = NeRFDataset(
+            _opts(scene), split="train",
+            mask_details={"masks": masks, "feats": feats},
+        )
+        assert ds.obj_feats.shape == (6, 144)
+        b = ds.train_batch(jax.random.key(0), view=0)
+        assert "ray_mask" in b and "obj_feat" in b
+        np.testing.assert_allclose(np.asarray(b["obj_feat"]), feats[0], rtol=1e-6)
+        # alpha channel equals mask
+        img = np.asarray(ds.images[0]).reshape(32, 32, 4)
+        np.testing.assert_array_equal(img[..., 3] > 0.5, masks[0])
+
+    def test_eval_view(self, scene):
+        ds = NeRFDataset(_opts(scene), split="val")
+        v = ds.eval_view(0)
+        assert v["rays_o"].shape == (32 * 32, 3)
+        assert v["pixels"].shape == (32 * 32, 4)
+
+    def test_colmap_mode(self, scene, tmp_path):
+        # colmap layout: single transforms.json, every-8th-frame val holdout
+        with open(os.path.join(scene, "transforms_train.json")) as f:
+            t = json.load(f)
+        root = str(tmp_path / "colmap")
+        os.makedirs(root)
+        os.symlink(os.path.join(scene, "train"), os.path.join(root, "train"))
+        with open(os.path.join(root, "transforms.json"), "w") as f:
+            json.dump(t, f)
+        tr = NeRFDataset(DatasetOptions(path=root, scale=1.0), split="train")
+        va = NeRFDataset(DatasetOptions(path=root, scale=1.0), split="val")
+        assert tr.mode == "colmap"
+        assert tr.n_views == 5 and va.n_views == 1  # 6 frames -> 5/1 split
+        te = NeRFDataset(DatasetOptions(path=root, scale=1.0), split="test", n_test=4)
+        assert te.n_views == 5  # slerp path n_test+1
+        assert te.images is None
+
+    def test_dnerf_times(self, scene):
+        from focnerf_tpu.data.dnerf_provider import DNeRFDataset
+
+        ds = DNeRFDataset(_opts(scene), split="train")
+        assert ds.times.shape == (6,)
+        assert ds.times.min() == 0.0 and ds.times.max() == 1.0
+        b = ds.train_batch(jax.random.key(0), view=3)
+        assert float(b["time"]) == pytest.approx(ds.times[3])
+
+
+class TestMainNerfCLI:
+    def test_end_to_end_train_and_test(self, scene, tmp_path):
+        """Full CLI flow with disable_yolo: background object, tiny budget."""
+        from focnerf_tpu.apps.main_nerf import main
+
+        ws = str(tmp_path / "ws")
+        argv = [
+            scene, "--workspace", ws, "--iters", "12", "--num_steps", "24",
+            "--disable_yolo", "--scale", "1.0", "--num_rays", "64",
+            "--bound", "1.0", "--max_ray_batch", "256",
+        ]
+        main(argv)
+        # trained workspace with checkpoint + logs exists
+        obj_ws = f"{ws}_background"
+        assert os.path.isdir(os.path.join(obj_ws, "checkpoints"))
+        assert os.path.exists(os.path.join(ws, "train_times.txt"))
+        assert os.path.exists(os.path.join(ws, "obj_feats", "background.npz"))
+        # test mode renders from the checkpoint
+        main(argv + ["--test"])
+        results = os.listdir(os.path.join(obj_ws, "results"))
+        assert any(r.endswith(".png") for r in results)
+
+
+class TestConfig:
+    def test_O_macro(self):
+        from focnerf_tpu.config import parse_options
+
+        opt = parse_options(["scene", "-O"])
+        assert opt.fp16 and opt.cuda_ray and opt.preload
+
+    def test_defaults_match_reference(self):
+        from focnerf_tpu.config import parse_options
+
+        opt = parse_options(["scene"])
+        assert opt.iters == 30000
+        assert opt.num_rays == 4096
+        assert opt.max_steps == 1024
+        assert opt.num_steps == 512
+        assert opt.bound == 2.0
+        assert opt.scale == 0.33
+        assert opt.dt_gamma == pytest.approx(1 / 128)
+        assert opt.density_thresh == 10.0
+
+    def test_objects_of_interest(self):
+        from focnerf_tpu.config import parse_options
+
+        opt = parse_options(["scene", "--objects_of_interest", "book", "cup"])
+        assert opt.objects_of_interest == ["book", "cup"]
+
+    def test_bound_inf(self):
+        from focnerf_tpu.config import parse_options
+
+        opt = parse_options(["scene", "--bound_inf", "-1", "-1", "-1", "1", "1", "1"])
+        assert opt.bound_inf == (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)

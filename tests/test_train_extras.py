@@ -1,0 +1,158 @@
+"""Tests: losses, color space, checkpoints, error map, sharded train step."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focnerf_tpu.train.loss import eff_distloss, huber_loss, mape_loss
+
+
+class TestLosses:
+    def test_mape(self):
+        p = jnp.array([1.1, 2.0])
+        t = jnp.array([1.0, 2.0])
+        np.testing.assert_allclose(
+            float(mape_loss(p, t, eps=0.0)), (0.1 / 1.0 + 0.0) / 2, rtol=1e-5
+        )
+
+    def test_huber_quadratic_then_linear(self):
+        t = jnp.zeros(2)
+        small = float(huber_loss(jnp.array([0.05, 0.0]), t, delta=0.1)) * 2
+        np.testing.assert_allclose(small, 0.5 * 0.05**2 / 0.1, rtol=1e-5)
+        big = float(huber_loss(jnp.array([1.0]), jnp.zeros(1), delta=0.1))
+        np.testing.assert_allclose(big, 1.0 - 0.05, rtol=1e-5)
+
+    def test_distloss_matches_pairwise(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.uniform(0, 0.2, (4, 16)), jnp.float32)
+        m = jnp.sort(jnp.asarray(rng.uniform(0, 1, (4, 16)), jnp.float32), axis=-1)
+        d = jnp.full((4, 16), 1 / 16)
+        got = float(eff_distloss(w, m, d))
+        # O(N^2) definition
+        pair = np.einsum(
+            "bi,bj,bij->b", np.asarray(w), np.asarray(w),
+            np.abs(np.asarray(m)[:, :, None] - np.asarray(m)[:, None, :]),
+        )
+        want = float(np.mean(pair + np.sum(np.asarray(w) ** 2 * np.asarray(d), -1) / 3))
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_distloss_zero_for_delta_weights(self):
+        # all weight on one sample -> no pairwise spread, only self term
+        w = jnp.zeros((1, 8)).at[0, 3].set(1.0)
+        m = jnp.linspace(0, 1, 8)[None]
+        d = jnp.full((1, 8), 0.125)
+        np.testing.assert_allclose(float(eff_distloss(w, m, d)), 0.125 / 3, rtol=1e-5)
+
+
+class TestColor:
+    def test_srgb_roundtrip(self):
+        from focnerf_tpu.utils.color import linear_to_srgb, srgb_to_linear
+
+        x = jnp.linspace(0, 1, 64)
+        np.testing.assert_allclose(
+            np.asarray(srgb_to_linear(linear_to_srgb(x))), np.asarray(x), atol=1e-5
+        )
+
+
+class TestCheckpoints:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.ops.occupancy import init_occupancy
+        from focnerf_tpu.train.checkpoints import CheckpointManager
+        from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        opt = make_optimizer()
+        state = create_train_state(jax.random.key(0), cfg, opt)
+        state = state._replace(step=jnp.int32(7))
+        occ = init_occupancy(1.0, grid_size=16)
+        occ = occ._replace(mean_density=jnp.float32(3.5))
+
+        mgr = CheckpointManager(str(tmp_path / "ck"), max_keep=2)
+        mgr.save(state, occ)
+        template = create_train_state(jax.random.key(1), cfg, opt)
+        restored, r_occ, _ = mgr.restore(template, init_occupancy(1.0, grid_size=16))
+        assert int(restored.step) == 7
+        np.testing.assert_allclose(
+            np.asarray(restored.params["grid"]), np.asarray(state.params["grid"])
+        )
+        assert float(r_occ.mean_density) == 3.5
+        mgr.close()
+
+    def test_max_keep(self, tmp_path):
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.checkpoints import CheckpointManager
+        from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        opt = make_optimizer()
+        mgr = CheckpointManager(str(tmp_path / "ck"), max_keep=2)
+        for s in (1, 2, 3):
+            st = create_train_state(jax.random.key(0), cfg, opt)._replace(step=jnp.int32(s))
+            mgr.save(st)
+        assert mgr.latest_step() == 3
+        steps = sorted(int(d) for d in os.listdir(tmp_path / "ck") if d.isdigit())
+        assert steps == [2, 3]
+        mgr.close()
+
+
+class TestErrorMap:
+    def test_update(self):
+        from focnerf_tpu.train.steps import update_error_map
+
+        em = jnp.full((128 * 128,), 0.1)
+        inds = jnp.array([0, 5])
+        err = jnp.array([1.0, 0.5])
+        em2 = update_error_map(em, inds, err)
+        np.testing.assert_allclose(float(em2[0]), 0.1 * 0.1 + 0.9 * 1.0, rtol=1e-5)
+        np.testing.assert_allclose(float(em2[5]), 0.1 * 0.1 + 0.9 * 0.5, rtol=1e-5)
+        np.testing.assert_allclose(float(em2[1]), 0.1)
+
+
+class TestShardedStep:
+    def test_dp_matches_single_device(self):
+        """8-way DP must produce the same params as unsharded training."""
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+        from focnerf_tpu.parallel.sharding import make_sharded_train_step
+        from focnerf_tpu.train.state import create_train_state, make_optimizer
+        from focnerf_tpu.train.steps import make_train_step
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        opt = make_optimizer(lr=1e-2)
+        state = create_train_state(jax.random.key(0), cfg, opt)
+        n = 64
+        batch = {
+            "rays_o": jnp.zeros((n, 3)).at[:, 2].set(-2.0),
+            "rays_d": jnp.zeros((n, 3)).at[:, 2].set(1.0),
+            "pixels": jnp.full((n, 3), 0.4),
+        }
+        plain = make_train_step(cfg, opt, num_steps=8, donate=False)
+        s_plain, m_plain = plain(state, batch, jax.random.key(1))
+
+        mesh = make_mesh(8)
+        sharded = make_sharded_train_step(cfg, opt, mesh, num_steps=8)
+        s_shard, m_shard = sharded(
+            replicate(state, mesh), shard_batch(batch, mesh), jax.random.key(1)
+        )
+        np.testing.assert_allclose(float(m_plain["loss"]), float(m_shard["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s_plain.params["sigma_net"][0]),
+            np.asarray(s_shard.params["sigma_net"][0]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    def test_multichip_dryrun(self):
+        import __graft_entry__ as g
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        g.dryrun_multichip(8)
