@@ -212,14 +212,25 @@ def _encode_fwd(table, x, spec: HashGridSpec):
 
 
 def _encode_bwd(spec: HashGridSpec, residuals, g):
+    """Segment-sum table gradient.
+
+    d_table[r] = sum of w * g over every (point, level, corner) hitting row r.
+    Strategy (all measured on v5e, see PERF.md): one fused multi-operand sort
+    groups contributions by row, a cumsum turns per-row sums into boundary
+    differences, and two *unique-index* scatter-sets write them out. This
+    avoids both the pathological unsorted scatter-add (~80x slower) and the
+    still-serial sorted scatter-add.
+    """
     rows, weights, n_rows = residuals  # rows/weights [N, L, 8]
-    # d_table[r] += w * g[n, l, :] for every (n, l, corner) with row r.
     contrib = weights[..., None] * g[:, :, None, :]  # [N, L, 8, C]
     flat_rows = rows.reshape(-1)
-    flat_contrib = contrib.reshape(-1, spec.level_dim)
-    order = jnp.argsort(flat_rows)  # sorted scatter: avoids serialization
+    flat_contrib = contrib.reshape(-1, spec.level_dim).astype(jnp.float32)
+    # NOTE: fancier formulations measured SLOWER end-to-end on v5e than this
+    # plain sorted scatter-add (multi-operand lax.sort: +30%; cumsum-boundary
+    # segment sums: +50%) — see PERF.md. Keep the simple thing.
+    order = jnp.argsort(flat_rows)
     d_table = (
-        jnp.zeros((n_rows, spec.level_dim), flat_contrib.dtype)
+        jnp.zeros((n_rows, spec.level_dim), jnp.float32)
         .at[flat_rows[order]]
         .add(flat_contrib[order])
     )

@@ -53,3 +53,39 @@ class CLIPLoss:
             emb = self.model.get_image_features(**inp)
             emb = emb / emb.norm(dim=-1, keepdim=True)
             return float(1.0 - (emb * self.text_emb).sum())
+
+
+def make_jax_clip_loss(text: str, model_name: str = "openai/clip-vit-base-patch16"):
+    """Differentiable in-graph CLIP loss via FlaxCLIPModel.
+
+    Unlike :class:`CLIPLoss` (host-side metric), this returns a pure function
+    image [H, W, 3] in [0,1] -> scalar loss usable INSIDE a jitted train step,
+    enabling the reference's GT-free rand-pose training (nerf/utils.py:826-838)
+    with gradients flowing through CLIP. Returns None when weights are not in
+    the local HF cache (no network egress here).
+    """
+    try:  # pragma: no cover - needs cached weights
+        import jax.numpy as jnp
+        from transformers import CLIPProcessor, FlaxCLIPModel
+
+        model = FlaxCLIPModel.from_pretrained(model_name, local_files_only=True)
+        proc = CLIPProcessor.from_pretrained(model_name, local_files_only=True)
+        tok = proc(text=[text], return_tensors="np", padding=True)
+        text_emb = model.get_text_features(**tok)
+        text_emb = text_emb / jnp.linalg.norm(text_emb, axis=-1, keepdims=True)
+        mean = jnp.asarray(proc.image_processor.image_mean).reshape(3, 1, 1)
+        std = jnp.asarray(proc.image_processor.image_std).reshape(3, 1, 1)
+
+        def loss(image):
+            import jax
+
+            x = jnp.transpose(image, (2, 0, 1))[None]  # [1, 3, H, W]
+            x = jax.image.resize(x, (1, 3, 224, 224), "bilinear")
+            x = (x - mean) / std
+            emb = model.get_image_features(pixel_values=x)
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            return 1.0 - jnp.sum(emb * text_emb)
+
+        return loss
+    except Exception:
+        return None
