@@ -85,6 +85,7 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         density_thresh=opt.density_thresh,
         update_extra_interval=opt.update_extra_interval,
         min_near=opt.min_near,
+        color_space=opt.color_space,
         use_checkpoint=opt.ckpt,
         seed=opt.seed,
     )

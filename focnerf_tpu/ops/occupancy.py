@@ -141,14 +141,18 @@ def update_occupancy(
         for cas in range(cas_total):
             k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, cas), 3)
             rand_idx = jax.random.randint(k1, (n,), 0, n_cells)
-            # resample currently-occupied cells (categorical over the >0 mask)
+            # resample currently-occupied cells via inverse-CDF over the >0
+            # mask (jax.random.categorical would materialize an [n, cells]
+            # gumbel array — quadratic memory)
             occ_mask = occ.density_grid[cas] > 0
-            logits = jnp.where(occ_mask, 0.0, -1e30)
-            occ_idx = jax.random.categorical(k2, logits, shape=(n,))
-            # if nothing is occupied yet, categorical degenerates to uniform junk;
-            # fall back to the random half in that case
-            any_occ = jnp.any(occ_mask)
-            occ_idx = jnp.where(any_occ, occ_idx, rand_idx)
+            cdf = jnp.cumsum(occ_mask.astype(jnp.float32))
+            total = cdf[-1]
+            u = jax.random.uniform(k2, (n,)) * jnp.maximum(total, 1.0)
+            occ_idx = jnp.clip(
+                jnp.searchsorted(cdf, u, side="left"), 0, n_cells - 1
+            ).astype(jnp.int32)
+            # nothing occupied yet -> fall back to the uniform half
+            occ_idx = jnp.where(total > 0, occ_idx, rand_idx)
             idx = jnp.concatenate([rand_idx, occ_idx])
             c01 = coords01_all[idx]
             cxyz, half = _cascade_world_coords(c01, cas, bound, grid_size)

@@ -39,6 +39,7 @@ def make_train_step(
     min_near: float = 0.2,
     ema_decay: float = 0.95,
     mask_penalty: float = 1e-8,
+    color_space: str = "srgb",
     donate: bool = True,
 ):
     """Build a jitted train step.
@@ -52,6 +53,10 @@ def make_train_step(
 
     def loss_fn(params, batch, rng):
         pixels = batch["pixels"]
+        if color_space == "linear":  # utils.py:845-846
+            from focnerf_tpu.utils.color import srgb_to_linear
+
+            pixels = pixels.at[..., :3].set(srgb_to_linear(pixels[..., :3]))
         c = pixels.shape[-1]
         k_bg, k_perturb = jax.random.split(rng)
 
@@ -103,6 +108,90 @@ def make_train_step(
     train_step = jax.jit(train_step_impl, donate_argnums=(0,) if donate else ())
     train_step.raw = train_step_impl  # un-jitted impl for sharded wrappers
     return train_step
+
+
+def make_train_step_occupancy(
+    cfg: NeRFConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    dt_gamma: float = 1 / 128,
+    max_steps: int = 1024,
+    slab: int = 128,
+    min_near: float = 0.2,
+    ema_decay: float = 0.95,
+    mask_penalty: float = 1e-8,
+    color_space: str = "srgb",
+    T_thresh: float = 1e-4,
+    donate: bool = True,
+):
+    """Occupancy-accelerated train step (the reference's --cuda_ray path).
+
+    Signature: (state, batch, occ_bits [CAS, H^3] bool, rng) -> (state, metrics).
+    """
+    from focnerf_tpu.render.renderer import render_rays_occupancy
+
+    def loss_fn(params, batch, occ_bits, rng):
+        pixels = batch["pixels"]
+        if color_space == "linear":
+            from focnerf_tpu.utils.color import srgb_to_linear
+
+            pixels = pixels.at[..., :3].set(srgb_to_linear(pixels[..., :3]))
+        c = pixels.shape[-1]
+        k_bg, k_perturb = jax.random.split(rng)
+        if c == 4 and cfg.bg_radius <= 0:
+            bg = jax.random.uniform(k_bg, pixels[..., :3].shape)
+            gt = pixels[..., :3] * pixels[..., 3:] + bg * (1.0 - pixels[..., 3:])
+        else:
+            bg = 1.0
+            gt = pixels[..., :3]
+        out = render_rays_occupancy(
+            params,
+            cfg,
+            batch["rays_o"],
+            batch["rays_d"],
+            occ_bits,
+            dt_gamma=dt_gamma,
+            max_steps=max_steps,
+            slab=slab,
+            rng=k_perturb,
+            perturb=True,
+            bg_color=bg,
+            min_near=min_near,
+            T_thresh=T_thresh,
+            obj_feat=batch.get("obj_feat"),
+        )
+        per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
+        loss = jnp.mean(per_ray)
+        ray_mask = batch.get("ray_mask")
+        if ray_mask is not None:
+            outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
+            loss = loss + mask_penalty * jnp.linalg.norm(outside.reshape(-1))
+        return loss, (per_ray, out["n_samples"])
+
+    def step_impl(state: TrainState, batch, occ_bits, rng):
+        (loss, (per_ray, n_samples)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, occ_bits, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, state.ema_count, ema_decay)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            ema_count=state.ema_count + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "per_ray_error": per_ray,
+            "mean_samples": jnp.mean(n_samples.astype(jnp.float32)),
+        }
+        return new_state, metrics
+
+    step = jax.jit(step_impl, donate_argnums=(0,) if donate else ())
+    step.raw = step_impl
+    return step
 
 
 def update_error_map(error_map, inds_coarse, per_ray_error):

@@ -29,7 +29,12 @@ from focnerf_tpu.render.renderer import render_image
 from focnerf_tpu.train.checkpoints import CheckpointManager
 from focnerf_tpu.train.meters import LPIPSMeter, PSNRMeter, SSIMMeter
 from focnerf_tpu.train.state import TrainState, create_train_state, make_optimizer
-from focnerf_tpu.train.steps import make_eval_step, make_train_step, update_error_map
+from focnerf_tpu.train.steps import (
+    make_eval_step,
+    make_train_step,
+    make_train_step_occupancy,
+    update_error_map,
+)
 
 
 class Trainer:
@@ -51,6 +56,7 @@ class Trainer:
         update_extra_interval: int = 16,
         ema_decay: float = 0.95,
         min_near: float = 0.2,
+        color_space: str = "srgb",
         eval_interval: int = 50,
         max_keep_ckpt: int = 2,
         use_checkpoint: str = "latest",
@@ -94,12 +100,25 @@ class Trainer:
             init_occupancy(cfg.bound) if use_occupancy else None
         )
 
+        if use_occupancy:
+            self._train_step_occ = make_train_step_occupancy(
+                cfg,
+                self.optimizer,
+                dt_gamma=dt_gamma,
+                max_steps=max_steps,
+                slab=train_slab,
+                min_near=min_near,
+                ema_decay=ema_decay,
+                color_space=color_space,
+                donate=False,
+            )
         self._train_step = make_train_step(
             cfg,
             self.optimizer,
             num_steps=num_steps,
             min_near=min_near,
             ema_decay=ema_decay,
+            color_space=color_space,
             donate=False,
         )
         self._eval_step = make_eval_step(cfg, num_steps=num_steps, min_near=min_near)
@@ -143,15 +162,19 @@ class Trainer:
             return
         if self.global_step % self.update_extra_interval != 0:
             return
-        params = self.state.params
-        cfg = self.cfg
-        dens = lambda x: density_fn(params, cfg, x)[0]
-        self.occupancy = update_occupancy(
-            self.occupancy,
-            dens,
-            self._next_rng(),
-            bound=cfg.bound,
-            density_scale=cfg.density_scale,
+        if not hasattr(self, "_occ_update_jit"):
+            cfg = self.cfg
+
+            @jax.jit
+            def _upd(occ, params, rng):
+                dens = lambda x: density_fn(params, cfg, x)[0]
+                return update_occupancy(
+                    occ, dens, rng, bound=cfg.bound, density_scale=cfg.density_scale
+                )
+
+            self._occ_update_jit = _upd
+        self.occupancy = self._occ_update_jit(
+            self.occupancy, self.state.params, self._next_rng()
         )
 
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1, steps_per_epoch: Optional[int] = None):
@@ -172,7 +195,11 @@ class Trainer:
                 self._maybe_update_occupancy()
                 k = self._next_rng()
                 batch = train_dataset.train_batch(k)
-                self.state, metrics = self._train_step(self.state, batch, k)
+                if self.occupancy is not None:
+                    bits = occupancy_bitfield(self.occupancy, self.density_thresh)
+                    self.state, metrics = self._train_step_occ(self.state, batch, bits, k)
+                else:
+                    self.state, metrics = self._train_step(self.state, batch, k)
                 self.global_step += 1
                 losses.append(metrics["loss"])
                 if train_dataset.error_map is not None and "inds_coarse" in batch:

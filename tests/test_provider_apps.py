@@ -175,3 +175,22 @@ class TestConfig:
 
         opt = parse_options(["scene", "--bound_inf", "-1", "-1", "-1", "1", "1", "1"])
         assert opt.bound_inf == (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+
+
+class TestOccupancyTrainerCLI:
+    def test_cuda_ray_path_end_to_end(self, scene, tmp_path):
+        """--cuda_ray: occupancy-grid maintenance + accelerated train steps."""
+        from focnerf_tpu.apps.main_nerf import main
+
+        ws = str(tmp_path / "occ_ws")
+        main([
+            scene, "--workspace", ws, "--iters", "20", "--cuda_ray",
+            "--disable_yolo", "--scale", "1.0", "--num_rays", "64",
+            "--bound", "1.0", "--max_ray_batch", "256",
+            "--train_slab", "16", "--max_steps", "64",
+            "--update_extra_interval", "8", "--num_steps", "24",
+        ])
+        assert os.path.isdir(os.path.join(f"{ws}_background", "checkpoints"))
+        # log shows finite losses
+        log = open(os.path.join(f"{ws}_background", "log_ngp.txt")).read()
+        assert "loss=" in log and "nan" not in log
