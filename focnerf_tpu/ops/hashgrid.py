@@ -155,24 +155,56 @@ def _level_corner_indices(x01: jax.Array, spec: HashGridSpec, lvl: int):
     return rows, w
 
 
+@functools.lru_cache(maxsize=None)
+def _corner_sum_matrices(num_levels: int, n_corners: int, level_dim: int):
+    """Constant [L*corners, L*C] selection matrices G_c with
+    G_c[l*corners + j, l*C + c] = 1 — the per-level corner sum expressed as a
+    matmul. TPU layout note: any tensor shaped [..., L, corners(, C)] gets
+    tile-padded up to 16-64x by Mosaic's (8,128) tiling (observed 16 GB for a
+    1M-point batch); keeping everything 2-D with a wide minor dim and doing
+    the corner reduction on the MXU avoids the blowup entirely.
+    """
+    # cache NUMPY constants (a cached jnp array created inside one jit trace
+    # leaks its tracer into later traces)
+    import numpy as _np
+
+    Gs = []
+    for c in range(level_dim):
+        G = _np.zeros((num_levels * n_corners, num_levels * level_dim), _np.float32)
+        for lvl in range(num_levels):
+            G[lvl * n_corners : (lvl + 1) * n_corners, lvl * level_dim + c] = 1.0
+        Gs.append(G)
+    return tuple(Gs)
+
+
 def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec):
-    """Shared forward: returns (out [N, L, C], rows [N, L, 8], weights [N, L, 8])."""
+    """Shared forward.
+
+    Returns (out [N, L*C], rows [N, L*corners], weights [N, L*corners]) —
+    all rank-2 with wide minor dims (layout-safe, see _corner_sum_matrices).
+    Feature order is level-major then channel: out[:, l*C + c].
+    """
     n = x.shape[0]
+    n_corners = 1 << spec.input_dim
     rows_l, w_l = [], []
     for lvl in range(spec.num_levels):
         rows, w = _level_corner_indices(x, spec, lvl)
         rows_l.append(rows)
         w_l.append(w)
-    rows = jnp.stack(rows_l, axis=1)  # [N, L, 8]
-    weights = jnp.stack(w_l, axis=1)  # [N, L, 8]
-
-    vals = jnp.take(table, rows.reshape(-1), axis=0)  # [N*L*8, C]
-    vals = vals.reshape(n, spec.num_levels, 1 << spec.input_dim, spec.level_dim)
-    out = jnp.sum(weights[..., None].astype(vals.dtype) * vals, axis=2)  # [N, L, C]
+    rows = jnp.concatenate(rows_l, axis=1)  # [N, L*corners]
+    weights = jnp.concatenate(w_l, axis=1)  # [N, L*corners]
 
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
-    out = jnp.where(oob[:, None, None], 0.0, out)
-    weights = jnp.where(oob[:, None, None], 0.0, weights)  # zero grads for oob
+    weights = jnp.where(oob[:, None], 0.0, weights)  # zero output + grads for oob
+
+    vals = jnp.take(table, rows.reshape(-1), axis=0)  # [M, C]
+    Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
+    out = jnp.zeros((n, spec.num_levels * spec.level_dim), jnp.float32)
+    for c in range(spec.level_dim):
+        vc = vals[:, c].reshape(n, spec.num_levels * n_corners)
+        out = out + jnp.dot(
+            (weights * vc).astype(jnp.float32), Gs[c], preferred_element_type=jnp.float32
+        )
     return out, rows, weights
 
 
@@ -197,7 +229,7 @@ def hashgrid_encode(
         out, _, _ = _encode_impl(table, x, spec)
     else:
         out = _encode_sorted_bwd(table, x, spec)
-    return out.reshape(*prefix, spec.output_dim)
+    return out.reshape(*prefix, spec.output_dim)  # out already [N, L*C]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -212,29 +244,37 @@ def _encode_fwd(table, x, spec: HashGridSpec):
 
 
 def _encode_bwd(spec: HashGridSpec, residuals, g):
-    """Segment-sum table gradient.
+    """Sorted scatter-add table gradient.
 
-    d_table[r] = sum of w * g over every (point, level, corner) hitting row r.
-    Strategy (all measured on v5e, see PERF.md): one fused multi-operand sort
-    groups contributions by row, a cumsum turns per-row sums into boundary
-    differences, and two *unique-index* scatter-sets write them out. This
-    avoids both the pathological unsorted scatter-add (~80x slower) and the
-    still-serial sorted scatter-add.
+    d_table[r] = sum of w * g over every (point, level, corner) hitting row
+    r, with g [N, L*C]. The per-entry cotangent w[n, l*8+j] * g[n, l*C+c] is
+    built with the same constant selection matmuls as the forward (layout-
+    safe 2-D shapes throughout). Indices are sorted before the scatter-add —
+    XLA TPU's scatter with unsorted duplicates serializes ~80x slower.
+    NOTE: fancier formulations measured SLOWER end-to-end on v5e (multi-
+    operand lax.sort: +30%; cumsum-boundary segment sums: +50%) — PERF.md.
     """
-    rows, weights, n_rows = residuals  # rows/weights [N, L, 8]
-    contrib = weights[..., None] * g[:, :, None, :]  # [N, L, 8, C]
+    rows, weights, n_rows = residuals  # [N, L*corners] each
+    n = rows.shape[0]
+    n_corners = 1 << spec.input_dim
+    Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
+
     flat_rows = rows.reshape(-1)
-    flat_contrib = contrib.reshape(-1, spec.level_dim).astype(jnp.float32)
-    # NOTE: fancier formulations measured SLOWER end-to-end on v5e than this
-    # plain sorted scatter-add (multi-operand lax.sort: +30%; cumsum-boundary
-    # segment sums: +50%) — see PERF.md. Keep the simple thing.
     order = jnp.argsort(flat_rows)
+    sorted_rows = flat_rows[order]
+    contribs = []
+    for c in range(spec.level_dim):
+        # g_exp[n, l*corners+j] = g[n, l*C+c]
+        g_exp = jnp.dot(
+            g.astype(jnp.float32), Gs[c].T, preferred_element_type=jnp.float32
+        )
+        contribs.append((weights * g_exp).reshape(-1)[order])
     d_table = (
         jnp.zeros((n_rows, spec.level_dim), jnp.float32)
-        .at[flat_rows[order]]
-        .add(flat_contrib[order])
+        .at[sorted_rows]
+        .add(jnp.stack(contribs, axis=-1))
     )
-    return d_table, jnp.zeros(rows.shape[:1] + (spec.input_dim,), g.dtype)
+    return d_table, jnp.zeros((n, spec.input_dim), g.dtype)
 
 
 _encode_sorted_bwd.defvjp(_encode_fwd, _encode_bwd)
