@@ -1,0 +1,113 @@
+"""Inference-path benchmark: full-image render + K-object composition FPS.
+
+Usage: python tools/render_bench.py [--res 256] [--objects 2] [--slab 64]
+Prints JSON lines per configuration (train bench stays in bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--res", type=int, default=256)
+    p.add_argument("--objects", type=int, default=2)
+    p.add_argument("--slab", type=int, default=64)
+    p.add_argument("--num_steps", type=int, default=128)
+    args = p.parse_args()
+
+    from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+    from focnerf_tpu.ops.occupancy import occupancy_bitfield, init_occupancy
+    from focnerf_tpu.render.compose import compose_image, stack_object_params
+    from focnerf_tpu.render.renderer import render_rays_occupancy
+    from focnerf_tpu.core.rays import get_rays
+
+    cfg = NeRFConfig(use_objfeat=False)
+    H = W = args.res
+    fx = 1.2 * W
+    pose = jnp.eye(4).at[2, 3].set(-2.5)
+    rays = get_rays(pose, (fx, fx, W / 2, H / 2), H, W)
+
+    # single-object occupancy render
+    params = init_nerf_params(jax.random.key(0), cfg)
+    gs = 128
+    r = (jnp.arange(gs) + 0.5) / gs * 2 - 1
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    bits = ((X**2 + Y**2 + Z**2) < 0.45**2).reshape(1, -1)
+
+    chunk = 65536
+
+    @jax.jit
+    def render_occ(params, ro, rd):
+        n = ro.shape[0]
+        pad = (-n) % chunk
+        ro = jnp.pad(ro, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        rd = jnp.pad(rd, ((0, pad), (0, 0)))
+        if pad:
+            rd = rd.at[n:, 2].set(1.0)  # padded rays need a valid direction
+        rd = rd.reshape(-1, chunk, 3)
+        def go(c):
+            o, d = c
+            out = render_rays_occupancy(
+                params, cfg, o, d, bits, dt_gamma=1 / 128,
+                max_steps=1024, slab=args.slab, bg_color=1.0,
+            )
+            return out["image"]
+        return jax.lax.map(go, (ro, rd)).reshape(-1, 3)[:n]
+
+    img = render_occ(params, rays["rays_o"], rays["rays_d"])
+    jax.block_until_ready(img)
+    t0 = time.time()
+    img = render_occ(params, rays["rays_o"], rays["rays_d"])
+    jax.block_until_ready(img)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": f"render_fps_{args.res}px_1obj_occ",
+        "value": round(1.0 / dt, 3), "unit": "fps",
+        "ms_per_frame": round(dt * 1000, 1),
+    }))
+
+    # K-object composition
+    stacked = stack_object_params(
+        [init_nerf_params(jax.random.key(i), cfg) for i in range(args.objects)]
+    )
+    feats = jnp.zeros((args.objects, cfg.yolo_feats_dim)) if cfg.use_objfeat else None
+
+    # the uniform compose path needs ~2 KB HBM per (ray, step) for the hash
+    # lookups of one chunk; keep chunks small enough to fit
+    comp_chunk = min(chunk, max(1024, (2 << 30) // (args.num_steps * 2048)))
+
+    @jax.jit
+    def render_comp(stacked):
+        rgba, depth = compose_image(
+            stacked, cfg, pose, (fx, fx, W / 2, H / 2), H, W,
+            feats, None, num_steps=args.num_steps, max_ray_batch=comp_chunk,
+        )
+        return rgba
+
+    out = render_comp(stacked)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = render_comp(stacked)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": f"compose_fps_{args.res}px_{args.objects}obj",
+        "value": round(1.0 / dt, 3), "unit": "fps",
+        "ms_per_frame": round(dt * 1000, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
