@@ -41,34 +41,92 @@ def discover_objects(opt: Options) -> List[str]:
     return objs
 
 
-def load_composition(opt: Options):
-    import jax.numpy as jnp
+def load_composition(opt: Options, feats_mode: str = "avg", test_poses=None):
+    """Load all object params once (resident in HBM) + per-object features.
 
-    from focnerf_tpu.data.feats import calculate_avg_feats_inference
+    feats_mode:
+      - "avg": plain mean over training views per object
+        (calculate_avg_feats_inference, COMBINED.py:701) → obj_feats [K, F];
+      - "pose": inverse-pose-distance-weighted synthesis per test pose
+        (calculate_feats2_inference, editable.py:781) → obj_feats [T, K, F]
+        (requires test_poses [T, 4, 4]).
+    """
     from focnerf_tpu.render.compose import stack_object_params
-    from focnerf_tpu.train.checkpoints import gather_obj_feats, load_object_params
+    from focnerf_tpu.train.checkpoints import (
+        gather_obj_feats,
+        load_object_occupancy,
+        load_object_params,
+    )
 
     objs = discover_objects(opt)
     if not objs:
         raise SystemExit(f"no object checkpoints found under {opt.ckpt_dir!r}")
     cfg = None
     params_list = []
+    occ_list = []
     for obj in objs:
         ckpt_dir = os.path.join(opt.ckpt_dir or ".", f"{_ws_prefix(opt)}_{obj}", "checkpoints")
         params, cfg = load_object_params(ckpt_dir, cfg or opt.nerf_config())
         params_list.append(params)
+        occ_list.append(load_object_occupancy(ckpt_dir, cfg))
         print(f"[combined] loaded {obj}")
     stacked = stack_object_params(params_list)
+    # per-object occupancy grids -> stacked bitfields (None if any object
+    # trained without a grid; the compositor then uses uniform sampling)
+    stacked_occ = None
+    if all(o is not None for o in occ_list):
+        import jax.numpy as jnp
+
+        from focnerf_tpu.ops.occupancy import occupancy_bitfield
+
+        stacked_occ = jnp.stack(
+            [occupancy_bitfield(o, opt.density_thresh) for o in occ_list]
+        )
 
     obj_feats = None
     if cfg.use_objfeat:
-        feats_by_obj = calculate_avg_feats_inference(
-            gather_obj_feats(opt.ckpt_dir or ".")
+        obj_feats = composition_feats(
+            objs,
+            gather_obj_feats(opt.ckpt_dir or "."),
+            cfg.yolo_feats_dim,
+            feats_mode=feats_mode,
+            test_poses=test_poses,
         )
-        obj_feats = jnp.asarray(
-            np.stack([feats_by_obj.get(o, np.zeros(cfg.yolo_feats_dim, np.float32)) for o in objs])
+    return objs, cfg, stacked, obj_feats, stacked_occ
+
+
+def composition_feats(
+    objs: List[str],
+    feat_paths: List[str],
+    feat_dim: int,
+    feats_mode: str = "avg",
+    test_poses=None,
+):
+    """Per-object conditioning features for composition.
+
+    "avg" → [K, F] (calculate_avg_feats_inference, COMBINED.py:701);
+    "pose" → [T, K, F] (calculate_feats2_inference, editable.py:781).
+    """
+    import jax.numpy as jnp
+
+    from focnerf_tpu.data.feats import (
+        calculate_avg_feats_inference,
+        calculate_feats2_inference,
+    )
+
+    zeros = np.zeros(feat_dim, np.float32)
+    if feats_mode == "pose":
+        if test_poses is None:
+            raise ValueError("feats_mode='pose' requires test_poses [T, 4, 4]")
+        by_obj = calculate_feats2_inference(np.asarray(test_poses), feat_paths)
+        T = len(test_poses)
+        return jnp.asarray(  # [T, K, F]
+            np.stack([by_obj.get(o, np.tile(zeros, (T, 1))) for o in objs], axis=1)
         )
-    return objs, cfg, stacked, obj_feats
+    if feats_mode != "avg":
+        raise ValueError(f"unknown feats_mode {feats_mode!r}")
+    by_obj = calculate_avg_feats_inference(feat_paths)
+    return jnp.asarray(np.stack([by_obj.get(o, zeros) for o in objs]))  # [K, F]
 
 
 def _ws_prefix(opt: Options) -> str:
@@ -81,7 +139,9 @@ def _ws_prefix(opt: Options) -> str:
     return candidates[0] if candidates else "workspace"
 
 
-def evaluate_composition(opt: Options, offsets=None, write_video: bool = False):
+def evaluate_composition(
+    opt: Options, offsets=None, write_video: bool = False, feats_mode: str = "avg"
+):
     import jax
     import jax.numpy as jnp
 
@@ -89,8 +149,21 @@ def evaluate_composition(opt: Options, offsets=None, write_video: bool = False):
     from focnerf_tpu.render.compose import compose_image
     from focnerf_tpu.train.meters import LPIPSMeter, PSNRMeter, SSIMMeter
 
-    objs, cfg, stacked, obj_feats = load_composition(opt)
+    from focnerf_tpu.render.compose import union_occupancy_bits
+
     dataset = NeRFDataset(opt.dataset_options(), split="val")
+    objs, cfg, stacked, obj_feats, stacked_occ = load_composition(
+        opt, feats_mode=feats_mode, test_poses=dataset.poses
+    )
+    # march on the union of object occupancies (occ-accelerated composition)
+    occ_kwargs = {}
+    if stacked_occ is not None:
+        occ_kwargs = dict(
+            occ_bits=union_occupancy_bits(stacked_occ, offsets, cfg.bound),
+            dt_gamma=opt.dt_gamma,
+            max_steps=opt.max_steps,
+            slab=max(opt.train_slab, 64),
+        )
 
     ws = opt.workspace
     for sub in ("rgbs_w", "depth_w", "rgbs_b", "depth_b", "ground_truth_w", "ground_truth_b"):
@@ -110,12 +183,14 @@ def evaluate_composition(opt: Options, offsets=None, write_video: bool = False):
     frames = []
     for v in range(dataset.n_views):
         view = dataset.eval_view(v)
+        # pose mode synthesizes distinct features per test view ([T, K, F])
+        feats_v = obj_feats if (obj_feats is None or obj_feats.ndim == 2) else obj_feats[v]
         t0 = time.time()
         rgba, depth = compose_image(
             stacked, cfg, jnp.asarray(view["pose"]), dataset.intrinsics,
-            dataset.H, dataset.W, obj_feats, offsets,
+            dataset.H, dataset.W, feats_v, offsets,
             num_steps=opt.num_steps, max_ray_batch=opt.max_ray_batch,
-            bg_color=0.0, aabb=aabb, min_near=opt.min_near,
+            bg_color=0.0, aabb=aabb, min_near=opt.min_near, **occ_kwargs,
         )
         rgba = np.asarray(jax.block_until_ready(rgba))
         dt = time.time() - t0

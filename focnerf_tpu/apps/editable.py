@@ -47,7 +47,11 @@ def main(argv=None):
         offsets[k] = [opt.offset_x, opt.offset_y, opt.offset_z]
         print(f"[editable] translating {opt.edit_object} by {offsets[k]}")
 
-    frames = evaluate_composition(opt, offsets=jnp.asarray(offsets), write_video=True)
+    # pose-distance-weighted per-view features (calculate_feats2_inference,
+    # editable.py:781) — the editing flow's signature feature synthesis
+    frames = evaluate_composition(
+        opt, offsets=jnp.asarray(offsets), write_video=True, feats_mode="pose"
+    )
     print(f"[editable] rendered {len(frames)} edited frames into {opt.workspace}")
 
 

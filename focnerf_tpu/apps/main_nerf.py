@@ -38,7 +38,13 @@ def detected_objects(sidecar, opt: Options):
 def mask_details_for(sidecar, obj: str):
     if sidecar is None:
         return None
-    return {"masks": sidecar[f"{obj}__masks"], "feats": sidecar[f"{obj}__feats"]}
+    return {
+        "masks": sidecar[f"{obj}__masks"],
+        "feats": sidecar[f"{obj}__feats"],
+        # per-row image paths: the provider aligns sidecar rows to its kept
+        # frames by path (sorting/split-proof); absent in pre-r2 sidecars
+        "paths": sidecar.get("paths"),
+    }
 
 
 def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
@@ -106,6 +112,9 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
 
 
 def test_mode(opt: Options, sidecar_test):
+    import jax
+
+    from focnerf_tpu.data.feats import calculate_feats, load_obj_feats
     from focnerf_tpu.data.provider import NeRFDataset
     from focnerf_tpu.train.trainer import Trainer
 
@@ -117,11 +126,26 @@ def test_mode(opt: Options, sidecar_test):
             opt.dataset_options(), split="test",
             mask_details=mask_details_for(sidecar_test, obj), detected_object=obj,
         )
+        # test-view features are SYNTHESIZED from the saved training-view
+        # features by inverse-pose-distance weighting (ref main_nerf.py:288,
+        # calculate_feats utils.py:189-219) — never taken from YOLO on the
+        # test images themselves (that would leak test-view appearance).
+        feats_path = os.path.join(opt.workspace, "obj_feats", f"{obj}.npz")
+        if os.path.exists(feats_path):
+            saved = load_obj_feats(feats_path)
+            synth = calculate_feats(test_ds.poses, saved["obj_feats"], saved["poses"])
+            test_ds.obj_feats = synth
+            test_ds.obj_feats_dev = jax.device_put(synth)
         cfg = opt.nerf_config()
         trainer = Trainer(
             "ngp", cfg, workspace=ws, use_checkpoint="latest",
             num_steps=opt.num_steps, max_ray_batch=opt.max_ray_batch,
             min_near=opt.min_near,
+            # restore + render through the occupancy path when the model
+            # trained with it (ref --cuda_ray test renders via run_cuda)
+            use_occupancy=opt.cuda_ray,
+            dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+            train_slab=opt.train_slab, density_thresh=opt.density_thresh,
         )
         t0 = time.time()
         trainer.test(test_ds)

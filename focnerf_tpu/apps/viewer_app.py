@@ -1,10 +1,19 @@
-"""Interactive viewer CLI: serve a trained checkpoint in the browser.
+"""Interactive viewer CLI: serve a checkpoint (or a live training run) in the
+browser.
 
-The dearpygui-GUI equivalent entry point (reference: --gui flag in
-main_nerf.py wiring NeRFGUI; here a web server — works headless/remote).
+The dearpygui-GUI equivalent entry point (reference: NeRFGUI via --gui in
+main_nerf.py; here a web server — works headless/remote). Reference parity:
+
+  - without --test, the viewer trains while you watch (NeRFGUI train mode,
+    nerf/gui.py:89-111) on the scene's 'background' (or --objects_of_interest)
+    object;
+  - --test views the checkpoint only;
+  - D-NeRF checkpoints get the time slider threaded through to the dynamic
+    render path (dnerf/gui.py:289-295);
+  - occupancy-trained checkpoints render through the accelerated marcher.
 
 Usage:
-  python -m focnerf_tpu.apps.viewer_app <scene-or-.> --workspace ws_background [--port 7007]
+  python -m focnerf_tpu.apps.viewer_app <scene> --workspace ws_background [--test]
 """
 
 from __future__ import annotations
@@ -16,18 +25,47 @@ import numpy as np
 from focnerf_tpu.config import parse_options
 
 
-def main(argv=None):
+def _view_only(opt):
+    """Load a checkpoint for viewing; returns (render_fn, None)."""
     import jax.numpy as jnp
 
+    from focnerf_tpu.models.dnerf import DNeRFConfig
     from focnerf_tpu.render.renderer import render_image
-    from focnerf_tpu.train.checkpoints import load_object_params
-    from focnerf_tpu.viewer.server import ViewerState, run_viewer
+    from focnerf_tpu.train.checkpoints import (
+        load_object_occupancy,
+        load_object_params,
+    )
 
-    opt = parse_options(argv)
     ckpt_dir = os.path.join(opt.workspace, "checkpoints")
     params, cfg = load_object_params(ckpt_dir, None if os.path.exists(
         os.path.join(ckpt_dir, "model_config.json")) else opt.nerf_config())
     print(f"[viewer] loaded checkpoint from {ckpt_dir}")
+
+    occ_kwargs = {}
+    occ = load_object_occupancy(ckpt_dir, cfg) if opt.cuda_ray else None
+    if occ is not None:
+        from focnerf_tpu.ops.occupancy import occupancy_bitfield
+
+        occ_kwargs = dict(
+            occ_bits=occupancy_bitfield(occ, opt.density_thresh),
+            dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+            slab=max(opt.train_slab, 64),
+        )
+        print("[viewer] occupancy-accelerated rendering on")
+
+    if isinstance(cfg, DNeRFConfig):
+        from focnerf_tpu.render.dnerf_renderer import render_image_dnerf
+
+        def render_fn(pose, intrinsics, H, W, t):
+            img, _ = render_image_dnerf(
+                params, cfg, jnp.asarray(pose), intrinsics, H, W, t,
+                num_steps=min(opt.num_steps, 128),
+                max_ray_batch=opt.max_ray_batch,
+                min_near=opt.min_near, bg_color=1.0,
+            )
+            return np.asarray(img)
+
+        return render_fn, None
 
     obj_feat = jnp.zeros((cfg.yolo_feats_dim,)) if cfg.use_objfeat else None
 
@@ -36,10 +74,74 @@ def main(argv=None):
             params, cfg, jnp.asarray(pose), intrinsics, H, W,
             num_steps=min(opt.num_steps, 128), max_ray_batch=opt.max_ray_batch,
             min_near=opt.min_near, obj_feat=obj_feat, bg_color=1.0,
+            **occ_kwargs,
         )
         return np.asarray(img)
 
-    state = ViewerState(render_fn, W=opt.W // 2, H=opt.H // 2)
+    return render_fn, None
+
+
+def _train_while_viewing(opt):
+    """Build dataset + Trainer; returns (render_fn, train_fn)."""
+    import jax.numpy as jnp
+
+    from focnerf_tpu.data.provider import NeRFDataset
+    from focnerf_tpu.data.yolo_sidecar import load_sidecar
+    from focnerf_tpu.render.renderer import render_image
+    from focnerf_tpu.train.trainer import Trainer
+
+    from focnerf_tpu.apps.main_nerf import detected_objects, mask_details_for
+
+    sidecar = load_sidecar(opt.path, "train")
+    obj = detected_objects(sidecar, opt)[0]
+    train_ds = NeRFDataset(
+        opt.dataset_options(), split="train",
+        mask_details=mask_details_for(sidecar, obj), detected_object=obj,
+    )
+    trainer = Trainer(
+        "ngp", opt.nerf_config(), workspace=f"{opt.workspace}_{obj}",
+        lr=opt.lr, iters=opt.iters, num_steps=opt.num_steps,
+        max_ray_batch=opt.max_ray_batch, use_occupancy=opt.cuda_ray,
+        dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+        train_slab=opt.train_slab, density_thresh=opt.density_thresh,
+        min_near=opt.min_near, use_checkpoint=opt.ckpt, seed=opt.seed,
+    )
+    print(f"[viewer] training object {obj!r} while viewing")
+    obj_feat = (
+        jnp.asarray(train_ds.obj_feats.mean(0))
+        if train_ds.obj_feats is not None
+        else (jnp.zeros((trainer.cfg.yolo_feats_dim,)) if trainer.cfg.use_objfeat else None)
+    )
+
+    def render_fn(pose, intrinsics, H, W, t):
+        kw = trainer._render_kwargs()  # routes through occupancy when trained with it
+        kw["num_steps"] = min(opt.num_steps, 128)  # interactive budget
+        img, _ = render_image(
+            trainer.state.ema_params, trainer.cfg, jnp.asarray(pose),
+            intrinsics, H, W, obj_feat=obj_feat, bg_color=1.0, **kw,
+        )
+        return np.asarray(img)
+
+    return render_fn, lambda: trainer.train_step_once(train_ds)
+
+
+def main(argv=None):
+    from focnerf_tpu.viewer.server import ViewerState, run_viewer
+
+    opt = parse_options(argv)
+    if opt.test:
+        render_fn, train_fn = _view_only(opt)
+    else:
+        try:
+            render_fn, train_fn = _train_while_viewing(opt)
+        except FileNotFoundError as e:
+            print(f"[viewer] no trainable scene ({e}); falling back to view-only")
+            render_fn, train_fn = _view_only(opt)
+
+    state = ViewerState(
+        render_fn, W=opt.W // 2, H=opt.H // 2, train_fn=train_fn,
+        max_spp=opt.max_spp,
+    )
     run_viewer(state, port=int(os.environ.get("VIEWER_PORT", 7007)))
 
 

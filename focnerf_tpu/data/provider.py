@@ -113,8 +113,8 @@ class NeRFDataset:
             self.W = int(transform["w"]) // opt.downscale
 
         frames = transform["frames"]
-        if self.mode == "colmap":
-            frames = sorted(frames, key=lambda d: d["file_path"])
+        # the reference sorts frames by file_path in ALL modes (provider.py:168)
+        frames = sorted(frames, key=lambda d: d["file_path"])
 
         poses: List[np.ndarray] = []
         images: List[np.ndarray] = []
@@ -131,7 +131,9 @@ class NeRFDataset:
                 np.array(frames[i1]["transform_matrix"], np.float32), opt.scale, opt.offset
             )
             for i in range(n_test + 1):
-                poses.append(_slerp(f0, f1, i / n_test))
+                # sine-eased interpolation ratio (provider.py:190)
+                ratio = np.sin(((i / n_test) - 0.5) * np.pi) * 0.5 + 0.5
+                poses.append(_slerp(f0, f1, ratio))
             if self.H is None:  # no h/w in json: peek at one frame for dims
                 for fr in frames:
                     p = os.path.join(root, fr["file_path"])
@@ -144,12 +146,9 @@ class NeRFDataset:
                         break
         else:
             if self.mode == "colmap" and split in ("train", "val"):
-                # every-8th-frame holdout (provider.py:205-209)
-                frames = (
-                    [f for i, f in enumerate(frames) if i % 8 != 0]
-                    if split == "train"
-                    else [f for i, f in enumerate(frames) if i % 8 == 0]
-                )
+                # reference split: first sorted frame is val, rest are train
+                # (provider.py:196-200)
+                frames = frames[1:] if split == "train" else frames[:1]
             for f in frames:
                 pose = nerf_matrix_to_ngp(
                     np.array(f["transform_matrix"], np.float32), opt.scale, opt.offset
@@ -179,9 +178,11 @@ class NeRFDataset:
         self.n_views = len(self.poses)
 
         # ---- per-object masking (FOC): apply object mask as the alpha channel
-        # mask_details: {"masks": [V, H, W] bool, "feats": [V, F]} aligned with
-        # the kept frame order (the yolo sidecar writes splits in the same
-        # transforms.json frame order with the same missing-image skip rule).
+        # mask_details: {"masks": [V, H, W] bool, "feats": [V, F], "paths": [V]}.
+        # When "paths" is present (the yolo sidecar records the image path of
+        # every row), rows are aligned to the kept frames BY PATH — immune to
+        # frame sorting and to the colmap train/val split applied above. The
+        # positional fallback is only for hand-built mask dicts (tests).
         self.obj_feats = None
         self.masks = None
         if mask_details is not None and images:
@@ -189,8 +190,23 @@ class NeRFDataset:
             feats_arr = np.asarray(mask_details.get("feats"), np.float32) if (
                 mask_details.get("feats") is not None
             ) else np.zeros((len(images), 144), np.float32)
+            row_of: Optional[Dict[str, int]] = None
+            if mask_details.get("paths") is not None:
+                # sidecar rows are keyed by path relative to the scene root
+                row_of = {
+                    os.path.normpath(str(p)): i
+                    for i, p in enumerate(mask_details["paths"])
+                }
             masked, feats, msks = [], [], []
             for i, img in enumerate(images):
+                if row_of is not None:
+                    key = os.path.normpath(os.path.relpath(self.paths[i], root))
+                    if key not in row_of:
+                        raise KeyError(
+                            f"yolo sidecar has no row for image {key}; "
+                            "re-run the yolo preprocessing for this scene"
+                        )
+                    i = row_of[key]
                 mask = masks_arr[i] if i < len(masks_arr) else np.ones((self.H, self.W), bool)
                 if mask.shape != (self.H, self.W):
                     import cv2

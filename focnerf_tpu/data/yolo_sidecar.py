@@ -175,7 +175,13 @@ def preprocess_scene(
         else:
             data = run_yolo_on_frames(paths, model_name)
         names = data.pop("names")
-        np.savez_compressed(os.path.join(out_dir, f"{split}.npz"), names=names, **data)
+        # per-row image paths (relative to the scene root): NeRFDataset aligns
+        # masks/feats to its kept frames by this key, so sidecar row order is
+        # decoupled from the provider's frame sorting and train/val splitting.
+        rel_paths = np.array([os.path.relpath(p, scene_dir) for p in paths])
+        np.savez_compressed(
+            os.path.join(out_dir, f"{split}.npz"), names=names, paths=rel_paths, **data
+        )
         print(f"[yolo] wrote {split}.npz with objects: {names}")
 
 

@@ -177,6 +177,78 @@ def _corner_sum_matrices(num_levels: int, n_corners: int, level_dim: int):
     return tuple(Gs)
 
 
+# Forward value-resolution algorithm:
+#   "gather": one fused random-row gather (exact; the only option on CPU);
+#   "mxu": levels small enough to keep their sub-table VMEM-resident resolve
+#          corner values via hi/lo one-hot matmuls instead of the gather —
+#          the per-index gather cost on v5e is a fixed ~10 cycles/row
+#          REGARDLESS of table size, so small dense levels (sub-ms as
+#          matmuls) are pure win; large/hashed levels stay on the gather;
+#   None (default): auto — "mxu" on TPU, "gather" elsewhere.
+FORWARD_MODE = None
+_MXU_FWD_MAX_ROWS = (1 << 18) + 8  # resolve levels up to 64^3 dense via MXU
+_FWD_LO = 128  # low-radix width (one lane tile) of the fwd decomposition
+_FWD_CHUNK = 16384  # per-corner entries per matmul block
+
+
+def _forward_mode() -> str:
+    if FORWARD_MODE is not None:
+        return FORWARD_MODE
+    return "gather" if jax.default_backend() == "cpu" else "mxu"
+
+
+def _level_vals_mxu(table: jax.Array, rows_in_level: jax.Array, spec: HashGridSpec, lvl: int):
+    """Per-corner table values for one level via hi/lo one-hot matmuls.
+
+    rows_in_level: [N, corners] int32, 0 <= r < level_size. Returns a list of
+    ``level_dim`` arrays [N, corners] float32 (channel-separated — rank-2
+    shapes only, see _corner_sum_matrices for the layout rationale).
+
+    v[m] = T[r_m] with r = hi*_FWD_LO + lo becomes
+    tmp[m, lo] = onehot_hi[m] @ T2[hi, lo]  (MXU),
+    v[m] = sum_lo onehot_lo[m, lo] * tmp[m, lo]  (VPU row reduce).
+    bf16 one-hots are exact; table values ride in bf16 (~0.4% rel — below the
+    production bf16 compute dtype's own noise; precision tests use "gather").
+    """
+    n, n_corners = rows_in_level.shape
+    size = spec.level_size(lvl)
+    n_hi = -(-size // _FWD_LO)
+    off = spec.offsets[lvl]
+    pad_rows = n_hi * _FWD_LO - size
+    T_lvl = jax.lax.slice_in_dim(table, off, off + size, axis=0)  # [S, C]
+    if pad_rows:
+        T_lvl = jnp.pad(T_lvl, ((0, pad_rows), (0, 0)))
+    T2 = [
+        T_lvl[:, c].reshape(n_hi, _FWD_LO).astype(jnp.bfloat16)
+        for c in range(spec.level_dim)
+    ]
+
+    m_total = n * n_corners
+    r = rows_in_level.reshape(-1)
+    chunk = min(_FWD_CHUNK, -(-m_total // 1024) * 1024)
+    pad = (-m_total) % chunk
+    if pad:
+        r = jnp.pad(r, (0, pad))
+    n_chunks = r.shape[0] // chunk
+    r = r.reshape(n_chunks, chunk)
+
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _FWD_LO), 1)
+
+    def block(_, r_b):
+        oh_hi = ((r_b[:, None] // _FWD_LO) == hi_iota).astype(jnp.bfloat16)
+        oh_lo = (r_b[:, None] % _FWD_LO) == lo_iota  # [B, LO] bool
+        vs = []
+        for ch in range(spec.level_dim):
+            tmp = jnp.dot(oh_hi, T2[ch], preferred_element_type=jnp.float32)
+            vs.append(jnp.sum(jnp.where(oh_lo, tmp, 0.0), axis=1))  # [B]
+        return None, jnp.stack(vs, 0)  # [C, B]
+
+    _, v = jax.lax.scan(block, None, r)  # [K, C, B]
+    v = jnp.moveaxis(v, 1, 0).reshape(spec.level_dim, -1)[:, :m_total]
+    return [v[c].reshape(n, n_corners) for c in range(spec.level_dim)]
+
+
 def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec):
     """Shared forward.
 
@@ -197,11 +269,35 @@ def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec):
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
     weights = jnp.where(oob[:, None], 0.0, weights)  # zero output + grads for oob
 
-    vals = jnp.take(table, rows.reshape(-1), axis=0)  # [M, C]
+    mxu_lvls = (
+        [
+            lvl
+            for lvl in range(spec.num_levels)
+            if spec.level_size(lvl) <= _MXU_FWD_MAX_ROWS
+        ]
+        if _forward_mode() == "mxu"
+        else []
+    )
+    gather_lvls = [lvl for lvl in range(spec.num_levels) if lvl not in mxu_lvls]
+
+    # channel-separated per-level value blocks vcs[c][lvl] : [N, corners]
+    vcs = [[None] * spec.num_levels for _ in range(spec.level_dim)]
+    if gather_lvls:
+        g_rows = jnp.concatenate([rows_l[lvl] for lvl in gather_lvls], axis=1)
+        g_vals = jnp.take(table, g_rows.reshape(-1), axis=0)  # [N*G*corners, C]
+        for c in range(spec.level_dim):
+            vc = g_vals[:, c].reshape(n, len(gather_lvls) * n_corners)
+            for gi, lvl in enumerate(gather_lvls):
+                vcs[c][lvl] = vc[:, gi * n_corners : (gi + 1) * n_corners]
+    for lvl in mxu_lvls:
+        per_ch = _level_vals_mxu(table, rows_l[lvl] - spec.offsets[lvl], spec, lvl)
+        for c in range(spec.level_dim):
+            vcs[c][lvl] = per_ch[c]
+
     Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
     out = jnp.zeros((n, spec.num_levels * spec.level_dim), jnp.float32)
     for c in range(spec.level_dim):
-        vc = vals[:, c].reshape(n, spec.num_levels * n_corners)
+        vc = jnp.concatenate(vcs[c], axis=1)  # [N, L*corners]
         out = out + jnp.dot(
             (weights * vc).astype(jnp.float32), Gs[c], preferred_element_type=jnp.float32
         )

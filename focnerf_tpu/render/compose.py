@@ -31,11 +31,58 @@ import jax.numpy as jnp
 from focnerf_tpu.core.geometry import near_far_from_aabb
 from focnerf_tpu.models.nerf import NeRFConfig, color_fn, density_fn, encode_objfeat
 from focnerf_tpu.ops.composite import composite_rays
+from focnerf_tpu.ops.marching import march_rays
 
 
 def stack_object_params(params_list):
     """List of identical-structure param pytrees -> stacked pytree [K, ...]."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def _roll_zero3(g: jax.Array, shift: jax.Array) -> jax.Array:
+    """Roll a [H, H, H] bool grid by per-axis cell counts, zero-filling the
+    wrapped-in region (a translation, not a torus roll)."""
+    H = g.shape[0]
+    g = jnp.roll(g, shift, axis=(0, 1, 2))
+    idx = jnp.arange(H)
+    for ax in range(3):
+        valid = (idx - shift[ax] >= 0) & (idx - shift[ax] < H)
+        shape = [1, 1, 1]
+        shape[ax] = H
+        g = g & valid.reshape(shape)
+    return g
+
+
+def union_occupancy_bits(
+    stacked_bits: jax.Array,  # [K, CAS, H^3] bool, per-object bitfields
+    offsets: Optional[jax.Array],  # [K, 3] rigid edit translations (or None)
+    bound: float,
+    grid_size: int = 128,
+) -> jax.Array:
+    """Scene-space union of per-object occupancy bitfields.
+
+    Object k's field is queried at (x_scene + offset_k), so in scene space its
+    occupied region is the object grid translated by -offset_k; translations
+    are rounded to whole cells per cascade (the marcher only needs a
+    conservative skip mask — compositing stays exact).
+    Returns [CAS, H^3] bool.
+    """
+    K, cas_total, _ = stacked_bits.shape
+    if offsets is None:
+        return jnp.any(stacked_bits, axis=0)
+    out = []
+    for cas in range(cas_total):
+        cas_bound = min(2.0**cas, float(bound))
+        cell = 2.0 * cas_bound / grid_size
+
+        def shift_one(bits_flat, off):
+            g = bits_flat.reshape(grid_size, grid_size, grid_size)
+            s = jnp.round(-off / cell).astype(jnp.int32)
+            return _roll_zero3(g, s).reshape(-1)
+
+        shifted = jax.vmap(shift_one)(stacked_bits[:, cas], offsets)  # [K, H^3]
+        out.append(jnp.any(shifted, axis=0))
+    return jnp.stack(out)
 
 
 def compose_rays(
@@ -120,6 +167,102 @@ def compose_rays(
     }
 
 
+def compose_rays_occupancy(
+    stacked_params,
+    cfg: NeRFConfig,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    occ_bits: jax.Array,  # [CAS, H^3] scene-space UNION bitfield
+    obj_feats: Optional[jax.Array] = None,
+    offsets: Optional[jax.Array] = None,
+    *,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 64,
+    bg_color=1.0,
+    aabb: Optional[jax.Array] = None,
+    min_near: float = 0.2,
+    T_thresh: float = 1e-4,
+    grid_size: int = 128,
+) -> Dict[str, Any]:
+    """Occupancy-accelerated streaming composition.
+
+    Marches ONCE on the union of the objects' bitfields
+    (``union_occupancy_bits``), then folds the K fields over the marched
+    sample slab exactly as ``compose_rays`` does over the uniform grid —
+    the run_cuda-for-composition path the reference never had (it re-ran
+    the full per-object fields per view, COMBINED.py:592-618).
+    """
+    n = rays_o.shape[0]
+    if aabb is None:
+        b = cfg.bound
+        aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    m = march_rays(
+        rays_o,
+        rays_d,
+        nears,
+        fars,
+        occ_bits,
+        bound=cfg.bound,
+        dt_gamma=dt_gamma,
+        max_steps=max_steps,
+        slab=slab,
+        grid_size=grid_size,
+    )
+    n_samples = m.ts.shape[1]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (n, n_samples, 3))
+
+    K = jax.tree.leaves(stacked_params)[0].shape[0]
+    if offsets is None:
+        offsets = jnp.zeros((K, 3), jnp.float32)
+    if obj_feats is None and cfg.use_objfeat:
+        raise ValueError("cfg.use_objfeat=True requires per-object obj_feats [K, F]")
+
+    def fold_object(carry, xs):
+        best_sigma, best_rgb = carry
+        params_k, offset_k, feat_k = xs
+        o_k = rays_o + offset_k[None, :]
+        xyzs = o_k[:, None, :] + rays_d[:, None, :] * m.ts[..., None]
+        xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+        sigma_k, geo_k = density_fn(params_k, cfg, xyzs)
+        sigma_k = jnp.where(m.valid, sigma_k, 0.0)
+        objfeat_enc = (
+            encode_objfeat(params_k, cfg, feat_k) if cfg.use_objfeat else None
+        )
+        rgb_k = color_fn(params_k, cfg, dirs, geo_k, objfeat_enc)
+        take = sigma_k > best_sigma
+        best_sigma = jnp.where(take, sigma_k, best_sigma)
+        best_rgb = jnp.where(take[..., None], rgb_k, best_rgb)
+        return (best_sigma, best_rgb), None
+
+    init = (
+        jnp.zeros((n, n_samples), jnp.float32),
+        jnp.zeros((n, n_samples, 3), jnp.float32),
+    )
+    feats = obj_feats if obj_feats is not None else jnp.zeros((K, 1), jnp.float32)
+    (fused_sigma, fused_rgb), _ = jax.lax.scan(
+        fold_object, init, (stacked_params, offsets, feats)
+    )
+
+    out = composite_rays(
+        fused_sigma,
+        fused_rgb,
+        m.dts,
+        ts=m.ts,
+        bg_color=bg_color,
+        density_scale=cfg.density_scale,
+        T_thresh=T_thresh,
+    )
+    depth = jnp.clip(out["depth"] - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-10)
+    return {
+        "image": out["image"],
+        "depth": depth,
+        "alpha": out["weights_sum"],
+    }
+
+
 def compose_image(
     stacked_params,
     cfg: NeRFConfig,
@@ -135,8 +278,16 @@ def compose_image(
     bg_color=1.0,
     aabb=None,
     min_near: float = 0.2,
+    occ_bits=None,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 64,
 ):
-    """Full-image composition, chunked with lax.map. Returns (rgba [H,W,4], depth)."""
+    """Full-image composition, chunked with lax.map. Returns (rgba [H,W,4], depth).
+
+    With ``occ_bits`` (a scene-space union bitfield, see
+    ``union_occupancy_bits``) rays march through occupied space only.
+    """
     from focnerf_tpu.core.rays import get_rays
 
     rays = get_rays(pose, intrinsics, H, W)
@@ -149,18 +300,35 @@ def compose_image(
 
     def chunk_fn(chunk):
         o, d = chunk
-        res = compose_rays(
-            stacked_params,
-            cfg,
-            o,
-            d,
-            obj_feats,
-            offsets,
-            num_steps=num_steps,
-            bg_color=bg_color,
-            aabb=aabb,
-            min_near=min_near,
-        )
+        if occ_bits is not None:
+            res = compose_rays_occupancy(
+                stacked_params,
+                cfg,
+                o,
+                d,
+                occ_bits,
+                obj_feats,
+                offsets,
+                dt_gamma=dt_gamma,
+                max_steps=max_steps,
+                slab=slab,
+                bg_color=bg_color,
+                aabb=aabb,
+                min_near=min_near,
+            )
+        else:
+            res = compose_rays(
+                stacked_params,
+                cfg,
+                o,
+                d,
+                obj_feats,
+                offsets,
+                num_steps=num_steps,
+                bg_color=bg_color,
+                aabb=aabb,
+                min_near=min_near,
+            )
         return res["image"], res["depth"], res["alpha"]
 
     images, depths, alphas = jax.lax.map(chunk_fn, (ro, rd))

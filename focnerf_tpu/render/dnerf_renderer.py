@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from focnerf_tpu.core.geometry import near_far_from_aabb
 from focnerf_tpu.models.dnerf import DNeRFConfig, dnerf_color, dnerf_density
 from focnerf_tpu.ops.composite import composite_rays
+from focnerf_tpu.ops.marching import march_rays
 
 
 def render_rays_dnerf(
@@ -74,6 +75,132 @@ def render_rays_dnerf(
         # L1 deformation regularizer (dnerf/utils.py:117-119)
         result["deform_mean"] = jnp.mean(jnp.abs(aux["deform"]))
     return result
+
+
+def render_rays_dnerf_occupancy(
+    params,
+    cfg: DNeRFConfig,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    t: jax.Array,  # scalar time in [0, 1]
+    occ_bits: jax.Array,  # [CAS, H^3] — the slot for t (time_occupancy_bitfield)
+    *,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 64,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+    bg_color=None,
+    aabb: Optional[jax.Array] = None,
+    min_near: float = 0.2,
+    T_thresh: float = 1e-4,
+    grid_size: int = 128,
+) -> Dict[str, Any]:
+    """Occupancy-accelerated dynamic render (dnerf run_cuda,
+    dnerf/renderer.py:243-340): march through the time-slot bitfield, then
+    evaluate the time-conditioned field on the surviving slab."""
+    if aabb is None:
+        b = cfg.bound
+        aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+
+    m = march_rays(
+        rays_o,
+        rays_d,
+        nears,
+        fars,
+        occ_bits,
+        bound=cfg.bound,
+        dt_gamma=dt_gamma,
+        max_steps=max_steps,
+        slab=slab,
+        grid_size=grid_size,
+        rng=rng,
+        perturb=perturb,
+    )
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * m.ts[..., None]
+    xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+    sigmas, geo, aux = dnerf_density(params, cfg, xyzs, t)
+    sigmas = jnp.where(m.valid, sigmas, 0.0)
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    rgbs = dnerf_color(params, cfg, dirs, geo, t, aux.get("basis_coeff"))
+
+    bg = 1.0 if bg_color is None else bg_color
+    out = composite_rays(
+        sigmas,
+        rgbs,
+        m.dts,
+        ts=m.ts,
+        bg_color=bg,
+        density_scale=cfg.density_scale,
+        T_thresh=T_thresh,
+    )
+    depth = jnp.clip(out["depth"] - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-10)
+    result = {
+        "image": out["image"],
+        "depth": depth,
+        "weights_sum": out["weights_sum"],
+        "sigmas": sigmas,
+        "n_samples": m.count,
+    }
+    if "deform" in aux:
+        result["deform_mean"] = jnp.mean(jnp.abs(aux["deform"]))
+    return result
+
+
+def render_image_dnerf(
+    params,
+    cfg: DNeRFConfig,
+    pose,
+    intrinsics,
+    H: int,
+    W: int,
+    t,
+    *,
+    num_steps: int = 512,
+    max_ray_batch: int = 4096,
+    bg_color=None,
+    aabb=None,
+    min_near: float = 0.2,
+    occ_bits: Optional[jax.Array] = None,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 64,
+):
+    """Full-image staged dynamic render at time t (the dnerf analogue of
+    render.renderer.render_image, incl. the occupancy route)."""
+    from focnerf_tpu.core.rays import get_rays
+
+    rays = get_rays(pose, intrinsics, H, W)
+    n = H * W
+    pad = (-n) % max_ray_batch
+    ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
+    rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0))).at[n:, 2].set(1.0)
+    ro = ro.reshape(-1, max_ray_batch, 3)
+    rd = rd.reshape(-1, max_ray_batch, 3)
+    t = jnp.asarray(t, jnp.float32)
+
+    def chunk_fn(chunk):
+        o, d = chunk
+        if occ_bits is not None:
+            res = render_rays_dnerf_occupancy(
+                params, cfg, o, d, t, occ_bits,
+                dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
+                bg_color=bg_color, aabb=aabb, min_near=min_near,
+            )
+        else:
+            res = render_rays_dnerf(
+                params, cfg, o, d, t,
+                num_steps=num_steps, bg_color=bg_color, aabb=aabb,
+                min_near=min_near,
+            )
+        return res["image"], res["depth"]
+
+    images, depths = jax.lax.map(chunk_fn, (ro, rd))
+    image = images.reshape(-1, 3)[:n].reshape(H, W, 3)
+    depth = depths.reshape(-1)[:n].reshape(H, W)
+    return image, depth
 
 
 class TimeOccupancyState(NamedTuple):

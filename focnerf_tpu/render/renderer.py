@@ -280,11 +280,20 @@ def render_image(
     aabb=None,
     min_near: float = 0.2,
     obj_feat=None,
+    occ_bits: Optional[jax.Array] = None,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 64,
 ):
     """Full-image staged render: lax.map over fixed-size ray chunks.
 
     Replaces the reference's python-loop staged mode (nerf/renderer.py:524-554)
     with a single compiled scan — one compilation, no host round-trips.
+
+    When ``occ_bits`` is given, rays go through the occupancy-accelerated
+    marcher (``render_rays_occupancy``) instead of ``num_steps`` uniform
+    samples — the equivalent of the reference routing eval/test/GUI through
+    ``run_cuda`` whenever --cuda_ray is on (nerf/renderer.py:318-354).
     Returns (image [H, W, 3], depth [H, W]).
     """
     from focnerf_tpu.core.rays import get_rays
@@ -299,17 +308,33 @@ def render_image(
 
     def chunk_fn(rays_chunk):
         o, d = rays_chunk
-        res = render_rays(
-            params,
-            cfg,
-            o,
-            d,
-            num_steps=num_steps,
-            bg_color=bg_color,
-            aabb=aabb,
-            min_near=min_near,
-            obj_feat=obj_feat,
-        )
+        if occ_bits is not None:
+            res = render_rays_occupancy(
+                params,
+                cfg,
+                o,
+                d,
+                occ_bits,
+                dt_gamma=dt_gamma,
+                max_steps=max_steps,
+                slab=slab,
+                bg_color=bg_color,
+                aabb=aabb,
+                min_near=min_near,
+                obj_feat=obj_feat,
+            )
+        else:
+            res = render_rays(
+                params,
+                cfg,
+                o,
+                d,
+                num_steps=num_steps,
+                bg_color=bg_color,
+                aabb=aabb,
+                min_near=min_near,
+                obj_feat=obj_feat,
+            )
         return res["image"], res["depth"]
 
     images, depths = jax.lax.map(chunk_fn, (ro, rd))

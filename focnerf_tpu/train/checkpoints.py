@@ -85,24 +85,120 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def _saved_occupancy_template(self, step: int) -> Optional[dict]:
+        """Occupancy template matching what is actually on disk (shape read
+        from orbax's _METADATA), or None if the checkpoint has no occupancy.
+        Lets restore() work regardless of whether the CALLER expected an
+        occupancy grid — a --cuda_ray checkpoint must load into a composition
+        flow that didn't ask for one, and vice versa."""
+        import json
+
+        import jax.numpy as jnp
+
+        path = os.path.join(self.directory, str(step), "default", "_METADATA")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            md = json.load(f).get("tree_metadata", {})
+        grid_shape = None
+        for entry in md.values():
+            keys = [k["key"] for k in entry.get("key_metadata", [])]
+            if keys[:2] == ["occupancy", "density_grid"]:
+                grid_shape = tuple(entry["value_metadata"]["write_shape"])
+        if grid_shape is None:
+            return None
+        return {
+            "density_grid": jnp.zeros(grid_shape, jnp.float32),
+            "mean_density": jnp.zeros((), jnp.float32),
+            "iter_density": jnp.zeros((), jnp.int32),
+        }
+
     def restore(self, state: TrainState, occupancy: Optional[Any] = None, step: Optional[int] = None):
-        """Restore into the given template pytrees; returns (state, occupancy, extra)."""
+        """Restore into the given template pytrees; returns (state, occupancy, extra).
+
+        The occupancy template is reconciled against the on-disk metadata:
+        checkpoints with a grid restore it even when the caller passed no
+        template (returned as an OccupancyState), and grid-less checkpoints
+        load cleanly when the caller expected one (returns occupancy=None).
+        """
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             return None
         template = {"state": state._asdict()}
-        if occupancy is not None:
-            template["occupancy"] = occupancy._asdict()
+        occ_template = self._saved_occupancy_template(step)
+        if occ_template is not None:
+            template["occupancy"] = occ_template
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         new_state = TrainState(**restored["state"])
         new_occ = None
-        if occupancy is not None and "occupancy" in restored:
-            new_occ = type(occupancy)(**restored["occupancy"])
+        if "occupancy" in restored:
+            from focnerf_tpu.ops.occupancy import OccupancyState
+
+            occ_cls = type(occupancy) if occupancy is not None else OccupancyState
+            new_occ = occ_cls(**restored["occupancy"])
         return new_state, new_occ, restored.get("extra")
 
     def close(self):
         self._mgr.close()
+
+
+class BestCheckpoint:
+    """Eval-PSNR-driven "best" checkpoint (nerf/utils.py:1434-1493).
+
+    The reference keeps a ``{name}_best.pth`` updated whenever the eval metric
+    improves, dropping the density grid to save space (:1484-1486). Here:
+    one orbax slot in ``<workspace>/best`` holding the train state WITHOUT the
+    occupancy grid, plus the metric it was saved at.
+    """
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        self._mgr = None  # lazy: don't create the dir until a save/restore
+
+    def _manager(self):
+        if self._mgr is None:
+            os.makedirs(self.directory, exist_ok=True)
+            self._mgr = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            )
+        return self._mgr
+
+    def metric(self) -> Optional[float]:
+        """PSNR the stored best was saved at; None if no best exists yet."""
+        import json
+
+        path = os.path.join(self.directory, "best_metric.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return float(json.load(f)["psnr"])
+
+    def save(self, state: TrainState, psnr: float):
+        import json
+
+        mgr = self._manager()
+        mgr.save(int(state.step), args=ocp.args.StandardSave({"state": state._asdict()}))
+        mgr.wait_until_finished()
+        with open(os.path.join(self.directory, "best_metric.json"), "w") as f:
+            json.dump({"psnr": float(psnr), "step": int(state.step)}, f)
+
+    def restore(self, state: TrainState) -> Optional[TrainState]:
+        if not os.path.isdir(self.directory):
+            return None
+        mgr = self._manager()
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore({"state": state._asdict()})
+        )
+        return TrainState(**restored["state"])
+
+    def close(self):
+        if self._mgr is not None:
+            self._mgr.close()
 
 
 def load_object_params(ckpt_dir: str, cfg=None, use_ema: bool = True):
@@ -131,6 +227,27 @@ def load_object_params(ckpt_dir: str, cfg=None, use_ema: bool = True):
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     state = restored[0]
     return (state.ema_params if use_ema else state.params), cfg
+
+
+def load_object_occupancy(ckpt_dir: str, cfg):
+    """Restore a checkpoint's occupancy grid, or None if it trained without
+    one. Composition/editing use this to march rays through the union of the
+    objects' occupied space instead of 512 uniform steps."""
+    import jax
+
+    from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+    template = create_train_state(jax.random.key(0), cfg, make_optimizer())
+    mgr = CheckpointManager(ckpt_dir)
+    try:
+        restored = mgr.restore(template)  # occupancy auto-detected from disk
+    except Exception:
+        restored = None
+    finally:
+        mgr.close()
+    if restored is None:
+        return None
+    return restored[1]
 
 
 def gather_checkpoints(ckpt_dir: str) -> list:

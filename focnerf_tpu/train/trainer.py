@@ -26,7 +26,7 @@ from focnerf_tpu.ops.occupancy import (
     update_occupancy,
 )
 from focnerf_tpu.render.renderer import render_image
-from focnerf_tpu.train.checkpoints import CheckpointManager
+from focnerf_tpu.train.checkpoints import BestCheckpoint, CheckpointManager
 from focnerf_tpu.train.meters import LPIPSMeter, PSNRMeter, SSIMMeter
 from focnerf_tpu.train.state import TrainState, create_train_state, make_optimizer
 from focnerf_tpu.train.steps import (
@@ -129,22 +129,55 @@ class Trainer:
         from focnerf_tpu.train.checkpoints import save_model_config
 
         save_model_config(ckpt_dir, cfg)
-        if use_checkpoint == "latest":
+        # best-PSNR checkpoint (nerf/utils.py:1434-1493): saved by evaluate()
+        # whenever eval PSNR improves, stored without the occupancy grid
+        self.best = BestCheckpoint(os.path.join(workspace, "best"))
+        self.best_psnr = self.best.metric() if self.best.metric() is not None else -np.inf
+
+        # modes: scratch | latest | latest_model | best | <explicit path>
+        # (ref nerf/utils.py:775-793)
+        if use_checkpoint in ("latest", "latest_model"):
             restored = self.ckpt.restore(self.state, self.occupancy)
             if restored is not None:
-                self.state, occ, _ = restored
-                if occ is not None:
-                    self.occupancy = occ
+                state, occ, _ = restored
+                if use_checkpoint == "latest":
+                    self.state = state
+                    # adopt the saved grid only in occupancy mode (a grid-less
+                    # trainer has no occupancy step function to feed it to)
+                    if occ is not None and self.occupancy is not None:
+                        self.occupancy = occ
+                    self.global_step = int(self.state.step)
+                else:  # model weights only, fresh optimizer/step (ref :784-787)
+                    self.state = self.state._replace(
+                        params=state.params, ema_params=state.ema_params
+                    )
+                self.log(f"[INFO] resumed ({use_checkpoint}) from step {int(state.step)}")
+        elif use_checkpoint == "best":
+            restored = self.best.restore(self.state)
+            if restored is not None:
+                self.state = restored
                 self.global_step = int(self.state.step)
-                self.log(f"[INFO] resumed from step {self.global_step}")
-        elif use_checkpoint not in ("scratch", ""):
+                self.log(
+                    f"[INFO] resumed best checkpoint (psnr={self.best_psnr:.2f}, "
+                    f"step {self.global_step})"
+                )
+            else:
+                self.log("[WARN] no best checkpoint found; starting from scratch")
+        elif use_checkpoint in ("scratch", ""):
+            pass
+        elif os.sep in use_checkpoint or os.path.isdir(use_checkpoint):
             mgr = CheckpointManager(use_checkpoint)
             restored = mgr.restore(self.state, self.occupancy)
             if restored is not None:
                 self.state, occ, _ = restored
-                if occ is not None:
+                if occ is not None and self.occupancy is not None:
                     self.occupancy = occ
                 self.global_step = int(self.state.step)
+        else:
+            raise ValueError(
+                f"unknown checkpoint mode {use_checkpoint!r}; expected "
+                "scratch | latest | latest_model | best | <path>"
+            )
 
     # ------------------------------------------------------------------ logging
     def log(self, msg: str):
@@ -177,6 +210,21 @@ class Trainer:
             self.occupancy, self.state.params, self._next_rng()
         )
 
+    def train_step_once(self, train_dataset) -> float:
+        """One training step, returning the (synced) loss — the unit of the
+        GUI's train-while-viewing bursts (ref Trainer.train_gui,
+        nerf/utils.py:1082-1141)."""
+        self._maybe_update_occupancy()
+        k_batch, k = jax.random.split(self._next_rng())
+        batch = train_dataset.train_batch(k_batch)
+        if self.occupancy is not None:
+            bits = occupancy_bitfield(self.occupancy, self.density_thresh)
+            self.state, metrics = self._train_step_occ(self.state, batch, bits, k)
+        else:
+            self.state, metrics = self._train_step(self.state, batch, k)
+        self.global_step += 1
+        return float(metrics["loss"])
+
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1, steps_per_epoch: Optional[int] = None):
         if steps_per_epoch is None:
             steps_per_epoch = train_dataset.n_views
@@ -193,8 +241,10 @@ class Trainer:
             losses = []
             for _ in range(steps_per_epoch):
                 self._maybe_update_occupancy()
-                k = self._next_rng()
-                batch = train_dataset.train_batch(k)
+                # distinct subkeys: pixel sampling and the train step's random
+                # background must not share a stream
+                k_batch, k = jax.random.split(self._next_rng())
+                batch = train_dataset.train_batch(k_batch)
                 if self.occupancy is not None:
                     bits = occupancy_bitfield(self.occupancy, self.density_thresh)
                     self.state, metrics = self._train_step_occ(self.state, batch, bits, k)
@@ -219,12 +269,31 @@ class Trainer:
             self.save_checkpoint()
 
     # ------------------------------------------------------------------ eval
+    def _render_kwargs(self) -> dict:
+        """Shared render_image kwargs; routes through the occupancy-accelerated
+        path whenever the model trains with the grid (the reference renders
+        eval/test/GUI through run_cuda when --cuda_ray, renderer.py:318-354)."""
+        kw = dict(
+            num_steps=self.num_steps,
+            max_ray_batch=self.max_ray_batch,
+            min_near=self.min_near,
+        )
+        if self.occupancy is not None:
+            kw.update(
+                occ_bits=occupancy_bitfield(self.occupancy, self.density_thresh),
+                dt_gamma=self.dt_gamma,
+                max_steps=self.max_steps,
+                slab=max(self.train_slab, 64),
+            )
+        return kw
+
     def evaluate(self, dataset, name: str = "val", save_images: bool = True, use_ema: bool = True):
         params = self.state.ema_params if use_ema else self.state.params
         for m in self.metrics:
             m.clear()
         out_dir = os.path.join(self.workspace, "validation")
         os.makedirs(out_dir, exist_ok=True)
+        render_kwargs = self._render_kwargs()
         for v in range(dataset.n_views):
             view = dataset.eval_view(v)
             img, depth = render_image(
@@ -234,11 +303,9 @@ class Trainer:
                 dataset.intrinsics,
                 dataset.H,
                 dataset.W,
-                num_steps=self.num_steps,
-                max_ray_batch=self.max_ray_batch,
-                min_near=self.min_near,
                 obj_feat=view.get("obj_feat"),
                 bg_color=1.0,
+                **render_kwargs,
             )
             if "pixels" in view:
                 gt = np.asarray(view["pixels"]).reshape(dataset.H, dataset.W, -1)
@@ -256,13 +323,22 @@ class Trainer:
         if self._tb is not None:
             for m in self.metrics:
                 self._tb.add_scalar(f"eval/{m.name}", m.measure(), self.global_step)
-        return {m.name: m.measure() for m in self.metrics}
+        results = {m.name: m.measure() for m in self.metrics}
+        psnr_meter = next((m for m in self.metrics if m.name == "PSNR"), None)
+        # only update best when real GT views were measured (vals non-empty)
+        psnr = results["PSNR"] if (psnr_meter is not None and psnr_meter.vals) else None
+        if psnr is not None and np.isfinite(psnr) and psnr > self.best_psnr:
+            self.best_psnr = float(psnr)
+            self.best.save(self.state, self.best_psnr)
+            self.log(f"[INFO] new best checkpoint (PSNR {self.best_psnr:.2f})")
+        return results
 
     def test(self, dataset, write_video: bool = True, use_ema: bool = True):
         """Render the test split; optionally write an mp4 (utils.py:1072-1076)."""
         params = self.state.ema_params if use_ema else self.state.params
         out_dir = os.path.join(self.workspace, "results")
         os.makedirs(out_dir, exist_ok=True)
+        render_kwargs = self._render_kwargs()
         frames = []
         for v in range(dataset.n_views):
             view = dataset.eval_view(v)
@@ -273,11 +349,9 @@ class Trainer:
                 dataset.intrinsics,
                 dataset.H,
                 dataset.W,
-                num_steps=self.num_steps,
-                max_ray_batch=self.max_ray_batch,
-                min_near=self.min_near,
                 obj_feat=view.get("obj_feat"),
                 bg_color=1.0,
+                **render_kwargs,
             )
             arr = np.asarray(img)
             frames.append((np.clip(arr, 0, 1) * 255).astype(np.uint8))

@@ -28,10 +28,32 @@ _NATIVE_PATHS = [
 _lib = None
 
 
+def _build_native() -> None:
+    """Build native/libfocnerf_native.so on demand (the binary is not
+    committed; see native/Makefile). Best-effort: failures fall back to the
+    pure-JAX marching path."""
+    import subprocess
+
+    native_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+    if not os.path.exists(os.path.join(native_dir, "Makefile")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def _native_lib():
     global _lib
     if _lib is not None:
         return _lib
+    if not any(os.path.exists(os.path.abspath(p)) for p in _NATIVE_PATHS):
+        _build_native()
     for p in _NATIVE_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):

@@ -60,17 +60,20 @@ async function loop(){
   busy=false;
   requestAnimationFrame(loop);
 }
-setInterval(()=>{ fetch('/status').then(r=>r.json()).then(s=>{ if(s.training) dirty=true; }); }, 1000);
+setInterval(()=>{ fetch('/status').then(r=>r.json()).then(s=>{ if(s.training || s.spp < s.max_spp) dirty=true; }); }, 250);
 loop();
 </script></body></html>"""
 
 
 class ViewerState:
-    def __init__(self, render_fn, W=512, H=512, frame_budget_ms=200.0, train_fn=None):
+    def __init__(
+        self, render_fn, W=512, H=512, frame_budget_ms=200.0, train_fn=None, max_spp=16
+    ):
         """render_fn(pose [4,4], intrinsics, H, W, time) -> rgb [H, W, 3] float.
 
         train_fn: optional () -> loss, called in bursts on a worker thread
         (train-while-viewing, ref gui.py:89-111).
+        max_spp: accumulation cap for the still-camera progressive pass.
         """
         self.render_fn = render_fn
         self.train_fn = train_fn
@@ -78,6 +81,12 @@ class ViewerState:
         self.frame_budget_ms = frame_budget_ms
         self.downscale = 4  # start conservative, adapt
         self.training = train_fn is not None
+        self.max_spp = max_spp
+        # progressive accumulation state (ref gui.py:142-148): while the
+        # camera is still, frames rendered with sub-pixel jitter are averaged
+        self.spp = 0
+        self._accum: Optional[np.ndarray] = None
+        self._last_key: Optional[tuple] = None
         self._stop = threading.Event()
         self._loss = float("nan")
         if self.training:
@@ -94,8 +103,6 @@ class ViewerState:
                 time.sleep(0.1 - dt)
 
     def render(self, cam: dict) -> np.ndarray:
-        from focnerf_tpu.core.camera import OrbitCamera
-
         H = max(self.H // self.downscale, self.H // 4)
         W = max(self.W // self.downscale, self.W // 4)
         theta, phi, r = cam["theta"], cam["phi"], cam["radius"]
@@ -112,17 +119,45 @@ class ViewerState:
         pose[:3, :3] = np.stack([right, down, fwd], -1)
         pose[:3, 3] = center
         focal = H / (2 * np.tan(np.radians(50) / 2))
+
+        # progressive SPP: identical camera+shape -> keep averaging jittered
+        # passes; any change resets the accumulator (ref gui.py:142-148)
+        key = (round(theta, 6), round(phi, 6), round(r, 6),
+               cam.get("cx", 0), cam.get("cy", 0), cam.get("cz", 0),
+               round(cam.get("t", 0.0), 6), H, W, self.training)
+        if self.training:
+            # params change every burst -> accumulated frames would be stale
+            self._last_key = None
+        if key != self._last_key or self._accum is None or self._accum.shape[0] != H:
+            self._last_key = key
+            self._accum = None
+            self.spp = 0
+        if self.spp >= self.max_spp:
+            return np.clip(self._accum, 0, 1)
+        # sub-pixel jitter on the principal point: pass 0 is centered so the
+        # first frame is clean; later passes average fractional-pixel offsets
+        if self.spp == 0:
+            jx = jy = 0.0
+        else:
+            jx, jy = np.random.default_rng(self.spp).uniform(-0.5, 0.5, 2)
+
         t0 = time.time()
         rgb = np.asarray(
-            self.render_fn(pose, (focal, focal, W / 2, H / 2), H, W, cam.get("t", 0.0))
-        )
+            self.render_fn(
+                pose, (focal, focal, W / 2 + jx, H / 2 + jy), H, W, cam.get("t", 0.0)
+            )
+        ).astype(np.float32)
         dt_ms = (time.time() - t0) * 1000
+        self._accum = rgb if self._accum is None else (
+            self._accum + (rgb - self._accum) / (self.spp + 1)
+        )
+        self.spp += 1
         # dynamic resolution targeting the budget (ref gui.py:134-140)
         if dt_ms > self.frame_budget_ms * 1.2 and self.downscale < 4:
             self.downscale += 1
         elif dt_ms < self.frame_budget_ms * 0.5 and self.downscale > 1:
             self.downscale -= 1
-        return np.clip(rgb, 0, 1)
+        return np.clip(self._accum, 0, 1)
 
     def stop(self):
         self._stop.set()
@@ -144,7 +179,8 @@ def make_handler(state: ViewerState):
             elif self.path == "/status":
                 body = json.dumps(
                     {"training": state.training, "loss": state._loss,
-                     "downscale": state.downscale}
+                     "downscale": state.downscale, "spp": state.spp,
+                     "max_spp": state.max_spp}
                 ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

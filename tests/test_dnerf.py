@@ -144,6 +144,57 @@ class TestDnerfRenderer:
         assert losses[-1] < losses[0] * 0.3, f"{losses[0]} -> {losses[-1]}"
 
 
+class TestDnerfOccupancyRender:
+    def test_occupancy_close_to_uniform(self):
+        from focnerf_tpu.models.dnerf import DNeRFConfig, init_dnerf_params
+        from focnerf_tpu.render.dnerf_renderer import (
+            render_rays_dnerf,
+            render_rays_dnerf_occupancy,
+        )
+
+        cfg = DNeRFConfig(
+            num_levels=4, base_resolution=4, log2_hashmap_size=12,
+            use_objfeat=False, compute_dtype=jnp.float32,
+        )
+        params = init_dnerf_params(jax.random.key(0), cfg)
+        gs = 32
+        n = 16
+        o = jnp.zeros((n, 3)).at[:, 2].set(-2.5)
+        d = jnp.zeros((n, 3)).at[:, 2].set(1.0)
+        t = jnp.float32(0.4)
+        dense = render_rays_dnerf(params, cfg, o, d, t, num_steps=256, bg_color=1.0)
+        accel = render_rays_dnerf_occupancy(
+            params, cfg, o, d, t, jnp.ones((1, gs**3), bool),
+            dt_gamma=0.0, max_steps=512, slab=512, bg_color=1.0, grid_size=gs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(accel["image"]), np.asarray(dense["image"]), atol=0.06
+        )
+
+    def test_render_image_dnerf_time_dependence(self):
+        """Full-image dynamic render must change with t (viewer time slider)."""
+        from focnerf_tpu.core.camera import rand_poses
+        from focnerf_tpu.models.dnerf import DNeRFConfig, init_dnerf_params
+        from focnerf_tpu.render.dnerf_renderer import render_image_dnerf
+
+        cfg = DNeRFConfig(
+            num_levels=4, base_resolution=4, log2_hashmap_size=12,
+            use_objfeat=False, compute_dtype=jnp.float32,
+        )
+        params = init_dnerf_params(jax.random.key(3), cfg)
+        pose = jnp.asarray(rand_poses(np.random.default_rng(0), 1, radius=2.5)[0])
+        i0, _ = render_image_dnerf(
+            params, cfg, pose, (16.0, 16.0, 8.0, 8.0), 16, 16, 0.0,
+            num_steps=64, max_ray_batch=128,
+        )
+        i1, _ = render_image_dnerf(
+            params, cfg, pose, (16.0, 16.0, 8.0, 8.0), 16, 16, 0.9,
+            num_steps=64, max_ray_batch=128,
+        )
+        assert i0.shape == (16, 16, 3)
+        assert float(jnp.abs(i0 - i1).max()) > 1e-6
+
+
 class TestTimeOccupancy:
     def test_slot_update_and_bitfield(self):
         gs, slots = 16, 4

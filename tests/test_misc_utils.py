@@ -121,6 +121,37 @@ class TestViewer:
             vs.render({"theta": 0.5, "phi": 0.2, "radius": 2.0})
         assert vs.downscale == 1
 
+    def test_spp_accumulation(self):
+        """Still camera -> jittered passes are averaged up to max_spp; camera
+        motion resets the accumulator (ref gui.py:142-148)."""
+        from focnerf_tpu.viewer.server import ViewerState
+
+        vals = iter(np.linspace(0.0, 1.0, 32))
+
+        def render_fn(pose, intr, H, W, t):
+            return np.full((H, W, 3), next(vals), np.float32)
+
+        vs = ViewerState(render_fn, W=16, H=16, frame_budget_ms=1e9, max_spp=4)
+        vs.downscale = 1
+        cam = {"theta": 0.5, "phi": 0.2, "radius": 2.0}
+        f1 = vs.render(cam)
+        assert vs.spp == 1
+        f2 = vs.render(cam)
+        assert vs.spp == 2
+        # second frame is the mean of two distinct passes
+        assert f2[0, 0, 0] != f1[0, 0, 0]
+        np.testing.assert_allclose(
+            f2[0, 0, 0], (0.0 + np.linspace(0, 1, 32)[1]) / 2, atol=1e-6
+        )
+        vs.render(cam)
+        vs.render(cam)
+        assert vs.spp == 4
+        before = vs.render(cam)  # capped: no new pass, cached average
+        assert vs.spp == 4
+        np.testing.assert_array_equal(before, vs.render(cam))
+        vs.render({"theta": 0.9, "phi": 0.2, "radius": 2.0})  # moved -> reset
+        assert vs.spp == 1
+
     def test_http_endpoints(self):
         import threading
         import urllib.request

@@ -346,6 +346,49 @@ class TestMXUBackward:
         nz_m = np.asarray(jnp.abs(g_mxu).sum(-1) > 1e-6)
         np.testing.assert_array_equal(nz_m, nz_s)
 
+    def test_mxu_forward_matches_gather(self):
+        """The hi/lo one-hot forward must agree with the fused gather on every
+        level class (dense small, dense large, hashed) to bf16 tolerance."""
+        hg, spec, table, x, cot = self._setup()
+        assert any(spec.hashed), "spec must exercise hashed levels"
+        old = hg.FORWARD_MODE
+        try:
+            hg.FORWARD_MODE = "gather"
+            out_g = hg.hashgrid_encode(table, x, spec)
+            hg.FORWARD_MODE = "mxu"
+            out_m = hg.hashgrid_encode(table, x, spec)
+        finally:
+            hg.FORWARD_MODE = old
+        # table values ride in bf16 on the MXU path (~0.4% rel)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_g), atol=2e-2,
+                                   rtol=1e-2)
+        # levels above the size cutoff use the gather in both modes -> exact
+        cut = [lvl for lvl in range(spec.num_levels)
+               if spec.level_size(lvl) > hg._MXU_FWD_MAX_ROWS]
+        for lvl in cut:
+            sl = slice(lvl * spec.level_dim, (lvl + 1) * spec.level_dim)
+            np.testing.assert_array_equal(
+                np.asarray(out_m[:, sl]), np.asarray(out_g[:, sl])
+            )
+
+    def test_mxu_forward_grad_matches(self):
+        """Autodiff through the MXU forward must produce the same table
+        gradient structure as through the gather forward."""
+        hg, spec, table, x, cot = self._setup()
+
+        def gradfn(t):
+            return (hg.hashgrid_encode(t, x, spec, input_grads=True) * cot).sum()
+
+        old = hg.FORWARD_MODE
+        try:
+            hg.FORWARD_MODE = "gather"
+            g_g = jax.grad(gradfn)(table)
+            hg.FORWARD_MODE = "mxu"
+            g_m = jax.grad(gradfn)(table)
+        finally:
+            hg.FORWARD_MODE = old
+        np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_g), atol=2e-2)
+
     def test_mxu_training_converges(self):
         """End-to-end: a few optimization steps with the MXU backward reduce loss."""
         import optax

@@ -95,7 +95,8 @@ class TestProvider:
         assert v["pixels"].shape == (32 * 32, 4)
 
     def test_colmap_mode(self, scene, tmp_path):
-        # colmap layout: single transforms.json, every-8th-frame val holdout
+        # colmap layout: single transforms.json; reference split is
+        # frames[:1] val / frames[1:] train after file_path sort
         with open(os.path.join(scene, "transforms_train.json")) as f:
             t = json.load(f)
         root = str(tmp_path / "colmap")
@@ -110,6 +111,35 @@ class TestProvider:
         te = NeRFDataset(DatasetOptions(path=root, scale=1.0), split="test", n_test=4)
         assert te.n_views == 5  # slerp path n_test+1
         assert te.images is None
+
+    def test_sidecar_path_alignment_colmap(self, scene, tmp_path):
+        """Masks/feats must pair with the right images even when the provider
+        sorts frames and applies the colmap train split (the sidecar records
+        per-row paths; positional pairing would silently corrupt training)."""
+        with open(os.path.join(scene, "transforms_train.json")) as f:
+            t = json.load(f)
+        # adversarial frame order: reverse of the provider's file_path sort
+        t["frames"] = sorted(t["frames"], key=lambda d: d["file_path"], reverse=True)
+        root = str(tmp_path / "colmap_align")
+        os.makedirs(root)
+        os.symlink(os.path.join(scene, "train"), os.path.join(root, "train"))
+        with open(os.path.join(root, "transforms.json"), "w") as f:
+            json.dump(t, f)
+
+        # sidecar rows in the raw (reversed) json order, feats keyed by index
+        raw_paths = [fr["file_path"] + ".png" for fr in t["frames"]]
+        n = len(raw_paths)
+        feats = np.arange(n, dtype=np.float32)[:, None] * np.ones((n, 144), np.float32)
+        masks = np.ones((n, 32, 32), bool)
+        md = {"masks": masks, "feats": feats, "paths": np.array(raw_paths)}
+
+        ds = NeRFDataset(DatasetOptions(path=root, scale=1.0), split="train", mask_details=md)
+        feat_of_path = {p: feats[i][0] for i, p in enumerate(raw_paths)}
+        for v in range(ds.n_views):
+            rel = os.path.relpath(ds.paths[v], root)
+            assert ds.obj_feats[v][0] == feat_of_path[rel], (
+                f"view {v} ({rel}) got feats of another frame"
+            )
 
     def test_dnerf_times(self, scene):
         from focnerf_tpu.data.dnerf_provider import DNeRFDataset

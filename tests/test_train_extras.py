@@ -83,6 +83,76 @@ class TestCheckpoints:
         assert float(r_occ.mean_density) == 3.5
         mgr.close()
 
+    def test_restore_occupancy_mismatch(self, tmp_path):
+        """A --cuda_ray checkpoint must restore into a caller that passed no
+        occupancy template (composition flow), and a grid-less checkpoint must
+        restore when the caller expected one (occ comes back None)."""
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.ops.occupancy import init_occupancy
+        from focnerf_tpu.train.checkpoints import CheckpointManager
+        from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        opt = make_optimizer()
+        state = create_train_state(jax.random.key(0), cfg, opt)
+        occ = init_occupancy(1.0, grid_size=16)._replace(mean_density=jnp.float32(2.5))
+
+        # with-grid checkpoint, template without occupancy
+        mgr = CheckpointManager(str(tmp_path / "with_occ"))
+        mgr.save(state, occ)
+        template = create_train_state(jax.random.key(1), cfg, opt)
+        restored, r_occ, _ = mgr.restore(template)  # no occupancy template
+        assert r_occ is not None and float(r_occ.mean_density) == 2.5
+        assert r_occ.density_grid.shape == occ.density_grid.shape
+        mgr.close()
+
+        # grid-less checkpoint, caller expected occupancy
+        mgr2 = CheckpointManager(str(tmp_path / "no_occ"))
+        mgr2.save(state)
+        restored2, r_occ2, _ = mgr2.restore(template, init_occupancy(1.0, grid_size=16))
+        assert r_occ2 is None
+        np.testing.assert_allclose(
+            np.asarray(restored2.params["grid"]), np.asarray(state.params["grid"])
+        )
+        mgr2.close()
+
+    def test_best_checkpoint(self, tmp_path):
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.checkpoints import BestCheckpoint
+        from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        opt = make_optimizer()
+        best = BestCheckpoint(str(tmp_path / "best"))
+        assert best.metric() is None
+        state = create_train_state(jax.random.key(0), cfg, opt)._replace(step=jnp.int32(11))
+        best.save(state, psnr=27.5)
+        assert best.metric() == 27.5
+        template = create_train_state(jax.random.key(1), cfg, opt)
+        restored = best.restore(template)
+        assert int(restored.step) == 11
+        np.testing.assert_allclose(
+            np.asarray(restored.params["grid"]), np.asarray(state.params["grid"])
+        )
+        # a later, better save replaces the slot
+        state2 = state._replace(step=jnp.int32(22))
+        best.save(state2, psnr=30.0)
+        assert best.metric() == 30.0
+        assert int(best.restore(template).step) == 22
+        best.close()
+
+    def test_trainer_rejects_unknown_ckpt_mode(self, tmp_path):
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.trainer import Trainer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        with pytest.raises(ValueError, match="unknown checkpoint mode"):
+            Trainer("t", cfg, workspace=str(tmp_path / "ws"),
+                    use_checkpoint="bogus_mode", use_tensorboard=False)
+
     def test_max_keep(self, tmp_path):
         from focnerf_tpu.models.nerf import NeRFConfig
         from focnerf_tpu.train.checkpoints import CheckpointManager
