@@ -92,6 +92,7 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         update_extra_interval=opt.update_extra_interval,
         min_near=opt.min_near,
         color_space=opt.color_space,
+        tv_weight=opt.tv_weight,
         use_checkpoint=opt.ckpt,
         seed=opt.seed,
     )

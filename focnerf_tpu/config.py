@@ -61,6 +61,11 @@ class Options:
     error_map: bool = False
     clip_text: str = ""
     rand_pose: int = -1
+    # TPU additions: hash-table TV regularizer weight (gridencoder.cu:628-643;
+    # 0 = off, like the reference) and the stochastic-corner training mode
+    # (ops/hashgrid.py HashGridSpec.stochastic_k; 0 = exact trilinear)
+    tv_weight: float = 0.0
+    stochastic_corners: int = 0
 
     # yolo / objects / composition (flags.py:58-64)
     yolo_model: str = "yolov8s-seg.pt"
@@ -98,6 +103,7 @@ class Options:
             yolo_feats_dim=yolo_feats_dim,
             bg_radius=self.bg_radius,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+            stochastic_corners=self.stochastic_corners,
         )
 
     def dnerf_config(self):
@@ -111,6 +117,7 @@ class Options:
             use_objfeat=False,
             bg_radius=self.bg_radius,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+            stochastic_corners=self.stochastic_corners,
         )
 
     def dataset_options(self, split_num_rays: Optional[int] = None):

@@ -60,16 +60,24 @@ class NeRFConfig:
     bg_radius: float = -1.0
     # numerics
     compute_dtype: Any = jnp.bfloat16
+    # training-throughput mode: K > 0 resolves hashed levels through K
+    # stochastically sampled corners during training (unbiased; see
+    # HashGridSpec.stochastic_k). Eval/inference stays exact automatically
+    # (no rng is passed outside the train step).
+    stochastic_corners: int = 0
 
     @property
     def grid_spec(self) -> HashGridSpec:
-        return _grid_spec(
+        spec = _grid_spec(
             self.num_levels,
             self.level_dim,
             self.base_resolution,
             self.log2_hashmap_size,
             2048.0 * self.bound,
         )
+        if self.stochastic_corners:
+            spec = dataclasses.replace(spec, stochastic_k=self.stochastic_corners)
+        return spec
 
     @property
     def bg_grid_spec(self) -> HashGridSpec:
@@ -122,10 +130,13 @@ def init_nerf_params(rng: jax.Array, cfg: NeRFConfig) -> Params:
     return params
 
 
-def density_fn(params: Params, cfg: NeRFConfig, x: jax.Array):
-    """x [..., 3] in [-bound, bound] -> (sigma [...], geo_feat [..., geo])."""
+def density_fn(params: Params, cfg: NeRFConfig, x: jax.Array, rng: Optional[jax.Array] = None):
+    """x [..., 3] in [-bound, bound] -> (sigma [...], geo_feat [..., geo]).
+
+    ``rng`` activates the stochastic-corner encode (training only; see
+    NeRFConfig.stochastic_corners)."""
     x01 = (x + cfg.bound) / (2.0 * cfg.bound)
-    feats = hashgrid_encode(params["grid"], x01, cfg.grid_spec)
+    feats = hashgrid_encode(params["grid"], x01, cfg.grid_spec, rng=rng)
     h = mlp_apply(params["sigma_net"], feats, cfg.compute_dtype)
     sigma = trunc_exp(h[..., 0])
     geo_feat = h[..., 1:]

@@ -48,6 +48,13 @@ class HashGridSpec:
     log2_hashmap_size: int = 19
     per_level_scale: float = 2.0
     input_dim: int = 3
+    # TPU training-throughput mode: when > 0, *hashed* levels resolve K
+    # corners sampled with probability proportional to their trilinear
+    # weights instead of interpolating all 2^D — an unbiased estimator of the
+    # interpolation (E[T_c | c ~ w] = sum_c w_c T_c) that cuts the per-sample
+    # random-gather rows (the v5e hot-loop floor, PERF.md) by 2^D/K. Active
+    # only when the encode is given an rng (training); eval stays exact.
+    stochastic_k: int = 0
     # derived
     resolutions: Tuple[int, ...] = ()
     offsets: Tuple[int, ...] = ()  # num_levels + 1 entries, in table rows
@@ -139,27 +146,59 @@ def _level_corner_indices(x01: jax.Array, spec: HashGridSpec, lvl: int):
     )  # [N, 8]
     corner = base[:, None, :] + bits.astype(np.uint32)[None, :, :]  # [N, 8, D] uint32
 
-    if spec.hashed[lvl]:
-        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
-        for d in range(D):
-            h = h ^ (corner[..., d] * jnp.uint32(_PRIMES[d]))
-        idx = h % jnp.uint32(size)
-    else:
-        stride = 1
-        idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
-        for d in range(D):
-            idx = idx + corner[..., d] * jnp.uint32(stride)
-            stride *= res + 1
-        # dense index < (res+1)^D <= size by construction; no modulo needed
-    rows = idx.astype(jnp.int32) + jnp.int32(spec.offsets[lvl])
+    rows = _coords_to_rows(corner, spec, lvl)
     return rows, w
 
 
+def _coords_to_rows(coords: jax.Array, spec: HashGridSpec, lvl: int) -> jax.Array:
+    """Integer vertex coords [..., D] (uint32) -> flat table rows [...] (int32),
+    including the level offset (gridencoder.cu get_grid_index :67-84)."""
+    D = spec.input_dim
+    res = spec.resolutions[lvl]
+    size = spec.level_size(lvl)
+    if spec.hashed[lvl]:
+        h = jnp.zeros(coords.shape[:-1], jnp.uint32)
+        for d in range(D):
+            h = h ^ (coords[..., d] * jnp.uint32(_PRIMES[d]))
+        idx = h % jnp.uint32(size)
+    else:
+        stride = 1
+        idx = jnp.zeros(coords.shape[:-1], jnp.uint32)
+        for d in range(D):
+            idx = idx + coords[..., d] * jnp.uint32(stride)
+            stride *= res + 1
+        # dense index < (res+1)^D <= size by construction; no modulo needed
+    return idx.astype(jnp.int32) + jnp.int32(spec.offsets[lvl])
+
+
 @functools.lru_cache(maxsize=None)
-def _corner_sum_matrices(num_levels: int, n_corners: int, level_dim: int):
-    """Constant [L*corners, L*C] selection matrices G_c with
-    G_c[l*corners + j, l*C + c] = 1 — the per-level corner sum expressed as a
-    matmul. TPU layout note: any tensor shaped [..., L, corners(, C)] gets
+def _col_layout(spec: HashGridSpec) -> Tuple[Tuple[int, int], ...]:
+    """Per-level (col_start, n_cols) into the packed [N, total_cols] row /
+    weight arrays. Exact levels carry all 2^D corners; stochastic hashed
+    levels carry only the K sampled corners."""
+    n_corners = 1 << spec.input_dim
+    out, start = [], 0
+    for lvl in range(spec.num_levels):
+        ncols = (
+            spec.stochastic_k
+            if (spec.stochastic_k > 0 and spec.hashed[lvl])
+            else n_corners
+        )
+        out.append((start, ncols))
+        start += ncols
+    return tuple(out)
+
+
+def _total_cols(spec: HashGridSpec) -> int:
+    s, n = _col_layout(spec)[-1]
+    return s + n
+
+
+@functools.lru_cache(maxsize=None)
+def _corner_sum_matrices(layout: Tuple[Tuple[int, int], ...], level_dim: int):
+    """Constant [total_cols, L*C] selection matrices G_c with
+    G_c[col_start_l + j, l*C + c] = 1 — the per-level corner sum expressed as
+    a matmul. TPU layout note: any tensor shaped [..., L, corners(, C)] gets
     tile-padded up to 16-64x by Mosaic's (8,128) tiling (observed 16 GB for a
     1M-point batch); keeping everything 2-D with a wide minor dim and doing
     the corner reduction on the MXU avoids the blowup entirely.
@@ -168,11 +207,13 @@ def _corner_sum_matrices(num_levels: int, n_corners: int, level_dim: int):
     # leaks its tracer into later traces)
     import numpy as _np
 
+    num_levels = len(layout)
+    total = layout[-1][0] + layout[-1][1]
     Gs = []
     for c in range(level_dim):
-        G = _np.zeros((num_levels * n_corners, num_levels * level_dim), _np.float32)
-        for lvl in range(num_levels):
-            G[lvl * n_corners : (lvl + 1) * n_corners, lvl * level_dim + c] = 1.0
+        G = _np.zeros((total, num_levels * level_dim), _np.float32)
+        for lvl, (start, ncols) in enumerate(layout):
+            G[start : start + ncols, lvl * level_dim + c] = 1.0
         Gs.append(G)
     return tuple(Gs)
 
@@ -249,22 +290,45 @@ def _level_vals_mxu(table: jax.Array, rows_in_level: jax.Array, spec: HashGridSp
     return [v[c].reshape(n, n_corners) for c in range(spec.level_dim)]
 
 
-def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec):
+def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec, u=None):
     """Shared forward.
 
-    Returns (out [N, L*C], rows [N, L*corners], weights [N, L*corners]) —
+    Returns (out [N, L*C], rows [N, total_cols], weights [N, total_cols]) —
     all rank-2 with wide minor dims (layout-safe, see _corner_sum_matrices).
     Feature order is level-major then channel: out[:, l*C + c].
+
+    ``u`` [N, n_stoch_levels, K] in [0, 1): uniform draws for the stochastic
+    corner selection of hashed levels (spec.stochastic_k > 0). Each draw picks
+    corner j with probability w_j via inverse-CDF; the sampled value carries
+    weight 1/K, so the estimator is unbiased for the trilinear interpolation.
     """
     n = x.shape[0]
     n_corners = 1 << spec.input_dim
+    layout = _col_layout(spec)
+    stoch_lvls = [
+        lvl for lvl, (_, ncols) in enumerate(layout) if ncols != n_corners
+    ]
+    if stoch_lvls:
+        assert u is not None and u.shape == (n, len(stoch_lvls), spec.stochastic_k)
+
     rows_l, w_l = [], []
     for lvl in range(spec.num_levels):
-        rows, w = _level_corner_indices(x, spec, lvl)
+        rows, w = _level_corner_indices(x, spec, lvl)  # [N, corners] each
+        if lvl in stoch_lvls:
+            k = spec.stochastic_k
+            u_l = u[:, stoch_lvls.index(lvl), :]  # [N, K]
+            cdf = jnp.cumsum(w, axis=-1)  # [N, corners], last col == 1
+            # first corner whose cdf exceeds the draw (inverse-CDF sampling)
+            choice = jnp.sum(
+                cdf[:, None, :] < u_l[..., None] * cdf[:, None, -1:], axis=-1
+            )  # [N, K] int
+            choice = jnp.clip(choice, 0, n_corners - 1)
+            rows = jnp.take_along_axis(rows, choice.astype(jnp.int32), axis=1)
+            w = jnp.full((n, k), 1.0 / k, jnp.float32)
         rows_l.append(rows)
         w_l.append(w)
-    rows = jnp.concatenate(rows_l, axis=1)  # [N, L*corners]
-    weights = jnp.concatenate(w_l, axis=1)  # [N, L*corners]
+    rows = jnp.concatenate(rows_l, axis=1)  # [N, total_cols]
+    weights = jnp.concatenate(w_l, axis=1)  # [N, total_cols]
 
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
     weights = jnp.where(oob[:, None], 0.0, weights)  # zero output + grads for oob
@@ -280,24 +344,28 @@ def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec):
     )
     gather_lvls = [lvl for lvl in range(spec.num_levels) if lvl not in mxu_lvls]
 
-    # channel-separated per-level value blocks vcs[c][lvl] : [N, corners]
+    # channel-separated per-level value blocks vcs[c][lvl] : [N, ncols_l]
     vcs = [[None] * spec.num_levels for _ in range(spec.level_dim)]
     if gather_lvls:
         g_rows = jnp.concatenate([rows_l[lvl] for lvl in gather_lvls], axis=1)
-        g_vals = jnp.take(table, g_rows.reshape(-1), axis=0)  # [N*G*corners, C]
+        g_cols = g_rows.shape[1]
+        g_vals = jnp.take(table, g_rows.reshape(-1), axis=0)  # [N*g_cols, C]
         for c in range(spec.level_dim):
-            vc = g_vals[:, c].reshape(n, len(gather_lvls) * n_corners)
-            for gi, lvl in enumerate(gather_lvls):
-                vcs[c][lvl] = vc[:, gi * n_corners : (gi + 1) * n_corners]
+            vc = g_vals[:, c].reshape(n, g_cols)
+            col = 0
+            for lvl in gather_lvls:
+                ncols = layout[lvl][1]
+                vcs[c][lvl] = vc[:, col : col + ncols]
+                col += ncols
     for lvl in mxu_lvls:
         per_ch = _level_vals_mxu(table, rows_l[lvl] - spec.offsets[lvl], spec, lvl)
         for c in range(spec.level_dim):
             vcs[c][lvl] = per_ch[c]
 
-    Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
+    Gs = _corner_sum_matrices(layout, spec.level_dim)
     out = jnp.zeros((n, spec.num_levels * spec.level_dim), jnp.float32)
     for c in range(spec.level_dim):
-        vc = jnp.concatenate(vcs[c], axis=1)  # [N, L*corners]
+        vc = jnp.concatenate(vcs[c], axis=1)  # [N, total_cols]
         out = out + jnp.dot(
             (weights * vc).astype(jnp.float32), Gs[c], preferred_element_type=jnp.float32
         )
@@ -305,7 +373,11 @@ def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec):
 
 
 def hashgrid_encode(
-    table: jax.Array, x01: jax.Array, spec: HashGridSpec, input_grads: bool = False
+    table: jax.Array,
+    x01: jax.Array,
+    spec: HashGridSpec,
+    input_grads: bool = False,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """Encode points x01 [..., D] in [0, 1] -> features [..., L * C].
 
@@ -318,25 +390,39 @@ def hashgrid_encode(
     dropped (the static NeRF never differentiates w.r.t. sample positions).
     ``input_grads=True`` uses plain autodiff (needed by the D-NeRF
     deformation field, which backprops through the warped positions).
+
+    ``rng``: when given and ``spec.stochastic_k > 0``, hashed levels resolve K
+    stochastically sampled corners (training-throughput mode, see
+    HashGridSpec.stochastic_k). Without an rng the encode is always exact —
+    eval/inference callers need no change. Stochastic mode requires the
+    custom-VJP path (it drops position gradients by construction).
     """
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, spec.input_dim)
-    if input_grads:
-        out, _, _ = _encode_impl(table, x, spec)
+    stochastic = spec.stochastic_k > 0 and rng is not None and not input_grads
+    if not stochastic and spec.stochastic_k > 0:
+        spec = dataclasses.replace(spec, stochastic_k=0)
+    if stochastic:
+        n_stoch = sum(spec.hashed)
+        u = jax.random.uniform(rng, (x.shape[0], n_stoch, spec.stochastic_k))
     else:
-        out = _encode_sorted_bwd(table, x, spec)
+        u = jnp.zeros((x.shape[0], 0, 0), jnp.float32)
+    if input_grads:
+        out, _, _ = _encode_impl(table, x, spec, u)
+    else:
+        out = _encode_sorted_bwd(table, x, u, spec)
     return out.reshape(*prefix, spec.output_dim)  # out already [N, L*C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _encode_sorted_bwd(table, x, spec: HashGridSpec):
-    out, _, _ = _encode_impl(table, x, spec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _encode_sorted_bwd(table, x, u, spec: HashGridSpec):
+    out, _, _ = _encode_impl(table, x, spec, u)
     return out
 
 
-def _encode_fwd(table, x, spec: HashGridSpec):
-    out, rows, weights = _encode_impl(table, x, spec)
-    return out, (rows, weights, table.shape[0])
+def _encode_fwd(table, x, u, spec: HashGridSpec):
+    out, rows, weights = _encode_impl(table, x, spec, u)
+    return out, (rows, weights, table.shape[0], u.shape)
 
 
 # Table-gradient backward algorithm:
@@ -348,12 +434,27 @@ def _encode_fwd(table, x, spec: HashGridSpec):
 #   None (default): auto — "mxu" on TPU, "sort" elsewhere.
 BACKWARD_MODE = None
 
+# int8 variant of the "mxu" backward: contributions are quantized per
+# (chunk, channel) with a symmetric max-abs scale and the one-hot matmuls run
+# on the v5e int8 MXU path (2x bf16 peak). ~0.4% relative gradient noise on
+# top of the bf16 path's own; quality-gated (see PERF.md).
+#   None (default): auto — int8 on TPU, off elsewhere.
+BACKWARD_INT8 = None
+
 
 def _backward_mode() -> str:
     if BACKWARD_MODE is not None:
         return BACKWARD_MODE
     # "axon" is a tunneled TPU backend; treat any non-CPU backend as MXU-class
     return "sort" if jax.default_backend() == "cpu" else "mxu"
+
+
+def _backward_int8() -> bool:
+    if BACKWARD_INT8 is not None:
+        return BACKWARD_INT8
+    return jax.default_backend() != "cpu"
+
+
 _MXU_CHUNK = 32768  # contributions per matmul block (bounds one-hot memory)
 _LO = 512  # low-radix width of the index decomposition
 
@@ -367,24 +468,25 @@ def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
     channel). bf16 one-hots are exact; contributions ride in bf16 with fp32
     accumulation (preferred_element_type).
     """
-    n = rows.shape[0]
-    n_corners = 1 << spec.input_dim
-    Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
+    layout = _col_layout(spec)
+    Gs = _corner_sum_matrices(layout, spec.level_dim)
     g32 = g.astype(jnp.float32)
+    use_int8 = _backward_int8()
 
-    # per-channel contribution for every (point, level*corner) entry
+    # per-channel contribution for every (point, level-column) entry
     contribs = [
         weights * jnp.dot(g32, Gs[c].T, preferred_element_type=jnp.float32)
         for c in range(spec.level_dim)
-    ]  # each [N, L*corners]
+    ]  # each [N, total_cols]
 
     d_parts = []
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LO), 1)
     for lvl in range(spec.num_levels):
         size = spec.level_size(lvl)
         n_hi = -(-size // _LO)
-        sl = slice(lvl * n_corners, (lvl + 1) * n_corners)
-        r_l = (rows[:, sl] - spec.offsets[lvl]).reshape(-1)  # [N*corners]
+        start, ncols = layout[lvl]
+        sl = slice(start, start + ncols)
+        r_l = (rows[:, sl] - spec.offsets[lvl]).reshape(-1)  # [N*ncols]
         c_l = [c[:, sl].reshape(-1) for c in contribs]
 
         m = r_l.shape[0]
@@ -401,13 +503,31 @@ def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
 
         def block(acc, xs):
             r_b, c_b = xs  # [B], [B, C]
-            oh_lo = ((r_b[:, None] % _LO) == lo_iota).astype(jnp.bfloat16)  # [B, LO]
             oh_hi = (r_b[:, None] // _LO) == hi_iota  # [B, HI] bool
-            for ch in range(spec.level_dim):
-                lhs = jnp.where(oh_hi, c_b[:, ch : ch + 1], 0.0).astype(jnp.bfloat16)
-                acc = acc.at[ch].add(
-                    jnp.dot(lhs.T, oh_lo, preferred_element_type=jnp.float32)
-                )
+            if use_int8:
+                # exact int8 one-hots; contributions symmetric-quantized per
+                # (chunk, channel); int8 x int8 -> int32 rides the 2x-peak MXU
+                # path, dequantized into the fp32 accumulator per chunk.
+                oh_lo8 = ((r_b[:, None] % _LO) == lo_iota).astype(jnp.int8)
+                for ch in range(spec.level_dim):
+                    c_ch = c_b[:, ch]
+                    scale = jnp.maximum(jnp.max(jnp.abs(c_ch)), 1e-30) / 127.0
+                    q = jnp.round(c_ch / scale).astype(jnp.int8)  # [B]
+                    lhs = jnp.where(oh_hi, q[:, None], 0).astype(jnp.int8)
+                    prod = jax.lax.dot_general(
+                        lhs,
+                        oh_lo8,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )  # [HI, LO]
+                    acc = acc.at[ch].add(scale * prod.astype(jnp.float32))
+            else:
+                oh_lo = ((r_b[:, None] % _LO) == lo_iota).astype(jnp.bfloat16)
+                for ch in range(spec.level_dim):
+                    lhs = jnp.where(oh_hi, c_b[:, ch : ch + 1], 0.0).astype(jnp.bfloat16)
+                    acc = acc.at[ch].add(
+                        jnp.dot(lhs.T, oh_lo, preferred_element_type=jnp.float32)
+                    )
             return acc, None
 
         acc0 = jnp.zeros((spec.level_dim, n_hi, _LO), jnp.float32)
@@ -421,20 +541,20 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
     """Sorted scatter-add table gradient.
 
     d_table[r] = sum of w * g over every (point, level, corner) hitting row
-    r, with g [N, L*C]. The per-entry cotangent w[n, l*8+j] * g[n, l*C+c] is
+    r, with g [N, L*C]. The per-entry cotangent w[n, col] * g[n, l*C+c] is
     built with the same constant selection matmuls as the forward (layout-
     safe 2-D shapes throughout). Indices are sorted before the scatter-add —
     XLA TPU's scatter with unsorted duplicates serializes ~80x slower.
     NOTE: fancier formulations measured SLOWER end-to-end on v5e (multi-
     operand lax.sort: +30%; cumsum-boundary segment sums: +50%) — PERF.md.
     """
-    rows, weights, n_rows = residuals  # [N, L*corners] each
+    rows, weights, n_rows, u_shape = residuals  # rows/weights [N, total_cols]
     n = rows.shape[0]
-    n_corners = 1 << spec.input_dim
+    d_u = jnp.zeros(u_shape, jnp.float32)
     if _backward_mode() == "mxu":
         d_table = _encode_bwd_mxu(spec, rows, weights, g, n_rows)
-        return d_table, jnp.zeros((n, spec.input_dim), g.dtype)
-    Gs = _corner_sum_matrices(spec.num_levels, n_corners, spec.level_dim)
+        return d_table, jnp.zeros((n, spec.input_dim), g.dtype), d_u
+    Gs = _corner_sum_matrices(_col_layout(spec), spec.level_dim)
 
     flat_rows = rows.reshape(-1)
     order = jnp.argsort(flat_rows)
@@ -451,7 +571,53 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
         .at[sorted_rows]
         .add(jnp.stack(contribs, axis=-1))
     )
-    return d_table, jnp.zeros((n, spec.input_dim), g.dtype)
+    return d_table, jnp.zeros((n, spec.input_dim), g.dtype), d_u
 
 
 _encode_sorted_bwd.defvjp(_encode_fwd, _encode_bwd)
+
+
+def hashgrid_tv_loss(
+    table: jax.Array,
+    x01: jax.Array,
+    spec: HashGridSpec,
+) -> jax.Array:
+    """Total-variation regularizer of the hash table at sampled points.
+
+    Port of gridencoder.cu ``kernel_grad_tv`` (:549-610) /
+    ``GridEncoder.grad_total_variation`` (grid.py:165-185): at each sampled
+    point's base vertex, per level and axis, penalize the feature difference
+    to the +1/-1 neighbor vertex; the per-(vertex, axis-side) energy is the
+    root-sum-square over channels, whose autodiff gradient reproduces the
+    CUDA kernel's ``delta * rsqrt(sum delta^2 + 1e-9)`` accumulation. (The
+    CUDA kernel scatters the gradient only into the base vertex — a one-sided
+    approximation forced by the atomics; autodiff here also credits the
+    neighbor, the exact TV gradient.)
+
+    Returns the MEAN over points of the per-point TV energy, scaled by
+    1/(2D) as the kernel does; multiply by your weight (ref default 1e-7 *
+    B=1e6 sampled points — i.e. weight ~0.1 on the mean).
+    """
+    x = x01.reshape(-1, spec.input_dim)
+    D = spec.input_dim
+    total = jnp.zeros((), jnp.float32)
+    for lvl in range(spec.num_levels):
+        scale = np.float32(
+            np.exp2(lvl * np.log2(spec.per_level_scale)) * spec.base_resolution - 1.0
+        )
+        res = spec.resolutions[lvl]
+        pos_grid = jnp.floor(x.astype(jnp.float32) * scale + 0.5).astype(jnp.uint32)
+        base_rows = _coords_to_rows(pos_grid, spec, lvl)  # [N]
+        v0 = jnp.take(table, base_rows, axis=0).astype(jnp.float32)  # [N, C]
+        for d in range(D):
+            cur = pos_grid[:, d]
+            for side in (+1, -1):
+                ok = (cur < res) if side > 0 else (cur > 0)
+                moved = cur + side if side > 0 else jnp.maximum(cur, 1) - 1
+                nb = pos_grid.at[:, d].set(jnp.where(ok, moved, cur))
+                rows = _coords_to_rows(nb, spec, lvl)
+                vn = jnp.take(table, rows, axis=0).astype(jnp.float32)
+                delta2 = jnp.sum((v0 - vn) ** 2, axis=-1)
+                e = jnp.sqrt(delta2 + 1e-9)
+                total = total + jnp.sum(jnp.where(ok, e, 0.0))
+    return total / (2 * D) / x.shape[0]

@@ -143,7 +143,8 @@ def render_rays(
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # [N, T, 3]
     xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
 
-    sigmas, geo_feat = density_fn(params, cfg, xyzs)  # [N, T], [N, T, G]
+    k_enc = jax.random.fold_in(rng, 7) if rng is not None and perturb else None
+    sigmas, geo_feat = density_fn(params, cfg, xyzs, rng=k_enc)  # [N, T], [N, T, G]
 
     deltas = z_vals[..., 1:] - z_vals[..., :-1]
     deltas = jnp.concatenate([deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)], -1)
@@ -229,7 +230,8 @@ def render_rays_occupancy(
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * m.ts[..., None]
     xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
-    sigmas, geo_feat = density_fn(params, cfg, xyzs)  # [N, K]
+    k_enc = jax.random.fold_in(rng, 7) if rng is not None and perturb else None
+    sigmas, geo_feat = density_fn(params, cfg, xyzs, rng=k_enc)  # [N, K]
     sigmas = jnp.where(m.valid, sigmas, 0.0)
 
     objfeat_enc = None

@@ -40,6 +40,7 @@ def make_train_step(
     ema_decay: float = 0.95,
     mask_penalty: float = 1e-8,
     color_space: str = "srgb",
+    tv_weight: float = 0.0,
     donate: bool = True,
 ):
     """Build a jitted train step.
@@ -86,6 +87,7 @@ def make_train_step(
         if ray_mask is not None:
             outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
             loss = loss + mask_penalty * jnp.linalg.norm(outside.reshape(-1))
+        loss = loss + _tv_term(cfg, params, rng, tv_weight)
         return loss, per_ray
 
     def train_step_impl(state: TrainState, batch, rng):
@@ -122,6 +124,7 @@ def make_train_step_occupancy(
     mask_penalty: float = 1e-8,
     color_space: str = "srgb",
     T_thresh: float = 1e-4,
+    tv_weight: float = 0.0,
     donate: bool = True,
 ):
     """Occupancy-accelerated train step (the reference's --cuda_ray path).
@@ -166,6 +169,7 @@ def make_train_step_occupancy(
         if ray_mask is not None:
             outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
             loss = loss + mask_penalty * jnp.linalg.norm(outside.reshape(-1))
+        loss = loss + _tv_term(cfg, params, rng, tv_weight)
         return loss, (per_ray, out["n_samples"])
 
     def step_impl(state: TrainState, batch, occ_bits, rng):
@@ -192,6 +196,17 @@ def make_train_step_occupancy(
     step = jax.jit(step_impl, donate_argnums=(0,) if donate else ())
     step.raw = step_impl
     return step
+
+
+def _tv_term(cfg: NeRFConfig, params, rng, tv_weight: float, n_points: int = 8192):
+    """Optional hash-table total-variation term (gridencoder.cu:628-643; the
+    reference samples random points when no inputs are given, grid.py:173)."""
+    if tv_weight <= 0.0:
+        return 0.0
+    from focnerf_tpu.ops.hashgrid import hashgrid_tv_loss
+
+    x01 = jax.random.uniform(jax.random.fold_in(rng, 11), (n_points, 3))
+    return tv_weight * hashgrid_tv_loss(params["grid"], x01, cfg.grid_spec)
 
 
 def update_error_map(error_map, inds_coarse, per_ray_error):

@@ -57,6 +57,7 @@ class Trainer:
         ema_decay: float = 0.95,
         min_near: float = 0.2,
         color_space: str = "srgb",
+        tv_weight: float = 0.0,
         eval_interval: int = 50,
         max_keep_ckpt: int = 2,
         use_checkpoint: str = "latest",
@@ -76,6 +77,7 @@ class Trainer:
         self.density_thresh = density_thresh
         self.update_extra_interval = update_extra_interval
         self.min_near = min_near
+        self.tv_weight = tv_weight
         self.eval_interval = eval_interval
         self.epoch = 0
         self.global_step = 0
@@ -93,35 +95,9 @@ class Trainer:
 
         self.rng = jax.random.key(seed)
         self.optimizer = make_optimizer(lr=lr, iters=iters)
-        self.state: TrainState = create_train_state(
-            jax.random.key(seed), cfg, self.optimizer
-        )
-        self.occupancy: Optional[OccupancyState] = (
-            init_occupancy(cfg.bound) if use_occupancy else None
-        )
-
-        if use_occupancy:
-            self._train_step_occ = make_train_step_occupancy(
-                cfg,
-                self.optimizer,
-                dt_gamma=dt_gamma,
-                max_steps=max_steps,
-                slab=train_slab,
-                min_near=min_near,
-                ema_decay=ema_decay,
-                color_space=color_space,
-                donate=False,
-            )
-        self._train_step = make_train_step(
-            cfg,
-            self.optimizer,
-            num_steps=num_steps,
-            min_near=min_near,
-            ema_decay=ema_decay,
-            color_space=color_space,
-            donate=False,
-        )
-        self._eval_step = make_eval_step(cfg, num_steps=num_steps, min_near=min_near)
+        self.state: TrainState = self._create_state(seed)
+        self.occupancy = self._init_occupancy() if use_occupancy else None
+        self._build_steps(ema_decay=ema_decay, color_space=color_space)
 
         self.metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
         ckpt_dir = os.path.join(workspace, "checkpoints")
@@ -179,6 +155,66 @@ class Trainer:
                 "scratch | latest | latest_model | best | <path>"
             )
 
+    # ------------------------------------------------------------ subclass hooks
+    # (the D-NeRF trainer reuses the whole loop/eval/checkpoint shell by
+    # overriding these — the reference subclasses its Trainer the same way,
+    # dnerf/utils.py:1-243)
+    def _create_state(self, seed: int) -> TrainState:
+        return create_train_state(jax.random.key(seed), self.cfg, self.optimizer)
+
+    def _init_occupancy(self):
+        return init_occupancy(self.cfg.bound)
+
+    def _build_steps(self, *, ema_decay: float, color_space: str):
+        if self.use_occupancy:
+            self._train_step_occ = make_train_step_occupancy(
+                self.cfg,
+                self.optimizer,
+                dt_gamma=self.dt_gamma,
+                max_steps=self.max_steps,
+                slab=self.train_slab,
+                min_near=self.min_near,
+                ema_decay=ema_decay,
+                color_space=color_space,
+                tv_weight=self.tv_weight,
+                donate=False,
+            )
+        self._train_step = make_train_step(
+            self.cfg,
+            self.optimizer,
+            num_steps=self.num_steps,
+            min_near=self.min_near,
+            ema_decay=ema_decay,
+            color_space=color_space,
+            tv_weight=self.tv_weight,
+            donate=False,
+        )
+        self._eval_step = make_eval_step(
+            self.cfg, num_steps=self.num_steps, min_near=self.min_near
+        )
+
+    def _mark_untrained(self, train_dataset):
+        self.occupancy = mark_untrained_grid(
+            self.occupancy,
+            jnp.asarray(train_dataset.poses),
+            train_dataset.intrinsics,
+            bound=self.cfg.bound,
+        )
+
+    def _render_view(self, params, view, dataset, render_kwargs):
+        """Render one eval/test view -> (img [H,W,3], depth [H,W])."""
+        return render_image(
+            params,
+            self.cfg,
+            jnp.asarray(view["pose"]),
+            dataset.intrinsics,
+            dataset.H,
+            dataset.W,
+            obj_feat=view.get("obj_feat"),
+            bg_color=1.0,
+            **render_kwargs,
+        )
+
     # ------------------------------------------------------------------ logging
     def log(self, msg: str):
         print(msg)
@@ -218,23 +254,21 @@ class Trainer:
         k_batch, k = jax.random.split(self._next_rng())
         batch = train_dataset.train_batch(k_batch)
         if self.occupancy is not None:
-            bits = occupancy_bitfield(self.occupancy, self.density_thresh)
+            bits = self._occ_bits_for_batch(batch)
             self.state, metrics = self._train_step_occ(self.state, batch, bits, k)
         else:
             self.state, metrics = self._train_step(self.state, batch, k)
         self.global_step += 1
         return float(metrics["loss"])
 
+    def _occ_bits_for_batch(self, batch):
+        return occupancy_bitfield(self.occupancy, self.density_thresh)
+
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1, steps_per_epoch: Optional[int] = None):
         if steps_per_epoch is None:
             steps_per_epoch = train_dataset.n_views
         if self.occupancy is not None:
-            self.occupancy = mark_untrained_grid(
-                self.occupancy,
-                jnp.asarray(train_dataset.poses),
-                train_dataset.intrinsics,
-                bound=self.cfg.bound,
-            )
+            self._mark_untrained(train_dataset)
         for _ in range(max_epochs):
             self.epoch += 1
             t0 = time.time()
@@ -246,7 +280,7 @@ class Trainer:
                 k_batch, k = jax.random.split(self._next_rng())
                 batch = train_dataset.train_batch(k_batch)
                 if self.occupancy is not None:
-                    bits = occupancy_bitfield(self.occupancy, self.density_thresh)
+                    bits = self._occ_bits_for_batch(batch)
                     self.state, metrics = self._train_step_occ(self.state, batch, bits, k)
                 else:
                     self.state, metrics = self._train_step(self.state, batch, k)
@@ -296,17 +330,7 @@ class Trainer:
         render_kwargs = self._render_kwargs()
         for v in range(dataset.n_views):
             view = dataset.eval_view(v)
-            img, depth = render_image(
-                params,
-                self.cfg,
-                jnp.asarray(view["pose"]),
-                dataset.intrinsics,
-                dataset.H,
-                dataset.W,
-                obj_feat=view.get("obj_feat"),
-                bg_color=1.0,
-                **render_kwargs,
-            )
+            img, depth = self._render_view(params, view, dataset, render_kwargs)
             if "pixels" in view:
                 gt = np.asarray(view["pixels"]).reshape(dataset.H, dataset.W, -1)
                 if gt.shape[-1] == 4:
@@ -342,17 +366,7 @@ class Trainer:
         frames = []
         for v in range(dataset.n_views):
             view = dataset.eval_view(v)
-            img, depth = render_image(
-                params,
-                self.cfg,
-                jnp.asarray(view["pose"]),
-                dataset.intrinsics,
-                dataset.H,
-                dataset.W,
-                obj_feat=view.get("obj_feat"),
-                bg_color=1.0,
-                **render_kwargs,
-            )
+            img, depth = self._render_view(params, view, dataset, render_kwargs)
             arr = np.asarray(img)
             frames.append((np.clip(arr, 0, 1) * 255).astype(np.uint8))
             self._save_image(os.path.join(out_dir, f"{self.name}_{v:04d}.png"), arr)
@@ -383,7 +397,7 @@ class Trainer:
         from focnerf_tpu.utils.mesh_extract import extract_mesh, save_obj
 
         params = self.state.ema_params
-        dens = lambda x: density_fn(params, self.cfg, x)[0]
+        dens = self._mesh_density(params)
         verts, faces = extract_mesh(
             dens, bound=self.cfg.bound, resolution=resolution, threshold=threshold
         )
@@ -393,3 +407,6 @@ class Trainer:
         save_obj(path, verts, faces)
         self.log(f"[mesh] saved {path} ({len(verts)} verts, {len(faces)} faces)")
         return path
+
+    def _mesh_density(self, params):
+        return lambda x: density_fn(params, self.cfg, x)[0]

@@ -214,3 +214,54 @@ class TestTimeOccupancy:
         bits_late = time_occupancy_bitfield(occ, jnp.float32(0.9), 10.0)
         assert not bool(bits_early.any())
         assert bool(bits_late.any())
+
+
+class TestDNeRFTrainer:
+    """Shared-Trainer integration: occupancy training, resume, mesh-at-t
+    (VERDICT round-1 item 6; ref dnerf/utils.py + dnerf/renderer.py:286)."""
+
+    def test_occupancy_train_resume_mesh(self, tmp_path):
+        from focnerf_tpu.data.dnerf_provider import DNeRFDataset
+        from focnerf_tpu.data.provider import DatasetOptions
+        from focnerf_tpu.models.dnerf import DNeRFConfig
+        from focnerf_tpu.train.dnerf_trainer import DNeRFTrainer
+        from helpers import make_synthetic_scene
+
+        scene = make_synthetic_scene(str(tmp_path / "scene"), n_train=3, n_val=1, H=16, W=16)
+        cfg = DNeRFConfig(
+            variant="deform", num_levels=4, base_resolution=4, log2_hashmap_size=11,
+            deform_layers=2, deform_hidden=16, hidden_dim=16, hidden_dim_color=16,
+            use_objfeat=False, compute_dtype=jnp.float32, bound=1.0,
+        )
+        dopt = DatasetOptions(path=scene, num_rays=64, scale=1.0)
+        train_ds = DNeRFDataset(dopt, split="train")
+        ws = str(tmp_path / "ws")
+
+        kw = dict(
+            workspace=ws, lr=1e-2, iters=100, num_steps=32, max_ray_batch=256,
+            use_occupancy=True, dt_gamma=0.0, max_steps=64, train_slab=16,
+            update_extra_interval=4, eval_interval=1000, use_tensorboard=False,
+            time_slots=4,
+        )
+        tr = DNeRFTrainer("dnerf", cfg, **kw)
+        tr.train(train_ds, None, max_epochs=2, steps_per_epoch=4)
+        assert tr.global_step == 8
+        assert float(tr.occupancy.iter_density) > 0  # time grid was refreshed
+        tr.save_checkpoint()
+
+        # resume: a fresh trainer picks up step + the time-occupancy grid
+        tr2 = DNeRFTrainer("dnerf", cfg, **{**kw, "use_checkpoint": "latest"})
+        assert tr2.global_step == 8
+        assert tr2.occupancy.density_grid.shape == tr.occupancy.density_grid.shape
+        np.testing.assert_allclose(
+            np.asarray(tr2.occupancy.density_grid), np.asarray(tr.occupancy.density_grid)
+        )
+        tr2.train(train_ds, None, max_epochs=1, steps_per_epoch=2)
+        assert tr2.global_step == 10
+
+        # time-conditioned render + mesh export
+        val_ds = DNeRFDataset(dopt, split="val")
+        res = tr2.evaluate(val_ds, save_images=False)
+        assert np.isfinite(res["PSNR"])
+        path = tr2.save_mesh(resolution=24, threshold=0.5, t=0.5)
+        assert path.endswith("t0.50.obj")

@@ -416,3 +416,97 @@ class TestMXUBackward:
             table, state, l = step(table, state)
             losses.append(float(l))
         assert losses[-1] < losses[0] * 0.5
+
+
+class TestHashgridTV:
+    """TV regularizer parity (gridencoder.cu:549-643, grid.py:165-185)."""
+
+    def test_tv_decreases_under_descent(self):
+        from focnerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_tv_loss
+
+        spec = HashGridSpec.create(
+            num_levels=4, level_dim=2, base_resolution=8,
+            log2_hashmap_size=12, desired_resolution=64,
+        )
+        table = jax.random.normal(jax.random.key(0), (spec.table_rows, 2))
+        x = jax.random.uniform(jax.random.key(1), (256, 3))
+        loss0 = float(hashgrid_tv_loss(table, x, spec))
+        assert loss0 > 0
+        g = jax.grad(hashgrid_tv_loss)(table, x, spec)
+        assert g.shape == table.shape
+        table2 = table - 0.5 * g
+        loss1 = float(hashgrid_tv_loss(table2, x, spec))
+        assert loss1 < loss0
+
+    def test_tv_zero_on_constant_table(self):
+        from focnerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_tv_loss
+
+        spec = HashGridSpec.create(
+            num_levels=2, level_dim=2, base_resolution=8,
+            log2_hashmap_size=12, desired_resolution=16,
+        )
+        table = jnp.ones((spec.table_rows, 2))
+        x = jax.random.uniform(jax.random.key(1), (64, 3))
+        # constant table -> all deltas zero -> only the 1e-9 eps floor remains
+        assert float(hashgrid_tv_loss(table, x, spec)) < 1e-3
+
+
+class TestStochasticCorners:
+    """Stochastic-corner training mode (HashGridSpec.stochastic_k)."""
+
+    def test_unbiased_and_dense_exact(self):
+        import dataclasses
+
+        from focnerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init
+
+        spec = HashGridSpec.create(
+            num_levels=6, level_dim=2, base_resolution=16,
+            log2_hashmap_size=14, desired_resolution=256,
+        )
+        assert any(spec.hashed) and not all(spec.hashed)
+        sspec = dataclasses.replace(spec, stochastic_k=1)
+        table = hashgrid_init(jax.random.key(0), spec) * 1e4
+        x = jax.random.uniform(jax.random.key(1), (128, 3))
+        exact = hashgrid_encode(table, x, spec)
+
+        # no rng -> exact even with stochastic_k set
+        np.testing.assert_allclose(
+            np.asarray(hashgrid_encode(table, x, sspec)), np.asarray(exact), atol=1e-5
+        )
+
+        acc = jnp.zeros_like(exact)
+        R = 300
+        for i in range(R):
+            acc = acc + hashgrid_encode(table, x, sspec, rng=jax.random.key(i))
+        mc = acc / R
+        n_dense = sum(not h for h in spec.hashed) * spec.level_dim
+        np.testing.assert_allclose(  # dense levels stay exact per-draw
+            np.asarray(mc[:, :n_dense]), np.asarray(exact[:, :n_dense]), atol=1e-4
+        )
+        rel = np.median(
+            np.abs(np.asarray(mc[:, n_dense:] - exact[:, n_dense:]))
+            / (np.abs(np.asarray(exact[:, n_dense:])) + 1e-3)
+        )
+        assert rel < 0.1, f"MC mean should approach exact, rel={rel}"
+
+    def test_grad_unbiased(self):
+        import dataclasses
+
+        from focnerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init
+
+        spec = HashGridSpec.create(
+            num_levels=4, level_dim=2, base_resolution=16,
+            log2_hashmap_size=14, desired_resolution=128,
+        )
+        sspec = dataclasses.replace(spec, stochastic_k=2)
+        table = hashgrid_init(jax.random.key(0), spec)
+        x = jax.random.uniform(jax.random.key(1), (64, 3))
+        const = jax.random.normal(jax.random.key(2), (64, spec.output_dim))
+        loss = lambda t, s, k: jnp.sum(hashgrid_encode(t, x, s, rng=k) * const)
+        g_exact = jax.grad(loss)(table, spec, None)
+        gacc = jnp.zeros_like(g_exact)
+        R = 300
+        for i in range(R):
+            gacc = gacc + jax.grad(loss)(table, sspec, jax.random.key(i))
+        rel = float(jnp.linalg.norm(gacc / R - g_exact) / jnp.linalg.norm(g_exact))
+        assert rel < 0.1, rel
