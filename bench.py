@@ -18,6 +18,17 @@ import os
 import sys
 import time
 
+if "--dp" in sys.argv:
+    # DP-scaling mode runs on a virtual host-device mesh (the one physical
+    # chip cannot host a multi-device mesh); set platform before jax import
+    _n = int(sys.argv[sys.argv.index("--dp") + 1])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={_n}"
+        ).strip()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +73,74 @@ def build_scene():
         jnp.asarray(np.concatenate(all_o)),
         jnp.asarray(np.concatenate(all_d)),
         jnp.asarray(np.concatenate(all_rgb)),
+    )
+
+
+def bench_dp(n_devices: int):
+    """DP scaling record on an n-device virtual CPU mesh (VERDICT #7): the
+    sharded occupancy step vs the same step on a 1-device mesh. CPU numbers
+    are for the *scaling curve*, not absolute throughput (that's the main
+    bench on the chip)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from focnerf_tpu.models.nerf import NeRFConfig
+    from focnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from focnerf_tpu.parallel.sharding import make_sharded_train_step_occupancy
+    from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = NeRFConfig(use_objfeat=False, compute_dtype=jnp.float32, stochastic_corners=1)
+    all_o, all_d, all_rgb = build_scene()
+    gs = 128
+    r = (jnp.arange(gs) + 0.5) / gs * 2 - 1
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    occ_bits = ((X**2 + Y**2 + Z**2) < 0.55**2).reshape(1, -1)
+
+    def run(n, n_rays):
+        """rays/s of the sharded occupancy step on an n-device mesh."""
+        mesh = make_mesh(n)
+        optimizer = make_optimizer(lr=1e-2, iters=30000)
+        state = create_train_state(jax.random.key(0), cfg, optimizer)
+        state = replicate(state, mesh)
+        step = make_sharded_train_step_occupancy(
+            cfg, optimizer, mesh, dt_gamma=0.0, max_steps=MAX_STEPS, slab=SLAB
+        )
+        steps = 4
+        for i in range(2):
+            idx = np.random.default_rng(i).integers(0, all_o.shape[0], n_rays)
+            batch = shard_batch(
+                {"rays_o": all_o[idx], "rays_d": all_d[idx], "pixels": all_rgb[idx]},
+                mesh,
+            )
+            state, m = step(state, batch, occ_bits, jax.random.key(i))
+        jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        for i in range(steps):
+            idx = np.random.default_rng(100 + i).integers(0, all_o.shape[0], n_rays)
+            batch = shard_batch(
+                {"rays_o": all_o[idx], "rays_d": all_d[idx], "pixels": all_rgb[idx]},
+                mesh,
+            )
+            state, m = step(state, batch, occ_bits, jax.random.key(100 + i))
+            _ = float(m["loss"])
+        return n_rays * steps / (time.time() - t0)
+
+    r1 = run(1, N_RAYS)
+    r_weak = run(n_devices, N_RAYS * n_devices)  # per-device batch constant
+    r_strong = run(n_devices, N_RAYS)  # global batch constant
+    print(
+        json.dumps(
+            {
+                "metric": "train_dp_scaling_cpu_mesh",
+                "n_devices": n_devices,
+                "rays_per_sec_1dev": round(r1, 1),
+                "rays_per_sec_weak": round(r_weak, 1),
+                "weak_scaling_efficiency": round(r_weak / (r1 * n_devices), 3),
+                "rays_per_sec_strong": round(r_strong, 1),
+                "strong_scaling_efficiency": round(r_strong / (r1 * n_devices), 3),
+                "unit": "rays/s",
+            }
+        )
     )
 
 
@@ -122,4 +201,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--dp" in sys.argv:
+        bench_dp(int(sys.argv[sys.argv.index("--dp") + 1]))
+    else:
+        main()

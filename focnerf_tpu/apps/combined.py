@@ -35,7 +35,10 @@ def discover_objects(opt: Options) -> List[str]:
         if "_" not in name:
             continue
         obj = name.rsplit("_", 1)[-1]
-        if os.path.isdir(os.path.join(root, name, "checkpoints")):
+        ckpt = os.path.join(root, name, "checkpoints")
+        # a real object workspace carries the self-describing model config
+        # (written at train time); bare orbax-created dirs are skipped
+        if os.path.isdir(ckpt) and os.path.exists(os.path.join(ckpt, "model_config.json")):
             if not opt.objects_of_interest or obj in opt.objects_of_interest:
                 objs.append(obj)
     return objs
@@ -134,7 +137,10 @@ def _ws_prefix(opt: Options) -> str:
     candidates = [
         n.rsplit("_", 1)[0]
         for n in os.listdir(opt.ckpt_dir or ".")
-        if os.path.isdir(os.path.join(opt.ckpt_dir or ".", n, "checkpoints"))
+        if "_" in n
+        and os.path.exists(
+            os.path.join(opt.ckpt_dir or ".", n, "checkpoints", "model_config.json")
+        )
     ]
     return candidates[0] if candidates else "workspace"
 
@@ -155,6 +161,32 @@ def evaluate_composition(
     objs, cfg, stacked, obj_feats, stacked_occ = load_composition(
         opt, feats_mode=feats_mode, test_poses=dataset.poses
     )
+
+    baked_vol = None
+    if opt.baked:
+        # bake once, merge by max density, render every view in real time
+        # (render/baked.py; replaces the per-sample path below)
+        from focnerf_tpu.render.baked import bake_field, merge_volumes, shift_volume
+
+        avg_feats = obj_feats if (obj_feats is None or obj_feats.ndim == 2) else jnp.mean(obj_feats, 0)
+        t0 = time.time()
+        vols = []
+        for k in range(len(objs)):
+            pk = jax.tree.map(lambda a: a[k], stacked)
+            vols.append(
+                bake_field(
+                    pk, cfg, resolution=opt.bake_res,
+                    obj_feat=None if avg_feats is None else avg_feats[k],
+                    occ_bits=None if stacked_occ is None else stacked_occ[k],
+                )
+            )
+            if offsets is not None:
+                # compose offsets query the field at x+off -> scene pos -off
+                vols[-1] = shift_volume(vols[-1], -np.asarray(offsets[k]))
+        baked_vol = merge_volumes(vols)
+        jax.block_until_ready(baked_vol.rgba)
+        msg = f"[baked] {len(objs)} objects baked+merged at {opt.bake_res}^3 in {time.time()-t0:.1f}s"
+        print(msg)
     # march on the union of object occupancies (occ-accelerated composition)
     occ_kwargs = {}
     if stacked_occ is not None:
@@ -186,12 +218,22 @@ def evaluate_composition(
         # pose mode synthesizes distinct features per test view ([T, K, F])
         feats_v = obj_feats if (obj_feats is None or obj_feats.ndim == 2) else obj_feats[v]
         t0 = time.time()
-        rgba, depth = compose_image(
-            stacked, cfg, jnp.asarray(view["pose"]), dataset.intrinsics,
-            dataset.H, dataset.W, feats_v, offsets,
-            num_steps=opt.num_steps, max_ray_batch=opt.max_ray_batch,
-            bg_color=0.0, aabb=aabb, min_near=opt.min_near, **occ_kwargs,
-        )
+        if baked_vol is not None:
+            from focnerf_tpu.render.baked import render_baked
+
+            img_p, depth, alpha_b = render_baked(
+                baked_vol, view["pose"], dataset.intrinsics,
+                dataset.H, dataset.W, bg_color=0.0,
+                density_scale=cfg.density_scale,
+            )
+            rgba = jnp.concatenate([img_p, alpha_b[..., None]], -1)
+        else:
+            rgba, depth = compose_image(
+                stacked, cfg, jnp.asarray(view["pose"]), dataset.intrinsics,
+                dataset.H, dataset.W, feats_v, offsets,
+                num_steps=opt.num_steps, max_ray_batch=opt.max_ray_batch,
+                bg_color=0.0, aabb=aabb, min_near=opt.min_near, **occ_kwargs,
+            )
         rgba = np.asarray(jax.block_until_ready(rgba))
         dt = time.time() - t0
 

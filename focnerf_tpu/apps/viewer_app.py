@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 
@@ -68,6 +69,27 @@ def _view_only(opt):
         return render_fn, None
 
     obj_feat = jnp.zeros((cfg.yolo_feats_dim,)) if cfg.use_objfeat else None
+
+    if opt.baked:
+        # real-time path: bake once, every frame is a shear-warp render
+        # (the TPU answer to the GUI's 200 ms frame budget, nerf/gui.py:134-140)
+        from focnerf_tpu.render.baked import bake_field, render_baked
+
+        t0 = time.time()
+        vol = bake_field(
+            params, cfg, resolution=opt.bake_res, obj_feat=obj_feat,
+            occ_bits=occ_kwargs.get("occ_bits"),
+        )
+        print(f"[viewer] baked {opt.bake_res}^3 volume in {time.time()-t0:.1f}s")
+
+        def render_fn(pose, intrinsics, H, W, t):
+            img, _, _ = render_baked(
+                vol, pose, intrinsics, H, W, bg_color=1.0,
+                density_scale=cfg.density_scale,
+            )
+            return np.asarray(img)
+
+        return render_fn, None
 
     def render_fn(pose, intrinsics, H, W, t):
         img, _ = render_image(

@@ -84,6 +84,11 @@ class Options:
     offset_y: float = 0.0
     offset_z: float = 0.0
 
+    # baked real-time inference (render/baked.py): --baked routes the
+    # composition/editing apps through the shear-warp renderer
+    baked: bool = False
+    bake_res: int = 256
+
     # dnerf
     dnerf_variant: str = "deform"
     time_slots: int = 64

@@ -48,6 +48,11 @@ class DatasetOptions:
     color_space: str = "srgb"
     # camera pose x-shift for editing previews (--edit_x, provider.py:221-222)
     edit_x: float = 0.0
+    # host input pipeline: keep the image stack on the host as uint8 and
+    # sample batches with the native threaded loader (data/native_loader.py)
+    # instead of preloading to HBM — for stacks larger than device memory.
+    # Incompatible with error_map/patch sampling (uniform sampling only).
+    host_pipeline: bool = False
 
 
 def _load_image(path: str) -> np.ndarray:
@@ -228,15 +233,25 @@ class NeRFDataset:
             self.obj_feats = np.stack(feats)  # [V, F]
             self.masks = np.stack(msks)  # [V, H, W] bool
 
-        # ---- preload to device (provider.py:368-378)
+        # ---- preload to device (provider.py:368-378), or keep on host
+        self.images = None
+        self.images_host: Optional[np.ndarray] = None
+        self._native_loader = None
         if images:
-            arr = np.stack(images)  # [V, H, W, C]
-            dtype = jnp.float16 if self.opt.preload_dtype == "float16" else jnp.float32
-            self.images = jax.device_put(
-                jnp.asarray(arr.reshape(self.n_views, -1, arr.shape[-1]), dtype)
-            )
-        else:
-            self.images = None
+            arr = np.stack(images)  # [V, H, W, C] float in [0, 1]
+            if self.opt.host_pipeline and self.training:
+                assert not self.opt.error_map and self.opt.patch_size <= 1, (
+                    "host_pipeline samples uniformly (no error-map/patch modes)"
+                )
+                self.images_host = np.ascontiguousarray(
+                    np.clip(arr.reshape(self.n_views, -1, arr.shape[-1]) * 255.0 + 0.5,
+                            0, 255).astype(np.uint8)
+                )
+            else:
+                dtype = jnp.float16 if self.opt.preload_dtype == "float16" else jnp.float32
+                self.images = jax.device_put(
+                    jnp.asarray(arr.reshape(self.n_views, -1, arr.shape[-1]), dtype)
+                )
         self.poses_dev = jax.device_put(jnp.asarray(self.poses))
         if self.masks is not None:
             self.masks_dev = jax.device_put(jnp.asarray(self.masks.reshape(self.n_views, -1)))
@@ -276,7 +291,7 @@ class NeRFDataset:
 
     @property
     def has_gt(self) -> bool:
-        return self.images is not None
+        return self.images is not None or self.images_host is not None
 
     # ------------------------------------------------------------------ batches
     def train_batch(self, rng: jax.Array, view: Optional[int] = None):
@@ -285,6 +300,8 @@ class NeRFDataset:
         Fully on-device equivalent of collate + get_rays (provider.py:398-447).
         Returns the dict consumed by train.steps.make_train_step.
         """
+        if self.images_host is not None:
+            return self._host_train_batch(view)
         if self._train_batch_jit is None:
             H, W, num_rays = self.H, self.W, self.opt.num_rays
             patch = self.opt.patch_size
@@ -326,6 +343,43 @@ class NeRFDataset:
             self.error_map,
         )
 
+    def _host_train_batch(self, view: Optional[int] = None):
+        """Batch via the native threaded loader (host_pipeline=True): the C++
+        workers pre-sample (view, indices, pixels) so the host never blocks;
+        rays are derived on-device from the sampled indices."""
+        from focnerf_tpu.data.native_loader import NativeBatchLoader
+
+        if self._native_loader is None:
+            self._native_loader = NativeBatchLoader(
+                self.images_host, self.opt.num_rays, n_threads=2, seed=1234
+            )
+
+            H, W = self.H, self.W
+
+            def _assemble(view_idx, inds, pixels, poses, masks, obj_feats):
+                rays = get_rays(poses[view_idx], self.intrinsics, H, W, inds=inds)
+                batch = {
+                    "rays_o": rays["rays_o"],
+                    "rays_d": rays["rays_d"],
+                    "pixels": pixels,
+                    "view": view_idx,
+                }
+                if masks is not None:
+                    batch["ray_mask"] = masks[view_idx][inds]
+                if obj_feats is not None:
+                    batch["obj_feat"] = obj_feats[view_idx]
+                return batch
+
+            self._host_assemble_jit = jax.jit(_assemble)
+
+        if view is not None:
+            raise ValueError("host_pipeline samples its own views (view=None)")
+        v, inds, pixels = self._native_loader.next()
+        return self._host_assemble_jit(
+            jnp.int32(v), jnp.asarray(inds), jnp.asarray(pixels),
+            self.poses_dev, self.masks_dev, self.obj_feats_dev,
+        )
+
     def eval_view(self, view: int):
         """Full-image rays + GT for one view (eval/test loops)."""
         rays = get_rays(self.poses_dev[view], self.intrinsics, self.H, self.W)
@@ -338,6 +392,10 @@ class NeRFDataset:
         }
         if self.images is not None:
             out["pixels"] = self.images[view].astype(jnp.float32)
+        elif self.images_host is not None:
+            out["pixels"] = jnp.asarray(
+                self.images_host[view].astype(np.float32) / 255.0
+            )
         if self.obj_feats_dev is not None:
             out["obj_feat"] = self.obj_feats_dev[view]
         return out

@@ -73,6 +73,58 @@ def make_sharded_train_step(
     return sharded_step
 
 
+def make_sharded_train_step_occupancy(
+    cfg: NeRFConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 32,
+    min_near: float = 0.2,
+    ema_decay: float = 0.95,
+    axis: str = "data",
+):
+    """Data-parallel occupancy train step: rays sharded, params + occupancy
+    bitfield replicated, gradient psum inserted by XLA (SURVEY §2.3).
+
+    Signature: (state, batch, occ_bits, rng) -> (state, metrics).
+    """
+    from focnerf_tpu.train.steps import make_train_step_occupancy
+
+    base = make_train_step_occupancy(
+        cfg,
+        optimizer,
+        dt_gamma=dt_gamma,
+        max_steps=max_steps,
+        slab=slab,
+        min_near=min_near,
+        ema_decay=ema_decay,
+        donate=False,
+    )
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def sharded_step(state: TrainState, batch, occ_bits, rng):
+        state = jax.lax.with_sharding_constraint(
+            state, jax.tree.map(lambda _: repl, state)
+        )
+        occ_bits = jax.lax.with_sharding_constraint(occ_bits, repl)
+        batch = {
+            k: jax.lax.with_sharding_constraint(
+                v,
+                data
+                if (hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] >= mesh.shape[axis])
+                else repl,
+            )
+            for k, v in batch.items()
+        }
+        return base.raw(state, batch, occ_bits, rng)
+
+    return sharded_step
+
+
 def shard_objects(stacked_params, mesh: Mesh, axis: str = "data"):
     """Shard stacked per-object params [K, ...] over the mesh axis."""
     sh = NamedSharding(mesh, P(axis))

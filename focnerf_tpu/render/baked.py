@@ -1,0 +1,314 @@
+"""Baked real-time rendering: dense voxel bake + shear-warp compositing.
+
+The TPU-native answer to the reference's interactive `run_cuda` inference
+loop (nerf/renderer.py:318-354) and the 30 FPS composition target
+(COMBINED.py:592-618): per-sample hash-grid gathers can never reach real
+time on TPU (random-row gathers run at ~0.1 G rows/s on v5e — PERF.md), so
+inference is *baked* SNeRG-style into a dense RGBA voxel grid once per
+trained object, and frames are rendered with the shear-warp factorization
+(Lacroute & Levoy):
+
+  1. pick the volume axis most aligned with the view direction;
+  2. every slice along that axis maps to a common reference plane through a
+     per-slice uniform scale+translation (perspective projection through the
+     eye) — a SEPARABLE resampling, executed as two small matmuls per slice
+     on the MXU (interpolation matrices are built on the fly from iota math);
+  3. slices composite front-to-back into an intermediate image with dense
+     VPU ops (per-pixel dt from the ray obliquity, exact for the pinhole);
+  4. one final projective warp maps the intermediate image to screen pixels
+     (the only gather in the pipeline: H*W indices per frame, each fetching a
+     (2,2) bilinear footprint).
+
+Multi-object composition collapses to a *bake-time* voxel merge by max
+density (the per-sample argmax fusion of COMBINED.py:247-251 evaluated on
+the voxel grid), so frame cost is O(1) in object count; rigid editing
+(editable.py:443-471) becomes a voxel-space shift of one object's volume
+before the merge.
+
+View dependence: the bake evaluates the color net with the outward radial
+direction per voxel (a diffuse approximation; the exact per-sample path
+remains available for quality evals). Measured PSNR of baked vs per-sample
+renders is recorded in PERF.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BakedVolume(NamedTuple):
+    rgba: jax.Array  # [R, R, R, 4] — rgb + raw sigma, axes (x, y, z), world [-b, b]
+    bound: float
+
+
+# --------------------------------------------------------------------- bake
+def bake_field(
+    params,
+    cfg,
+    *,
+    resolution: int = 256,
+    obj_feat: Optional[jax.Array] = None,
+    occ_bits: Optional[jax.Array] = None,
+    grid_size: int = 128,
+    chunk: int = 2**16,
+) -> BakedVolume:
+    """Evaluate a trained field on a dense voxel grid.
+
+    ``occ_bits`` ([CAS, grid_size^3] or [grid_size^3]) optionally zeroes
+    density outside the trained occupancy (suppresses hash-collision noise in
+    never-seen space, like the bitfield does for the marching renderer).
+    """
+    from focnerf_tpu.models.nerf import color_fn, density_fn, encode_objfeat
+
+    R = resolution
+    b = float(cfg.bound)
+    centers = (jnp.arange(R, dtype=jnp.float32) + 0.5) / R * (2 * b) - b
+    X, Y, Z = jnp.meshgrid(centers, centers, centers, indexing="ij")
+    pts = jnp.stack([X, Y, Z], -1).reshape(-1, 3)  # [R^3, 3] x-major
+
+    objfeat_enc = None
+    if cfg.use_objfeat:
+        assert obj_feat is not None, "cfg.use_objfeat=True requires obj_feat"
+        objfeat_enc = encode_objfeat(params, cfg, obj_feat)
+
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+    @jax.jit
+    def eval_chunk(p):
+        sigma, geo = density_fn(params, cfg, p)
+        d = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-6)
+        rgb = color_fn(params, cfg, d, geo, objfeat_enc)
+        return jnp.concatenate([rgb, sigma[..., None]], -1)
+
+    rgba = jax.lax.map(eval_chunk, pts_p).reshape(-1, 4)[:n]
+
+    if occ_bits is not None:
+        occ = occ_bits.reshape(-1, grid_size**3).any(axis=0)  # union of cascades
+        occ3 = occ.reshape(grid_size, grid_size, grid_size)
+        # resize occupancy (cell-major x,y,z) to the bake grid by nearest
+        idx = (jnp.arange(R) * grid_size // R).astype(jnp.int32)
+        occ_r = occ3[idx][:, idx][:, :, idx].reshape(-1)
+        rgba = rgba.at[:, 3].set(jnp.where(occ_r, rgba[:, 3], 0.0))
+
+    return BakedVolume(rgba=rgba.reshape(R, R, R, 4), bound=b)
+
+
+def shift_volume(vol: BakedVolume, offset_world: Sequence[float]) -> BakedVolume:
+    """Rigid-translate a baked object by whole voxels: the object appears at
+    field position + offset_world. NOTE the sign convention of the ray-offset
+    editing flow (editable.py:443-471, render/compose.py): there object k's
+    field is queried at (x + offset_k), which places it in the scene at
+    -offset_k — so the baked equivalent of a compose offset is
+    ``shift_volume(vol, -offset_k)``."""
+    R = vol.rgba.shape[0]
+    vox = R / (2.0 * vol.bound)
+    rgba = vol.rgba
+    for ax in range(3):
+        s = int(round(float(offset_world[ax]) * vox))
+        if s == 0:
+            continue
+        rgba = jnp.roll(rgba, s, axis=ax)
+        # zero the wrapped-around band
+        idx = jnp.arange(R)
+        band = (idx < s) if s > 0 else (idx >= R + s)
+        shape = [1, 1, 1, 1]
+        shape[ax] = R
+        rgba = jnp.where(band.reshape(shape), 0.0, rgba)
+    return BakedVolume(rgba=rgba, bound=vol.bound)
+
+
+def merge_volumes(vols: List[BakedVolume]) -> BakedVolume:
+    """Max-density argmax fusion of per-object volumes — the voxel-space
+    equivalent of best_densities_and_colors_v3 (COMBINED.py:247-251)."""
+    assert len(vols) > 0
+    out = vols[0].rgba
+    for v in vols[1:]:
+        assert v.rgba.shape == out.shape and v.bound == vols[0].bound
+        take = v.rgba[..., 3:] > out[..., 3:]
+        out = jnp.where(take, v.rgba, out)
+    return BakedVolume(rgba=out, bound=vols[0].bound)
+
+
+# ------------------------------------------------------------------- render
+def _hat(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "flip", "H", "W", "ri", "early_stop")
+)
+def _render_core(
+    rgba,  # [R, R, R, 4] axes (x, y, z)
+    bound: float,
+    pose,  # [4, 4] c2w
+    intr,  # [4] fx, fy, cx, cy
+    *,
+    axis: int,
+    flip: bool,
+    H: int,
+    W: int,
+    ri: int,
+    bg_color: float,
+    density_scale: float,
+    early_stop: bool = True,
+):
+    R = rgba.shape[0]
+    b = bound
+
+    # --- permute so the principal axis is leading (slice axis), others (y, x)
+    others = [a for a in range(3) if a != axis]
+    V = jnp.transpose(rgba, (axis, others[0], others[1], 3))  # [Rz', Ry', Rx', 4]
+    if jax.default_backend() != "cpu":
+        V = V.astype(jnp.bfloat16)  # resampling matmuls ride the bf16 MXU path
+    e = pose[:3, 3]
+    e_z, e_y, e_x = e[axis], e[others[0]], e[others[1]]
+    if flip:  # put the eye on the +z' side
+        V = jnp.flip(V, 0)
+        e_z = -e_z
+
+    centers = (jnp.arange(R, dtype=jnp.float32) + 0.5) / R * (2 * b) - b  # z'_k
+    dz = 2.0 * b / R
+
+    # --- intermediate grid on the z'=0 plane: the volume footprint seen from e
+    corners = jnp.array([-b, b], jnp.float32)
+    s_c = e_z / (e_z - corners)  # scale for the two extreme slices [2]
+    uy = e_y + (corners[None, :] - e_y) * s_c[:, None]  # [2 slices, 2 corners]
+    ux = e_x + (corners[None, :] - e_x) * s_c[:, None]
+    ymin, ymax = jnp.min(uy), jnp.max(uy)
+    xmin, xmax = jnp.min(ux), jnp.max(ux)
+    dy_i = (ymax - ymin) / ri
+    dx_i = (xmax - xmin) / ri
+    gy = ymin + (jnp.arange(ri, dtype=jnp.float32) + 0.5) * dy_i  # [Ri]
+    gx = xmin + (jnp.arange(ri, dtype=jnp.float32) + 0.5) * dx_i
+
+    # per-intermediate-pixel ray obliquity: dt = dz * |d| / |d_z|, d through e
+    ddy = gy[:, None] - e_y
+    ddx = gx[None, :] - e_x
+    dlen = jnp.sqrt(ddy**2 + ddx**2 + e_z**2)
+    dt = dz * dlen / jnp.maximum(jnp.abs(e_z), 1e-6)  # [Ri, Ri]
+
+    iota = jnp.arange(R, dtype=jnp.float32)
+
+    def body(carry, k):
+        T, C, D = carry  # [Ri,Ri], [Ri,Ri,3], [Ri,Ri]
+        z_k = centers[k]
+        s_k = e_z / (e_z - z_k)
+        # source world coords feeding intermediate pixels (inverse projection)
+        ys = e_y + (gy - e_y) / s_k
+        xs = e_x + (gx - e_x) / s_k
+        py = (ys + b) / (2 * b) * R - 0.5  # voxel coords
+        px = (xs + b) / (2 * b) * R - 0.5
+        My = _hat(py[None, :] - iota[:, None]).astype(V.dtype)  # [R, Ri]
+        Mx = _hat(px[None, :] - iota[:, None]).astype(V.dtype)
+        S = V[k]  # [Ry, Rx, 4]
+        tmp = jnp.einsum("yxc,yY->Yxc", S, My, preferred_element_type=jnp.float32)
+        sl = jnp.einsum("Yxc,xX->YXc", tmp.astype(V.dtype), Mx,
+                        preferred_element_type=jnp.float32)  # [Ri, Ri, 4]
+        sigma = jnp.maximum(sl[..., 3], 0.0) * density_scale
+        alpha = 1.0 - jnp.exp(-sigma * dt)
+        w = T * alpha
+        C = C + w[..., None] * sl[..., :3]
+        D = D + w * (e_z - z_k)  # axial depth accumulation
+        T = T * (1.0 - alpha)
+        return (T, C, D), None
+
+    T0 = jnp.ones((ri, ri), jnp.float32)
+    C0 = jnp.zeros((ri, ri, 3), jnp.float32)
+    D0 = jnp.zeros((ri, ri), jnp.float32)
+    ks = jnp.arange(R - 1, -1, -1)  # front-to-back: nearest (+z') slice first
+    (T, C, D), _ = jax.lax.scan(body, (T0, C0, D0), ks)
+
+    # --- final warp: screen pixel -> plane z'=0 -> bilinear sample
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    jj, ii = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dirs = jnp.stack(
+        [(ii + 0.5 - cx) / fx, (jj + 0.5 - cy) / fy, jnp.ones_like(ii)], -1
+    )  # cam space [H, W, 3]
+    d_world = jnp.einsum("hwc,rc->hwr", dirs, pose[:3, :3])
+    d_z = d_world[..., axis] * (-1.0 if flip else 1.0)
+    d_y = d_world[..., others[0]]
+    d_x = d_world[..., others[1]]
+    t_pl = -e_z / jnp.where(jnp.abs(d_z) < 1e-9, 1e-9, d_z)
+    hit = t_pl > 0
+    p_y = e_y + d_y * t_pl
+    p_x = e_x + d_x * t_pl
+    fy_i = (p_y - ymin) / dy_i - 0.5  # intermediate pixel coords
+    fx_i = (p_x - xmin) / dx_i - 0.5
+
+    buf = jnp.concatenate([C, T[..., None], D[..., None]], -1)  # [Ri, Ri, 5]
+    y0 = jnp.clip(jnp.floor(fy_i).astype(jnp.int32), 0, ri - 2)
+    x0 = jnp.clip(jnp.floor(fx_i).astype(jnp.int32), 0, ri - 2)
+    wy = jnp.clip(fy_i - y0, 0.0, 1.0)
+    wx = jnp.clip(fx_i - x0, 0.0, 1.0)
+    starts = jnp.stack([y0, x0], -1).reshape(-1, 2)
+    win = jax.lax.gather(
+        buf,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(2, 2, 5),
+        mode="clip",
+    ).reshape(H, W, 2, 2, 5)
+    wy = wy[..., None]
+    wx = wx[..., None]
+    smp = (
+        win[:, :, 0, 0] * (1 - wy) * (1 - wx)
+        + win[:, :, 0, 1] * (1 - wy) * wx
+        + win[:, :, 1, 0] * wy * (1 - wx)
+        + win[:, :, 1, 1] * wy * wx
+    )  # [H, W, 5]
+    rgb_s, T_s, D_s = smp[..., :3], smp[..., 3], smp[..., 4]
+    rgb_s = jnp.where(hit[..., None], rgb_s, 0.0)
+    T_s = jnp.clip(jnp.where(hit, T_s, 1.0), 0.0, 1.0)
+    image = rgb_s + T_s[..., None] * bg_color
+    depth = jnp.where(hit, D_s, 0.0)
+    return image, depth, 1.0 - T_s
+
+
+def render_baked(
+    vol: BakedVolume,
+    pose,
+    intrinsics,
+    H: int,
+    W: int,
+    *,
+    bg_color: float = 1.0,
+    intermediate_scale: int = 2,
+    density_scale: float = 1.0,
+):
+    """Shear-warp render of a baked volume -> (image [H,W,3], depth [H,W],
+    alpha [H,W]). ``pose``/``intrinsics`` follow core.rays.get_rays
+    conventions. The principal axis/sign is chosen on the host (6 cached jit
+    variants)."""
+    pose_np = np.asarray(pose, np.float32)
+    fwd = pose_np[:3, :3] @ np.array([0.0, 0.0, 1.0], np.float32)
+    axis = int(np.argmax(np.abs(fwd)))
+    # eye must sit on the +z' side: flip when the eye coordinate is negative
+    flip = bool(pose_np[axis, 3] < 0)
+    ri = int(vol.rgba.shape[0] * intermediate_scale)
+    return _render_core(
+        vol.rgba,
+        float(vol.bound),
+        jnp.asarray(pose_np),
+        jnp.asarray(intrinsics, jnp.float32),
+        axis=axis,
+        flip=flip,
+        H=H,
+        W=W,
+        ri=ri,
+        bg_color=bg_color,
+        density_scale=density_scale,
+    )

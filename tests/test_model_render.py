@@ -159,6 +159,7 @@ def _make_sphere_batch(rng_np, cfg, n_rays=256, n_views=4, radius=2.5):
     )
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_loss_decreases_overfit(self):
         cfg = NeRFConfig(

@@ -151,6 +151,7 @@ class TestProvider:
         assert float(b["time"]) == pytest.approx(ds.times[3])
 
 
+@pytest.mark.slow
 class TestMainNerfCLI:
     def test_end_to_end_train_and_test(self, scene, tmp_path):
         """Full CLI flow with disable_yolo: background object, tiny budget."""
@@ -207,6 +208,7 @@ class TestConfig:
         assert opt.bound_inf == (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
 
 
+@pytest.mark.slow
 class TestOccupancyTrainerCLI:
     def test_cuda_ray_path_end_to_end(self, scene, tmp_path):
         """--cuda_ray: occupancy-grid maintenance + accelerated train steps."""

@@ -19,13 +19,73 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_baked(args):
+    """Baked shear-warp path: bake K objects once, merge, render frames.
+
+    The 30 FPS @ 800^2 4-object target (BASELINE.md) is measured here —
+    per-frame cost is O(1) in K because objects merge at bake time."""
+    from focnerf_tpu.core.camera import rand_poses
+    from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+    from focnerf_tpu.render.baked import (
+        bake_field,
+        merge_volumes,
+        render_baked,
+        shift_volume,
+    )
+
+    cfg = NeRFConfig(use_objfeat=False)
+    H = W = args.res
+    fx = 1.2 * W
+    intr = (fx, fx, W / 2, H / 2)
+
+    t0 = time.time()
+    vols = []
+    for i in range(args.objects):
+        params = init_nerf_params(jax.random.key(i), cfg)
+        v = bake_field(params, cfg, resolution=args.bake_res)
+        vols.append(shift_volume(v, (0.5 * i - 0.25 * args.objects, 0.0, 0.0)))
+    merged = merge_volumes(vols)
+    jax.block_until_ready(merged.rgba)
+    bake_s = time.time() - t0
+    print(json.dumps({
+        "metric": f"bake_seconds_{args.bake_res}vox_{args.objects}obj",
+        "value": round(bake_s, 2), "unit": "s",
+    }))
+
+    poses = rand_poses(np.random.default_rng(0), 8, radius=2.5)
+    # warmup every (axis, flip) jit variant that the orbit touches
+    for p_ in poses:
+        img, _, _ = render_baked(merged, p_, intr, H, W)
+    jax.block_until_ready(img)
+    t0 = time.time()
+    n = 0
+    for _ in range(3):
+        for p_ in poses:
+            img, _, _ = render_baked(merged, p_, intr, H, W)
+            n += 1
+    jax.block_until_ready(img)
+    dt = (time.time() - t0) / n
+    print(json.dumps({
+        "metric": f"baked_fps_{args.res}px_{args.objects}obj",
+        "value": round(1.0 / dt, 2), "unit": "fps",
+        "ms_per_frame": round(dt * 1000, 2),
+        "bake_res": args.bake_res,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--objects", type=int, default=2)
     p.add_argument("--slab", type=int, default=64)
     p.add_argument("--num_steps", type=int, default=128)
+    p.add_argument("--baked", action="store_true")
+    p.add_argument("--bake_res", type=int, default=256)
     args = p.parse_args()
+
+    if args.baked:
+        bench_baked(args)
+        return
 
     from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
     from focnerf_tpu.ops.occupancy import occupancy_bitfield, init_occupancy
