@@ -149,7 +149,9 @@ def main():
 
     from focnerf_tpu.render.renderer import render_rays_occupancy
 
-    cfg = NeRFConfig(use_objfeat=False)
+    # the -O production config (config.py): stochastic-corner hash encode
+    # (1 sampled corner per hashed level during training; eval stays exact)
+    cfg = NeRFConfig(use_objfeat=False, stochastic_corners=1)
     optimizer = make_optimizer(lr=1e-2, iters=30000)
     state = create_train_state(jax.random.key(0), cfg, optimizer)
 

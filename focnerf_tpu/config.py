@@ -33,6 +33,10 @@ class Options:
     max_ray_batch: int = 4096
     patch_size: int = 1
     train_slab: int = 128  # TPU addition: per-ray sample budget (occupancy path)
+    # bucketed slab schedule: precompiled 16/32/.../train_slab occupancy
+    # steps, re-picked from the measured mean samples/ray (the reference's
+    # mean_count-sized allocation, nerf/renderer.py:483-495)
+    bucket_slabs: bool = False
 
     # precision / backend (flags.py:26-29)
     fp16: bool = False  # bf16 compute on TPU
@@ -141,6 +145,9 @@ class Options:
             patch_size=self.patch_size,
             color_space=self.color_space,
             edit_x=self.edit_x,
+            # --preload false == the reference's host-side DataLoader path:
+            # uint8 stack in host RAM + native threaded sampler
+            host_pipeline=not self.preload,
         )
 
 
@@ -176,4 +183,9 @@ def parse_options(argv=None, **parser_kw) -> Options:
         opt.fp16 = True
         opt.cuda_ray = True
         opt.preload = True
+        # TPU-native accelerations beyond the reference's -O (measured
+        # faster AND quality-neutral-or-better on synthetic scenes; PERF.md):
+        # stochastic-corner hash encode for training, bucketed slab schedule
+        opt.stochastic_corners = 1
+        opt.bucket_slabs = True
     return opt

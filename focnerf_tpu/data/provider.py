@@ -239,7 +239,11 @@ class NeRFDataset:
         self._native_loader = None
         if images:
             arr = np.stack(images)  # [V, H, W, C] float in [0, 1]
-            if self.opt.host_pipeline and self.training:
+            from focnerf_tpu.data import native_loader as _nl
+
+            if self.opt.host_pipeline and self.training and not _nl.available():
+                print("[WARN] native loader unavailable; preloading to device")
+            if self.opt.host_pipeline and self.training and _nl.available():
                 assert not self.opt.error_map and self.opt.patch_size <= 1, (
                     "host_pipeline samples uniformly (no error-map/patch modes)"
                 )

@@ -80,6 +80,17 @@ def bake_field(
     pad = (-n) % chunk
     pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
 
+    # python loop over a single compiled chunk, NOT lax.map: the hash-grid
+    # MXU forward scans internally, and a scan nested in an outer loop
+    # compiles pathologically (PERF.md); per-dispatch overhead is ~1.6 ms
+    # against a multi-ms chunk.
+    #
+    # The encode runs in "gather" mode here: the MXU one-hot forward trades
+    # gathers for synthetic matmul flops — a winning trade at train batch
+    # sizes (~130k samples) but ~1 PFLOP of one-hots at bake scale (R^3*8
+    # corners); plain gathers are ~20 s for a 256^3 bake.
+    from focnerf_tpu.ops import hashgrid as _hg
+
     @jax.jit
     def eval_chunk(p):
         sigma, geo = density_fn(params, cfg, p)
@@ -87,7 +98,14 @@ def bake_field(
         rgb = color_fn(params, cfg, d, geo, objfeat_enc)
         return jnp.concatenate([rgb, sigma[..., None]], -1)
 
-    rgba = jax.lax.map(eval_chunk, pts_p).reshape(-1, 4)[:n]
+    prev_mode = _hg.FORWARD_MODE
+    _hg.FORWARD_MODE = "gather"
+    try:
+        rgba = jnp.concatenate(
+            [eval_chunk(pts_p[i]) for i in range(pts_p.shape[0])]
+        )[:n]
+    finally:
+        _hg.FORWARD_MODE = prev_mode
 
     if occ_bits is not None:
         occ = occ_bits.reshape(-1, grid_size**3).any(axis=0)  # union of cascades
@@ -142,7 +160,7 @@ def _hat(x):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis", "flip", "H", "W", "ri", "early_stop")
+    jax.jit, static_argnames=("axis", "flip", "H", "W", "ri")
 )
 def _render_core(
     rgba,  # [R, R, R, 4] axes (x, y, z)
@@ -157,7 +175,6 @@ def _render_core(
     ri: int,
     bg_color: float,
     density_scale: float,
-    early_stop: bool = True,
 ):
     R = rgba.shape[0]
     b = bound
@@ -196,34 +213,49 @@ def _render_core(
 
     iota = jnp.arange(R, dtype=jnp.float32)
 
-    def body(carry, k):
+    # ---- block-batched resample + composite. A slice-at-a-time scan is
+    # overhead-bound on TPU (256 sequential tiny matmuls measured 1.3 s per
+    # 800^2 frame); instead slices are resampled K at a time as one batched
+    # MXU einsum, and compositing inside a block uses the exclusive-cumprod
+    # form (alpha compositing is associative), leaving only R/K sequential
+    # folds.
+    K = min(32, R)
+    assert R % K == 0
+    n_blocks = R // K
+    # front-to-back: nearest (+z') slice first
+    V_f2b = jnp.flip(V, 0).reshape(n_blocks, K, R, R, 4)
+    z_f2b = jnp.flip(centers, 0).reshape(n_blocks, K)
+
+    def block_body(carry, xs):
         T, C, D = carry  # [Ri,Ri], [Ri,Ri,3], [Ri,Ri]
-        z_k = centers[k]
-        s_k = e_z / (e_z - z_k)
+        Vb, zb = xs  # [K, Ry, Rx, 4], [K]
+        s_k = e_z / (e_z - zb)  # [K]
         # source world coords feeding intermediate pixels (inverse projection)
-        ys = e_y + (gy - e_y) / s_k
-        xs = e_x + (gx - e_x) / s_k
+        ys = e_y + (gy[None, :] - e_y) / s_k[:, None]  # [K, Ri]
+        xs_ = e_x + (gx[None, :] - e_x) / s_k[:, None]
         py = (ys + b) / (2 * b) * R - 0.5  # voxel coords
-        px = (xs + b) / (2 * b) * R - 0.5
-        My = _hat(py[None, :] - iota[:, None]).astype(V.dtype)  # [R, Ri]
-        Mx = _hat(px[None, :] - iota[:, None]).astype(V.dtype)
-        S = V[k]  # [Ry, Rx, 4]
-        tmp = jnp.einsum("yxc,yY->Yxc", S, My, preferred_element_type=jnp.float32)
-        sl = jnp.einsum("Yxc,xX->YXc", tmp.astype(V.dtype), Mx,
-                        preferred_element_type=jnp.float32)  # [Ri, Ri, 4]
+        px = (xs_ + b) / (2 * b) * R - 0.5
+        My = _hat(py[:, None, :] - iota[None, :, None]).astype(V.dtype)  # [K, R, Ri]
+        Mx = _hat(px[:, None, :] - iota[None, :, None]).astype(V.dtype)
+        tmp = jnp.einsum("kyxc,kyY->kYxc", Vb, My,
+                         preferred_element_type=jnp.float32)
+        sl = jnp.einsum("kYxc,kxX->kYXc", tmp.astype(V.dtype), Mx,
+                        preferred_element_type=jnp.float32)  # [K, Ri, Ri, 4]
         sigma = jnp.maximum(sl[..., 3], 0.0) * density_scale
-        alpha = 1.0 - jnp.exp(-sigma * dt)
-        w = T * alpha
-        C = C + w[..., None] * sl[..., :3]
-        D = D + w * (e_z - z_k)  # axial depth accumulation
-        T = T * (1.0 - alpha)
+        alpha = 1.0 - jnp.exp(-sigma * dt[None])  # [K, Ri, Ri]
+        # exclusive within-block transmittance, then fold into the carry
+        Tw = jnp.cumprod(1.0 - alpha, axis=0)
+        Tw_excl = jnp.concatenate([jnp.ones_like(Tw[:1]), Tw[:-1]], axis=0)
+        w = Tw_excl * alpha  # [K, Ri, Ri]
+        C = C + T[..., None] * jnp.einsum("kij,kijc->ijc", w, sl[..., :3])
+        D = D + T * jnp.einsum("kij,k->ij", w, e_z - zb)
+        T = T * Tw[-1]
         return (T, C, D), None
 
     T0 = jnp.ones((ri, ri), jnp.float32)
     C0 = jnp.zeros((ri, ri, 3), jnp.float32)
     D0 = jnp.zeros((ri, ri), jnp.float32)
-    ks = jnp.arange(R - 1, -1, -1)  # front-to-back: nearest (+z') slice first
-    (T, C, D), _ = jax.lax.scan(body, (T0, C0, D0), ks)
+    (T, C, D), _ = jax.lax.scan(block_body, (T0, C0, D0), (V_f2b, z_f2b))
 
     # --- final warp: screen pixel -> plane z'=0 -> bilinear sample
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]

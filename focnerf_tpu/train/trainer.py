@@ -58,6 +58,7 @@ class Trainer:
         min_near: float = 0.2,
         color_space: str = "srgb",
         tv_weight: float = 0.0,
+        bucket_slabs: bool = False,
         eval_interval: int = 50,
         max_keep_ckpt: int = 2,
         use_checkpoint: str = "latest",
@@ -74,6 +75,19 @@ class Trainer:
         self.dt_gamma = dt_gamma
         self.max_steps = max_steps
         self.train_slab = train_slab
+        # bucketed slab schedule (the reference's mean_count-sized CUDA
+        # allocation, nerf/renderer.py:483-495, recast for static shapes):
+        # precompiled steps at power-of-two slabs; each occupancy-update tick
+        # re-picks the smallest bucket covering the measured mean samples/ray.
+        # Starts at the widest bucket so early (pre-pruning) steps never
+        # truncate — plain slab-16 training collapses quality (PERF.md).
+        self.bucket_slabs = bucket_slabs
+        self._slab_buckets = sorted(
+            {min(1 << i, train_slab) for i in range(4, 11) if (1 << i) <= train_slab}
+            | {train_slab}
+        )
+        self.active_slab = train_slab
+        self._mean_samples_ema = float(train_slab)
         self.density_thresh = density_thresh
         self.update_extra_interval = update_extra_interval
         self.min_near = min_near
@@ -166,19 +180,11 @@ class Trainer:
         return init_occupancy(self.cfg.bound)
 
     def _build_steps(self, *, ema_decay: float, color_space: str):
+        self._ema_decay = ema_decay
+        self._color_space = color_space
         if self.use_occupancy:
-            self._train_step_occ = make_train_step_occupancy(
-                self.cfg,
-                self.optimizer,
-                dt_gamma=self.dt_gamma,
-                max_steps=self.max_steps,
-                slab=self.train_slab,
-                min_near=self.min_near,
-                ema_decay=ema_decay,
-                color_space=color_space,
-                tv_weight=self.tv_weight,
-                donate=False,
-            )
+            self._occ_step_cache = {}
+            self._train_step_occ = self._occ_step(self.train_slab)
         self._train_step = make_train_step(
             self.cfg,
             self.optimizer,
@@ -192,6 +198,29 @@ class Trainer:
         self._eval_step = make_eval_step(
             self.cfg, num_steps=self.num_steps, min_near=self.min_near
         )
+
+    def _occ_step(self, slab: int):
+        """Occupancy train step compiled for this slab bucket (lazy).
+
+        Subclasses that build their own single occupancy step (the D-NeRF
+        trainer) don't populate the cache and fall back to it."""
+        cache = getattr(self, "_occ_step_cache", None)
+        if cache is None:
+            return self._train_step_occ
+        if slab not in cache:
+            cache[slab] = make_train_step_occupancy(
+                self.cfg,
+                self.optimizer,
+                dt_gamma=self.dt_gamma,
+                max_steps=self.max_steps,
+                slab=slab,
+                min_near=self.min_near,
+                ema_decay=self._ema_decay,
+                color_space=self._color_space,
+                tv_weight=self.tv_weight,
+                donate=False,
+            )
+        return cache[slab]
 
     def _mark_untrained(self, train_dataset):
         self.occupancy = mark_untrained_grid(
@@ -245,6 +274,30 @@ class Trainer:
         self.occupancy = self._occ_update_jit(
             self.occupancy, self.state.params, self._next_rng()
         )
+        self._maybe_repick_slab()
+
+    def _maybe_repick_slab(self):
+        """Re-pick the slab bucket from the measured mean samples/ray (EMA).
+
+        Shrinking only begins once the grid has had a few update rounds
+        (global_step >= 256) — truncating before pruning matures is exactly
+        the slab-16 quality collapse documented in PERF.md."""
+        if not (self.bucket_slabs and self.use_occupancy):
+            return
+        m = getattr(self, "_last_mean_samples", None)
+        if m is None:
+            return
+        self._mean_samples_ema = 0.8 * self._mean_samples_ema + 0.2 * float(m)
+        if self.global_step < 256:
+            return
+        want = 1.25 * self._mean_samples_ema
+        new = next((b for b in self._slab_buckets if b >= want), self.train_slab)
+        if new != self.active_slab:
+            self.log(
+                f"[slab] mean samples/ray {self._mean_samples_ema:.1f} -> "
+                f"bucket {self.active_slab} => {new}"
+            )
+            self.active_slab = new
 
     def train_step_once(self, train_dataset) -> float:
         """One training step, returning the (synced) loss — the unit of the
@@ -255,7 +308,10 @@ class Trainer:
         batch = train_dataset.train_batch(k_batch)
         if self.occupancy is not None:
             bits = self._occ_bits_for_batch(batch)
-            self.state, metrics = self._train_step_occ(self.state, batch, bits, k)
+            self.state, metrics = self._occ_step(self.active_slab)(
+                self.state, batch, bits, k
+            )
+            self._last_mean_samples = metrics.get("mean_samples")
         else:
             self.state, metrics = self._train_step(self.state, batch, k)
         self.global_step += 1
@@ -281,7 +337,10 @@ class Trainer:
                 batch = train_dataset.train_batch(k_batch)
                 if self.occupancy is not None:
                     bits = self._occ_bits_for_batch(batch)
-                    self.state, metrics = self._train_step_occ(self.state, batch, bits, k)
+                    self.state, metrics = self._occ_step(self.active_slab)(
+                        self.state, batch, bits, k
+                    )
+                    self._last_mean_samples = metrics.get("mean_samples")
                 else:
                     self.state, metrics = self._train_step(self.state, batch, k)
                 self.global_step += 1

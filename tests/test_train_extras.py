@@ -226,3 +226,54 @@ class TestShardedStep:
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
         g.dryrun_multichip(8)
+
+
+class TestBucketSlabs:
+    def test_repick_shrinks_and_grows(self, tmp_path):
+        """Bucketed slab schedule (ref mean_count allocation,
+        nerf/renderer.py:483-495): the bucket tracks the measured mean
+        samples/ray once past warmup, never below the smallest bucket and
+        never above train_slab."""
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.trainer import Trainer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        tr = Trainer("t", cfg, workspace=str(tmp_path / "ws"),
+                     use_occupancy=True, train_slab=128, bucket_slabs=True,
+                     use_tensorboard=False)
+        assert tr._slab_buckets == [16, 32, 64, 128]
+        assert tr.active_slab == 128
+
+        # pre-warmup: no shrink even with tiny measured samples
+        tr.global_step = 100
+        tr._last_mean_samples = 4.0
+        for _ in range(8):
+            tr._maybe_repick_slab()
+        assert tr.active_slab == 128
+
+        # post-warmup: EMA converges to ~4 -> smallest bucket
+        tr.global_step = 300
+        for _ in range(32):
+            tr._maybe_repick_slab()
+        assert tr.active_slab == 16
+
+        # grid loosens again -> bucket grows
+        tr._last_mean_samples = 90.0
+        for _ in range(32):
+            tr._maybe_repick_slab()
+        assert tr.active_slab == 128
+
+    def test_occ_step_cache_per_slab(self, tmp_path):
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.trainer import Trainer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        tr = Trainer("t", cfg, workspace=str(tmp_path / "ws"),
+                     use_occupancy=True, train_slab=32, bucket_slabs=True,
+                     use_tensorboard=False)
+        s32 = tr._occ_step(32)
+        assert tr._occ_step(32) is s32  # cached
+        s16 = tr._occ_step(16)
+        assert s16 is not s32

@@ -52,23 +52,27 @@ def bench_baked(args):
         "value": round(bake_s, 2), "unit": "s",
     }))
 
-    poses = rand_poses(np.random.default_rng(0), 8, radius=2.5)
-    # warmup every (axis, flip) jit variant that the orbit touches
-    for p_ in poses:
+    # distinct poses per frame (the tunneled-TPU relay dedups identical
+    # dispatches -> fake sub-ms timings, PERF.md pitfalls), every frame
+    # synced on device. Image fetch is excluded: d2h through the relay runs
+    # at ~130 KB/s (measured 58 s for one 800^2 frame) — an environment
+    # artifact, not a render cost; on a real host PCIe d2h of 7.7 MB is
+    # sub-ms.
+    poses = rand_poses(np.random.default_rng(0), 40, radius=2.5)
+    for p_ in poses[:12]:  # warm every (axis, flip) jit variant
         img, _, _ = render_baked(merged, p_, intr, H, W)
-    jax.block_until_ready(img)
+        jax.block_until_ready(img)
     t0 = time.time()
     n = 0
-    for _ in range(3):
-        for p_ in poses:
-            img, _, _ = render_baked(merged, p_, intr, H, W)
-            n += 1
-    jax.block_until_ready(img)
+    for p_ in poses[12:36]:
+        img, _, _ = render_baked(merged, p_, intr, H, W)
+        jax.block_until_ready(img)
+        n += 1
     dt = (time.time() - t0) / n
     print(json.dumps({
         "metric": f"baked_fps_{args.res}px_{args.objects}obj",
         "value": round(1.0 / dt, 2), "unit": "fps",
-        "ms_per_frame": round(dt * 1000, 2),
+        "ms_per_frame": round(dt * 1000, 3),
         "bake_res": args.bake_res,
     }))
 
