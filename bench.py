@@ -41,8 +41,9 @@ from focnerf_tpu.models.nerf import NeRFConfig
 from focnerf_tpu.train.state import create_train_state, make_optimizer
 from focnerf_tpu.train.steps import make_train_step
 
-N_RAYS = 4096
-SLAB = 32  # per-ray sample budget (occupancy path; ref mean_count is ~16-32)
+N_RAYS = 32768  # TPU wants big batches; rays/s plateaus above this (PERF.md)
+SLAB = 16  # per-ray sample budget: the steady-state bucket of the bucketed
+# slab schedule once the occupancy grid has matured (ref mean_count ~16-32)
 MAX_STEPS = 512
 WARMUP_STEPS = 2
 BENCH_STEPS = 10
@@ -150,8 +151,11 @@ def main():
     from focnerf_tpu.render.renderer import render_rays_occupancy
 
     # the -O production config (config.py): stochastic-corner hash encode
-    # (1 sampled corner per hashed level during training; eval stays exact)
-    cfg = NeRFConfig(use_objfeat=False, stochastic_corners=1)
+    # (1 sampled corner per hashed + big dense level during training; eval
+    # stays exact) + sphere-trace skip marching
+    cfg = NeRFConfig(
+        use_objfeat=False, stochastic_corners=1, stochastic_min_size=1 << 13
+    )
     optimizer = make_optimizer(lr=1e-2, iters=30000)
     state = create_train_state(jax.random.key(0), cfg, optimizer)
 
@@ -162,12 +166,15 @@ def main():
     r = (jnp.arange(gs) + 0.5) / gs * 2 - 1
     X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
     occ_bits = ((X**2 + Y**2 + Z**2) < 0.55**2).reshape(1, -1)
+    from focnerf_tpu.ops.occupancy import occupancy_skip_field
+
+    occ_skip = occupancy_skip_field(occ_bits, gs)
 
     def loss_fn(params, batch, rng):
         out = render_rays_occupancy(
             params, cfg, batch["rays_o"], batch["rays_d"], occ_bits,
             dt_gamma=0.0, max_steps=MAX_STEPS, slab=SLAB, bg_color=1.0,
-            rng=rng, perturb=True,
+            rng=rng, perturb=True, occ_skip=occ_skip,
         )
         return jnp.mean((out["image"] - batch["pixels"]) ** 2)
 

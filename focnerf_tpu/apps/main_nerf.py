@@ -89,6 +89,7 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         max_steps=opt.max_steps,
         train_slab=opt.train_slab,
         bucket_slabs=opt.bucket_slabs,
+        skip_march=opt.skip_march,
         density_thresh=opt.density_thresh,
         update_extra_interval=opt.update_extra_interval,
         min_near=opt.min_near,

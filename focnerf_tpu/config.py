@@ -37,6 +37,9 @@ class Options:
     # steps, re-picked from the measured mean samples/ray (the reference's
     # mean_count-sized allocation, nerf/renderer.py:483-495)
     bucket_slabs: bool = False
+    # sphere-trace training marcher over the precomputed empty-space skip
+    # field (ops/marching.py::march_rays_skip) — ~8x fewer bitfield gathers
+    skip_march: bool = False
 
     # precision / backend (flags.py:26-29)
     fp16: bool = False  # bf16 compute on TPU
@@ -70,6 +73,7 @@ class Options:
     # (ops/hashgrid.py HashGridSpec.stochastic_k; 0 = exact trilinear)
     tv_weight: float = 0.0
     stochastic_corners: int = 0
+    stochastic_min_size: int = 0  # also sample dense levels >= this many rows
 
     # yolo / objects / composition (flags.py:58-64)
     yolo_model: str = "yolov8s-seg.pt"
@@ -113,6 +117,7 @@ class Options:
             bg_radius=self.bg_radius,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
             stochastic_corners=self.stochastic_corners,
+            stochastic_min_size=self.stochastic_min_size,
         )
 
     def dnerf_config(self):
@@ -187,5 +192,7 @@ def parse_options(argv=None, **parser_kw) -> Options:
         # faster AND quality-neutral-or-better on synthetic scenes; PERF.md):
         # stochastic-corner hash encode for training, bucketed slab schedule
         opt.stochastic_corners = 1
+        opt.stochastic_min_size = 1 << 13
         opt.bucket_slabs = True
+        opt.skip_march = True
     return opt

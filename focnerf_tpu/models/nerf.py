@@ -65,6 +65,9 @@ class NeRFConfig:
     # HashGridSpec.stochastic_k). Eval/inference stays exact automatically
     # (no rng is passed outside the train step).
     stochastic_corners: int = 0
+    # also sample dense levels with >= this many rows stochastically
+    # (0 = hashed levels only); see HashGridSpec.stochastic_min_size
+    stochastic_min_size: int = 0
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -76,7 +79,11 @@ class NeRFConfig:
             2048.0 * self.bound,
         )
         if self.stochastic_corners:
-            spec = dataclasses.replace(spec, stochastic_k=self.stochastic_corners)
+            spec = dataclasses.replace(
+                spec,
+                stochastic_k=self.stochastic_corners,
+                stochastic_min_size=self.stochastic_min_size,
+            )
         return spec
 
     @property

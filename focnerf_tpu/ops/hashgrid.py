@@ -55,6 +55,10 @@ class HashGridSpec:
     # random-gather rows (the v5e hot-loop floor, PERF.md) by 2^D/K. Active
     # only when the encode is given an rng (training); eval stays exact.
     stochastic_k: int = 0
+    # stochastic_k also applies to *dense* levels with at least this many
+    # rows (their 8-corner resolution — MXU one-hots or gathers — dominates
+    # the encode once the hashed levels go stochastic). 0 = hashed-only.
+    stochastic_min_size: int = 0
     # derived
     resolutions: Tuple[int, ...] = ()
     offsets: Tuple[int, ...] = ()  # num_levels + 1 entries, in table rows
@@ -172,18 +176,26 @@ def _coords_to_rows(coords: jax.Array, spec: HashGridSpec, lvl: int) -> jax.Arra
 
 
 @functools.lru_cache(maxsize=None)
+def _is_stochastic_level(spec: HashGridSpec, lvl: int) -> bool:
+    if spec.stochastic_k <= 0:
+        return False
+    if spec.hashed[lvl]:
+        return True
+    return (
+        spec.stochastic_min_size > 0
+        and spec.level_size(lvl) >= spec.stochastic_min_size
+    )
+
+
 def _col_layout(spec: HashGridSpec) -> Tuple[Tuple[int, int], ...]:
     """Per-level (col_start, n_cols) into the packed [N, total_cols] row /
-    weight arrays. Exact levels carry all 2^D corners; stochastic hashed
-    levels carry only the K sampled corners."""
+    weight arrays. Exact levels carry all 2^D corners; stochastic levels
+    (hashed, plus dense >= stochastic_min_size) carry only the K sampled
+    corners."""
     n_corners = 1 << spec.input_dim
     out, start = [], 0
     for lvl in range(spec.num_levels):
-        ncols = (
-            spec.stochastic_k
-            if (spec.stochastic_k > 0 and spec.hashed[lvl])
-            else n_corners
-        )
+        ncols = spec.stochastic_k if _is_stochastic_level(spec, lvl) else n_corners
         out.append((start, ncols))
         start += ncols
     return tuple(out)
@@ -338,6 +350,7 @@ def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec, u=None):
             lvl
             for lvl in range(spec.num_levels)
             if spec.level_size(lvl) <= _MXU_FWD_MAX_ROWS
+            and layout[lvl][1] == n_corners  # stoch levels: 1-row gathers win
         ]
         if _forward_mode() == "mxu"
         else []
@@ -403,7 +416,9 @@ def hashgrid_encode(
     if not stochastic and spec.stochastic_k > 0:
         spec = dataclasses.replace(spec, stochastic_k=0)
     if stochastic:
-        n_stoch = sum(spec.hashed)
+        n_stoch = sum(
+            _is_stochastic_level(spec, lvl) for lvl in range(spec.num_levels)
+        )
         u = jax.random.uniform(rng, (x.shape[0], n_stoch, spec.stochastic_k))
     else:
         u = jnp.zeros((x.shape[0], 0, 0), jnp.float32)

@@ -155,3 +155,104 @@ def march_rays(
         valid=keep,
         count=count,
     )
+
+
+def march_rays_skip(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    nears: jax.Array,
+    fars: jax.Array,
+    occ_skip: jax.Array,  # [CAS, H^3] uint8 skip codes (occupancy_skip_field)
+    *,
+    bound: float,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    slab: int = 128,
+    grid_size: int = 128,
+    max_iters: int = 0,
+    rng: Optional[jax.Array] = None,
+    perturb: bool = False,
+) -> MarchResult:
+    """Sphere-tracing marcher over the precomputed skip field.
+
+    Same contract as march_rays, but instead of probing a dense candidate
+    ladder ([N, max_steps] bitfield gathers — the measured per-row gather
+    floor makes that the dominant march cost), it walks each ray with a
+    lax.scan whose step either samples (skip code 0: occupied cell, advance
+    by the dt recurrence — raymarching.cu:349-383) or leaps over empty space
+    (code v >= 1: advance past the cell boundary plus (v-2) safe cells; the
+    skip field guarantees every cell the segment can touch is empty).
+    Gathers drop from N*max_steps rows to N*max_iters with
+    max_iters ~= slab + O(log H).
+
+    dt positions are memoryless (dt = clamp(t*gamma, lo, hi) depends only on
+    t), so leap landings resume the exact CUDA step recurrence.
+    """
+    n = rays_o.shape[0]
+    cascades = occ_skip.shape[0]
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2.0 ** (cascades - 1)) / grid_size
+    if max_iters <= 0:
+        max_iters = slab + 48
+
+    t0 = nears
+    if perturb:
+        assert rng is not None
+        noise = jax.random.uniform(rng, (n,))
+        t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
+
+    skip_flat = occ_skip.reshape(-1)
+    k_iota = jnp.arange(slab)[None, :]  # [1, K]
+
+    def body(carry, _):
+        t, count, out_t, out_dt = carry
+        alive = t < fars
+        dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
+        xyz = rays_o + rays_d * t[:, None]
+        xyz = jnp.clip(xyz, -bound, bound)
+        level = _mip_level(jnp.max(jnp.abs(xyz), axis=-1), dt, grid_size, cascades)
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+        cs = 2.0 * mip_bound / grid_size  # cell size at this level [N]
+        cell_f = 0.5 * (xyz / mip_bound[:, None] + 1.0) * grid_size
+        cell = jnp.clip(cell_f.astype(jnp.int32), 0, grid_size - 1)
+        flat = (
+            level * (grid_size**3)
+            + cell[:, 0] * grid_size * grid_size
+            + cell[:, 1] * grid_size
+            + cell[:, 2]
+        )
+        v = skip_flat[flat]  # [N] uint8 gather — the only memory access
+        occupied = (v == 0) & alive
+
+        # record the sample where occupied and count < slab
+        put = occupied & (count < slab)
+        mask_k = (k_iota == count[:, None]) & put[:, None]  # [N, K]
+        out_t = jnp.where(mask_k, t[:, None], out_t)
+        out_dt = jnp.where(mask_k, dt[:, None], out_dt)
+        count = count + put.astype(count.dtype)
+
+        # advance: one dt step through occupied cells; past the cell exit
+        # (+ safe extra cells) through empty space
+        next_corner = (cell + (rays_d > 0)).astype(jnp.float32)  # [N, 3]
+        world_next = (next_corner / grid_size * 2.0 - 1.0) * mip_bound[:, None]
+        t_axes = (world_next - xyz) / jnp.where(
+            jnp.abs(rays_d) < 1e-12, jnp.sign(rays_d) + 1e-12, rays_d
+        )
+        t_exit = jnp.min(jnp.where(t_axes > 0, t_axes, jnp.inf), axis=-1)
+        t_exit = jnp.minimum(t_exit, SQRT3 * cs)  # guard degenerate geometry
+        extra = jnp.maximum(v.astype(jnp.float32) - 2.0, 0.0) * cs
+        adv_empty = jnp.maximum(dt, t_exit + 1e-3 * cs) + extra
+        t = t + jnp.where(occupied, dt, adv_empty)
+        done = (count >= slab) | ~alive
+        t = jnp.where(done & ~occupied, jnp.maximum(t, fars), t)
+        return (t, count, out_t, out_dt), None
+
+    carry0 = (
+        t0,
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, slab), jnp.float32),
+        jnp.zeros((n, slab), jnp.float32),
+    )
+    (t, count, out_t, out_dt), _ = jax.lax.scan(body, carry0, None, length=max_iters)
+    keep = k_iota < count[:, None]
+    return MarchResult(ts=out_t, dts=out_dt, valid=keep, count=count)

@@ -217,3 +217,51 @@ def mark_untrained_grid(
         seen = jax.lax.map(covered, world.reshape(-1, chunk, 3)).reshape(-1)
         grids.append(jnp.where(seen, occ.density_grid[cas], -1.0))
     return occ._replace(density_grid=jnp.stack(grids))
+
+
+def occupancy_skip_field(occ_bits: jax.Array, grid_size: int = 128) -> jax.Array:
+    """Per-cell safe empty-space skip radii from the occupancy bitfield.
+
+    For each cell: 0 if occupied, else the largest k in {1, 2, 4, ..., H/2}
+    such that NO occupied cell lies within L-inf distance k (so a ray may
+    advance k cell-sizes and every cell it can touch stays empty). The
+    TPU-native replacement for the CUDA marcher's one-cell-at-a-time DDA
+    skipping (raymarching.cu:365-377): precomputed dense morphology instead
+    of per-thread voxel walks.
+
+    Built by dilation doubling: the L-inf ball satisfies B_{2k} = B_k + B_k,
+    so dilation by radius 2k is the radius-k dilation applied to the
+    radius-k result — log2(H) rounds of separable 1D max-filters. A cell's
+    skip is the number of consecutive dilations that leave it uncovered
+    (uncovered by dil_k  <=>  nearest occupied cell is at distance > k).
+
+    occ_bits: [CAS, H^3] bool. Returns [CAS, H^3] uint8 codes:
+      0     occupied cell (sample here);
+      1     unoccupied (advance past the cell boundary only);
+      k + 1 unoccupied, no occupied cell within L-inf distance k — the
+            marcher may advance past the boundary plus (k - 1) extra cells
+            (segment stays within L-inf k of the start cell, all empty).
+    """
+    cas = occ_bits.shape[0]
+    occ = occ_bits.reshape(cas, grid_size, grid_size, grid_size).astype(jnp.uint8)
+
+    def dilate(v, k):
+        # separable L-inf dilation by radius k: 1D max-filter per axis
+        for axis in (1, 2, 3):
+            v = jax.lax.reduce_window(
+                v, jnp.uint8(0), jax.lax.max,
+                window_dimensions=[1 if a != axis else 2 * k + 1 for a in range(4)],
+                window_strides=(1, 1, 1, 1),
+                padding=[(0, 0) if a != axis else (k, k) for a in range(4)],
+            )
+        return v
+
+    skip = jnp.where(occ > 0, 0, 1).astype(jnp.uint8)  # occupied -> 0
+    dil = occ
+    k = 1
+    while k <= min(grid_size // 2, 127):
+        dil = dilate(dil, k // 2 if k > 1 else 1)  # doubling: radius k total
+        # uncovered by the radius-k dilation -> nearest occupied > k away
+        skip = jnp.where((dil == 0) & (skip > 0), jnp.uint8(k + 1), skip)
+        k *= 2
+    return skip.reshape(cas, -1)

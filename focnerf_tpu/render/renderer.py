@@ -30,7 +30,7 @@ from focnerf_tpu.models.nerf import (
     encode_objfeat,
 )
 from focnerf_tpu.ops.composite import composite_rays
-from focnerf_tpu.ops.marching import march_rays
+from focnerf_tpu.ops.marching import march_rays, march_rays_skip
 
 
 def default_aabb(cfg: NeRFConfig) -> jnp.ndarray:
@@ -202,23 +202,23 @@ def render_rays_occupancy(
     T_thresh: float = 1e-4,
     obj_feat: Optional[jax.Array] = None,
     grid_size: int = 128,
+    occ_skip: Optional[jax.Array] = None,
 ) -> Dict[str, Any]:
     """Occupancy-accelerated render of a flat ray batch.
 
     Mirrors run_cuda: adaptive dt marching restricted to occupied cells,
     density_scale applied to sigma, depth normalized to [0, 1] by
     clamp(depth - near) / (far - near) (nerf/renderer.py:288,299,347).
+
+    When ``occ_skip`` (occupancy_skip_field of the bitfield) is given, rays
+    are marched with the sphere-tracing skip walk instead of the dense
+    candidate ladder — ~8x fewer bitfield gathers (PERF.md round 2).
     """
     if aabb is None:
         aabb = default_aabb(cfg)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
 
-    m = march_rays(
-        rays_o,
-        rays_d,
-        nears,
-        fars,
-        occ_bits,
+    common = dict(
         bound=cfg.bound,
         dt_gamma=dt_gamma,
         max_steps=max_steps,
@@ -227,6 +227,10 @@ def render_rays_occupancy(
         rng=rng,
         perturb=perturb,
     )
+    if occ_skip is not None:
+        m = march_rays_skip(rays_o, rays_d, nears, fars, occ_skip, **common)
+    else:
+        m = march_rays(rays_o, rays_d, nears, fars, occ_bits, **common)
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * m.ts[..., None]
     xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])

@@ -126,10 +126,13 @@ def make_train_step_occupancy(
     T_thresh: float = 1e-4,
     tv_weight: float = 0.0,
     donate: bool = True,
+    skip_field: bool = False,
 ):
     """Occupancy-accelerated train step (the reference's --cuda_ray path).
 
-    Signature: (state, batch, occ_bits [CAS, H^3] bool, rng) -> (state, metrics).
+    Signature: (state, batch, occ [CAS, H^3], rng) -> (state, metrics).
+    ``occ`` is the bool bitfield, or — with ``skip_field=True`` — the uint8
+    skip-code field (occupancy_skip_field) driving the sphere-trace marcher.
     """
     from focnerf_tpu.render.renderer import render_rays_occupancy
 
@@ -162,6 +165,7 @@ def make_train_step_occupancy(
             min_near=min_near,
             T_thresh=T_thresh,
             obj_feat=batch.get("obj_feat"),
+            occ_skip=occ_bits if skip_field else None,
         )
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
         loss = jnp.mean(per_ray)

@@ -59,6 +59,7 @@ class Trainer:
         color_space: str = "srgb",
         tv_weight: float = 0.0,
         bucket_slabs: bool = False,
+        skip_march: bool = False,
         eval_interval: int = 50,
         max_keep_ckpt: int = 2,
         use_checkpoint: str = "latest",
@@ -82,6 +83,10 @@ class Trainer:
         # Starts at the widest bucket so early (pre-pruning) steps never
         # truncate — plain slab-16 training collapses quality (PERF.md).
         self.bucket_slabs = bucket_slabs
+        # sphere-trace marcher over the precomputed skip field instead of the
+        # dense candidate-ladder probe (ops/marching.py::march_rays_skip)
+        self.skip_march = skip_march
+        self._occ_cache = None  # (bits-or-skip) rebuilt per occupancy update
         self._slab_buckets = sorted(
             {min(1 << i, train_slab) for i in range(4, 11) if (1 << i) <= train_slab}
             | {train_slab}
@@ -219,6 +224,7 @@ class Trainer:
                 color_space=self._color_space,
                 tv_weight=self.tv_weight,
                 donate=False,
+                skip_field=self.skip_march,
             )
         return cache[slab]
 
@@ -274,6 +280,7 @@ class Trainer:
         self.occupancy = self._occ_update_jit(
             self.occupancy, self.state.params, self._next_rng()
         )
+        self._occ_cache = None  # bitfield/skip field must be rebuilt
         self._maybe_repick_slab()
 
     def _maybe_repick_slab(self):
@@ -318,7 +325,16 @@ class Trainer:
         return float(metrics["loss"])
 
     def _occ_bits_for_batch(self, batch):
-        return occupancy_bitfield(self.occupancy, self.density_thresh)
+        if self._occ_cache is None:
+            bits = occupancy_bitfield(self.occupancy, self.density_thresh)
+            if self.skip_march:
+                if not hasattr(self, "_skip_field_jit"):
+                    from focnerf_tpu.ops.occupancy import occupancy_skip_field
+
+                    self._skip_field_jit = jax.jit(occupancy_skip_field)
+                bits = self._skip_field_jit(bits)
+            self._occ_cache = bits
+        return self._occ_cache
 
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1, steps_per_epoch: Optional[int] = None):
         if steps_per_epoch is None:

@@ -510,3 +510,50 @@ class TestStochasticCorners:
             gacc = gacc + jax.grad(loss)(table, sspec, jax.random.key(i))
         rel = float(jnp.linalg.norm(gacc / R - g_exact) / jnp.linalg.norm(g_exact))
         assert rel < 0.1, rel
+
+    def test_dense_stochastic_min_size(self):
+        """stochastic_min_size extends corner sampling to big dense levels:
+        still unbiased, small dense levels stay exact per-draw."""
+        import dataclasses
+
+        from focnerf_tpu.ops.hashgrid import (
+            HashGridSpec, _col_layout, hashgrid_encode, hashgrid_init,
+        )
+
+        spec = HashGridSpec.create(
+            num_levels=6, level_dim=2, base_resolution=8,
+            log2_hashmap_size=14, desired_resolution=256,
+        )
+        min_size = 2**11
+        sspec = dataclasses.replace(
+            spec, stochastic_k=1, stochastic_min_size=min_size
+        )
+        layout = _col_layout(sspec)
+        stoch = [layout[l][1] == 1 for l in range(spec.num_levels)]
+        # at least one DENSE level got the stochastic treatment
+        assert any(s and not spec.hashed[l] for l, s in enumerate(stoch))
+        # and the small dense levels did not
+        assert any((not s) and spec.level_size(l) < min_size
+                   for l, s in enumerate(stoch))
+
+        table = hashgrid_init(jax.random.key(0), spec) * 1e4
+        x = jax.random.uniform(jax.random.key(1), (128, 3))
+        exact = hashgrid_encode(table, x, spec)
+        # no rng -> exact
+        np.testing.assert_allclose(
+            np.asarray(hashgrid_encode(table, x, sspec)), np.asarray(exact),
+            atol=1e-5,
+        )
+        acc = jnp.zeros_like(exact)
+        R = 400
+        for i in range(R):
+            acc = acc + hashgrid_encode(table, x, sspec, rng=jax.random.key(i))
+        mc = acc / R
+        for l in range(spec.num_levels):
+            cols = slice(l * spec.level_dim, (l + 1) * spec.level_dim)
+            err = np.abs(np.asarray(mc[:, cols] - exact[:, cols]))
+            if stoch[l]:
+                rel = np.median(err / (np.abs(np.asarray(exact[:, cols])) + 1e-3))
+                assert rel < 0.12, f"level {l} biased: rel={rel}"
+            else:
+                assert err.max() < 1e-4, f"exact level {l} drifted"

@@ -69,7 +69,15 @@ def main():
     p.add_argument("--data", type=str, default=None)
     p.add_argument("--iters", type=int, default=500)
     p.add_argument("--workspace", type=str, default="/tmp/parity")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon sitecustomize "
+                        "force-selects the tunneled TPU via jax.config)")
     args = p.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.workspace, exist_ok=True)
     row = run_config(args.config, args.data, args.iters, args.workspace)
     line = (

@@ -69,7 +69,7 @@ def make_views(n_views, H, W, seed):
     )
 
 
-def run_variant(name, cfg, iters, data_train, data_test, occ_bits):
+def run_variant(name, cfg, iters, data_train, data_test, occ_bits, occ_skip=None):
     import optax
 
     from focnerf_tpu.render.renderer import render_rays_occupancy
@@ -82,7 +82,7 @@ def run_variant(name, cfg, iters, data_train, data_test, occ_bits):
         out = render_rays_occupancy(
             params, cfg, batch["rays_o"], batch["rays_d"], occ_bits,
             dt_gamma=0.0, max_steps=MAX_STEPS, slab=SLAB, bg_color=1.0,
-            rng=rng, perturb=True,
+            rng=rng, perturb=True, occ_skip=occ_skip,
         )
         return jnp.mean((out["image"] - batch["pixels"]) ** 2)
 
@@ -149,18 +149,28 @@ def main():
     X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
     occ_bits = ((X**2 + Y**2 + Z**2) < 0.55**2).reshape(1, -1)
 
+    from focnerf_tpu.ops.occupancy import occupancy_skip_field
+
+    occ_skip_field = occupancy_skip_field(occ_bits, gs)
+
+    # (int8_backward, stochastic_k, stochastic_min_size, skip_march)
     variants = {
-        "exact": (False, 0),
-        "int8": (True, 0),
-        "stoch1": (False, 1),
-        "stoch2": (False, 2),
-        "stoch1i8": (True, 1),
+        "exact": (False, 0, 0, False),
+        "int8": (True, 0, 0, False),
+        "stoch1": (False, 1, 0, False),
+        "stoch2": (False, 2, 0, False),
+        "stoch1i8": (True, 1, 0, False),
+        "stoch1ms": (False, 1, 1 << 13, False),
+        "fast": (False, 1, 1 << 13, True),  # the -O production stack
     }
     for name in args.variants.split(","):
-        use_int8, k = variants[name]
+        use_int8, k, ms, skipm = variants[name]
         hashgrid.BACKWARD_INT8 = use_int8
-        cfg = NeRFConfig(use_objfeat=False, stochastic_corners=k)
-        run_variant(name, cfg, args.iters, data_train, data_test, occ_bits)
+        cfg = NeRFConfig(
+            use_objfeat=False, stochastic_corners=k, stochastic_min_size=ms
+        )
+        run_variant(name, cfg, args.iters, data_train, data_test, occ_bits,
+                    occ_skip=occ_skip_field if skipm else None)
     hashgrid.BACKWARD_INT8 = None
 
 
