@@ -73,14 +73,28 @@ def _view_only(opt):
     if opt.baked:
         # real-time path: bake once, every frame is a shear-warp render
         # (the TPU answer to the GUI's 200 ms frame budget, nerf/gui.py:134-140)
-        from focnerf_tpu.render.baked import bake_field, render_baked
-
-        t0 = time.time()
-        vol = bake_field(
-            params, cfg, resolution=opt.bake_res, obj_feat=obj_feat,
-            occ_bits=occ_kwargs.get("occ_bits"),
+        from focnerf_tpu.render.baked import (
+            bake_field, load_volume, render_baked, save_volume,
         )
-        print(f"[viewer] baked {opt.bake_res}^3 volume in {time.time()-t0:.1f}s")
+
+        cache = os.path.join(opt.workspace, f"baked_{opt.bake_res}.npz")
+        latest = max(
+            (os.path.getmtime(os.path.join(ckpt_dir, d))
+             for d in os.listdir(ckpt_dir)
+             if os.path.isdir(os.path.join(ckpt_dir, d))),
+            default=0.0,
+        )
+        if os.path.exists(cache) and os.path.getmtime(cache) >= latest:
+            vol = load_volume(cache)
+            print(f"[viewer] loaded baked volume cache {cache}")
+        else:
+            t0 = time.time()
+            vol = bake_field(
+                params, cfg, resolution=opt.bake_res, obj_feat=obj_feat,
+                occ_bits=occ_kwargs.get("occ_bits"),
+            )
+            print(f"[viewer] baked {opt.bake_res}^3 volume in {time.time()-t0:.1f}s")
+            save_volume(cache, vol)
 
         def render_fn(pose, intrinsics, H, W, t):
             img, _, _ = render_baked(

@@ -132,6 +132,7 @@ class Options:
             bg_radius=self.bg_radius,
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
             stochastic_corners=self.stochastic_corners,
+            stochastic_min_size=self.stochastic_min_size,
         )
 
     def dataset_options(self, split_num_rays: Optional[int] = None):

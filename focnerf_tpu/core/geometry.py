@@ -12,9 +12,13 @@ kernel; XLA fuses them into neighbouring computations.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Sentinel for rays that miss the AABB (reference uses FLT_MAX).
-MISS_T = jnp.float32(3.0e38)
+# Python float, NOT jnp.float32(...): a module-level device constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize on multi-host launches.
+MISS_T = float(np.float32(3.0e38))
 
 
 def near_far_from_aabb(rays_o, rays_d, aabb, min_near: float = 0.2):

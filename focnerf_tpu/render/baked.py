@@ -118,6 +118,24 @@ def bake_field(
     return BakedVolume(rgba=rgba.reshape(R, R, R, 4), bound=b)
 
 
+def save_volume(path: str, vol: BakedVolume) -> None:
+    """Persist a baked volume (npz, float16 payload — 1/2 the bytes; the
+    shear-warp path resamples in bf16 anyway)."""
+    np.savez_compressed(
+        path,
+        rgba=np.asarray(vol.rgba, np.float16),
+        bound=np.float32(vol.bound),
+    )
+
+
+def load_volume(path: str) -> BakedVolume:
+    with np.load(path) as z:
+        return BakedVolume(
+            rgba=jnp.asarray(z["rgba"].astype(np.float32)),
+            bound=float(z["bound"]),
+        )
+
+
 def shift_volume(vol: BakedVolume, offset_world: Sequence[float]) -> BakedVolume:
     """Rigid-translate a baked object by whole voxels: the object appears at
     field position + offset_world. NOTE the sign convention of the ray-offset

@@ -119,3 +119,17 @@ class TestShearWarp:
         assert float(jnp.abs(vol.rgba[..., 3]).max()) == 0.0
         vol2 = bake_field(params, cfg, resolution=16, chunk=1024)
         assert float(jnp.abs(vol2.rgba[..., 3]).max()) > 0.0
+
+
+def test_save_load_roundtrip(tmp_path):
+    from focnerf_tpu.render.baked import load_volume, save_volume
+
+    vol = _analytic_volume(R=32)
+    p = str(tmp_path / "vol.npz")
+    save_volume(p, vol)
+    back = load_volume(p)
+    assert back.bound == vol.bound
+    # fp16 payload: exact for these values
+    np.testing.assert_allclose(
+        np.asarray(back.rgba), np.asarray(vol.rgba), atol=2e-2
+    )
