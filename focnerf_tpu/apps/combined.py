@@ -178,6 +178,7 @@ def evaluate_composition(
                     pk, cfg, resolution=opt.bake_res,
                     obj_feat=None if avg_feats is None else avg_feats[k],
                     occ_bits=None if stacked_occ is None else stacked_occ[k],
+                    sh_degree=opt.bake_sh,
                 )
             )
             if offsets is not None:

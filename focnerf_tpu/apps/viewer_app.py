@@ -77,7 +77,9 @@ def _view_only(opt):
             bake_field, load_volume, render_baked, save_volume,
         )
 
-        cache = os.path.join(opt.workspace, f"baked_{opt.bake_res}.npz")
+        cache = os.path.join(
+            opt.workspace, f"baked_{opt.bake_res}_sh{opt.bake_sh}.npz"
+        )
         latest = max(
             (os.path.getmtime(os.path.join(ckpt_dir, d))
              for d in os.listdir(ckpt_dir)
@@ -91,7 +93,7 @@ def _view_only(opt):
             t0 = time.time()
             vol = bake_field(
                 params, cfg, resolution=opt.bake_res, obj_feat=obj_feat,
-                occ_bits=occ_kwargs.get("occ_bits"),
+                occ_bits=occ_kwargs.get("occ_bits"), sh_degree=opt.bake_sh,
             )
             print(f"[viewer] baked {opt.bake_res}^3 volume in {time.time()-t0:.1f}s")
             save_volume(cache, vol)

@@ -96,6 +96,7 @@ class Options:
     # composition/editing apps through the shear-warp renderer
     baked: bool = False
     bake_res: int = 256
+    bake_sh: int = 0  # >0: view-dependent SH bake of this degree (1-4)
 
     # dnerf
     dnerf_variant: str = "deform"

@@ -232,7 +232,13 @@ def march_rays_skip(
         count = count + put.astype(count.dtype)
 
         # advance: one dt step through occupied cells; past the cell exit
-        # (+ safe extra cells) through empty space
+        # (+ safe extra cells) through empty space. Empty-space leaps move by
+        # a WHOLE NUMBER of dt-recurrence steps, not to the boundary itself:
+        # snapping to boundary+eps would erase the per-ray t0 jitter and
+        # freeze every later sample onto deterministic cell-aligned
+        # positions — measured a ~6 dB held-out quality collapse. Staying on
+        # the jittered recurrence lattice is also exactly what the CUDA
+        # marcher does (`do t += dt while (t < tt)`, raymarching.cu:371-377).
         next_corner = (cell + (rays_d > 0)).astype(jnp.float32)  # [N, 3]
         world_next = (next_corner / grid_size * 2.0 - 1.0) * mip_bound[:, None]
         t_axes = (world_next - xyz) / jnp.where(
@@ -241,7 +247,19 @@ def march_rays_skip(
         t_exit = jnp.min(jnp.where(t_axes > 0, t_axes, jnp.inf), axis=-1)
         t_exit = jnp.minimum(t_exit, SQRT3 * cs)  # guard degenerate geometry
         extra = jnp.maximum(v.astype(jnp.float32) - 2.0, 0.0) * cs
-        adv_empty = jnp.maximum(dt, t_exit + 1e-3 * cs) + extra
+        s_want = t_exit + 1e-3 * cs + extra  # required safe advance
+        if dt_gamma <= 0.0:
+            m = jnp.floor(s_want / dt_min) + 1.0
+            adv_empty = m * dt_min
+        else:
+            # smallest number of recurrence steps covering s_want, per phase
+            m_lin = jnp.floor(s_want / dt) + 1.0
+            t_lin = t + m_lin * dt  # linear phases (dt pinned at min or max)
+            g = 1.0 + dt_gamma
+            m_geo = jnp.ceil(jnp.log1p(s_want / jnp.maximum(t, 1e-6)) / math.log(g))
+            t_geo = t * g ** jnp.maximum(m_geo, 1.0)
+            geo = (t * dt_gamma > dt_min) & (t * dt_gamma < dt_max)
+            adv_empty = jnp.where(geo, t_geo - t, t_lin - t)
         t = t + jnp.where(occupied, dt, adv_empty)
         done = (count >= slab) | ~alive
         t = jnp.where(done & ~occupied, jnp.maximum(t, fars), t)

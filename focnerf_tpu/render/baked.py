@@ -42,8 +42,14 @@ import numpy as np
 
 
 class BakedVolume(NamedTuple):
-    rgba: jax.Array  # [R, R, R, 4] — rgb + raw sigma, axes (x, y, z), world [-b, b]
+    """Dense bake. ``rgba`` is [R, R, R, P+1]: P payload channels + raw sigma
+    last, axes (x, y, z), world [-b, b]. P == 3 is plain rgb (sh_deg == 0);
+    with sh_deg = n the payload is 3*n^2 SH coefficients (layout [l, rgb])
+    contracted against the per-ray basis at render time."""
+
+    rgba: jax.Array
     bound: float
+    sh_deg: int = 0
 
 
 # --------------------------------------------------------------------- bake
@@ -56,12 +62,20 @@ def bake_field(
     occ_bits: Optional[jax.Array] = None,
     grid_size: int = 128,
     chunk: int = 2**16,
+    sh_degree: int = 0,
+    n_dirs: int = 48,
 ) -> BakedVolume:
     """Evaluate a trained field on a dense voxel grid.
 
     ``occ_bits`` ([CAS, grid_size^3] or [grid_size^3]) optionally zeroes
     density outside the trained occupancy (suppresses hash-collision noise in
     never-seen space, like the bitfield does for the marching renderer).
+
+    ``sh_degree`` > 0 bakes VIEW-DEPENDENT color: the color net is sampled at
+    ``n_dirs`` Fibonacci-sphere directions per voxel and least-squares
+    projected onto sh_degree^2 SH basis functions per color channel (the
+    SNeRG-style factorization); the renderer contracts the coefficients with
+    the per-ray basis. 0 keeps the diffuse radial-direction bake.
     """
     from focnerf_tpu.models.nerf import color_fn, density_fn, encode_objfeat
 
@@ -91,12 +105,40 @@ def bake_field(
     # corners); plain gathers are ~20 s for a 256^3 bake.
     from focnerf_tpu.ops import hashgrid as _hg
 
-    @jax.jit
-    def eval_chunk(p):
-        sigma, geo = density_fn(params, cfg, p)
-        d = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-6)
-        rgb = color_fn(params, cfg, d, geo, objfeat_enc)
-        return jnp.concatenate([rgb, sigma[..., None]], -1)
+    if sh_degree > 0:
+        from focnerf_tpu.ops.sh import sh_encode
+
+        # Fibonacci sphere directions + least-squares SH projection matrix
+        i = np.arange(n_dirs, dtype=np.float64) + 0.5
+        phi = np.arccos(1.0 - 2.0 * i / n_dirs)
+        theta = np.pi * (1.0 + 5.0**0.5) * i
+        dirs_np = np.stack(
+            [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi), np.cos(phi)],
+            -1,
+        ).astype(np.float32)  # [D, 3]
+        Ymat = np.asarray(sh_encode(jnp.asarray(dirs_np), sh_degree))  # [D, L]
+        proj = jnp.asarray(np.linalg.pinv(Ymat))  # [L, D]
+        dirs_dev = jnp.asarray(dirs_np)
+
+        @jax.jit
+        def eval_chunk(p):
+            sigma, geo = density_fn(params, cfg, p)
+            n_pts = p.shape[0]
+            d_all = jnp.broadcast_to(dirs_dev[:, None, :], (n_dirs, n_pts, 3))
+            geo_all = jnp.broadcast_to(geo[None], (n_dirs,) + geo.shape)
+            rgb = color_fn(params, cfg, d_all, geo_all, objfeat_enc)  # [D, n, 3]
+            coef = jnp.einsum("ld,dnc->nlc", proj, rgb)  # [n, L, 3]
+            return jnp.concatenate(
+                [coef.reshape(n_pts, -1), sigma[..., None]], -1
+            )
+    else:
+
+        @jax.jit
+        def eval_chunk(p):
+            sigma, geo = density_fn(params, cfg, p)
+            d = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-6)
+            rgb = color_fn(params, cfg, d, geo, objfeat_enc)
+            return jnp.concatenate([rgb, sigma[..., None]], -1)
 
     prev_mode = _hg.FORWARD_MODE
     _hg.FORWARD_MODE = "gather"
@@ -113,9 +155,12 @@ def bake_field(
         # resize occupancy (cell-major x,y,z) to the bake grid by nearest
         idx = (jnp.arange(R) * grid_size // R).astype(jnp.int32)
         occ_r = occ3[idx][:, idx][:, :, idx].reshape(-1)
-        rgba = rgba.at[:, 3].set(jnp.where(occ_r, rgba[:, 3], 0.0))
+        rgba = rgba.at[:, -1].set(jnp.where(occ_r, rgba[:, -1], 0.0))
 
-    return BakedVolume(rgba=rgba.reshape(R, R, R, 4), bound=b)
+    ch = rgba.shape[-1]
+    return BakedVolume(
+        rgba=rgba.reshape(R, R, R, ch), bound=b, sh_deg=sh_degree
+    )
 
 
 def save_volume(path: str, vol: BakedVolume) -> None:
@@ -125,6 +170,7 @@ def save_volume(path: str, vol: BakedVolume) -> None:
         path,
         rgba=np.asarray(vol.rgba, np.float16),
         bound=np.float32(vol.bound),
+        sh_deg=np.int32(vol.sh_deg),
     )
 
 
@@ -133,6 +179,7 @@ def load_volume(path: str) -> BakedVolume:
         return BakedVolume(
             rgba=jnp.asarray(z["rgba"].astype(np.float32)),
             bound=float(z["bound"]),
+            sh_deg=int(z["sh_deg"]) if "sh_deg" in z else 0,
         )
 
 
@@ -157,7 +204,7 @@ def shift_volume(vol: BakedVolume, offset_world: Sequence[float]) -> BakedVolume
         shape = [1, 1, 1, 1]
         shape[ax] = R
         rgba = jnp.where(band.reshape(shape), 0.0, rgba)
-    return BakedVolume(rgba=rgba, bound=vol.bound)
+    return BakedVolume(rgba=rgba, bound=vol.bound, sh_deg=vol.sh_deg)
 
 
 def merge_volumes(vols: List[BakedVolume]) -> BakedVolume:
@@ -167,9 +214,10 @@ def merge_volumes(vols: List[BakedVolume]) -> BakedVolume:
     out = vols[0].rgba
     for v in vols[1:]:
         assert v.rgba.shape == out.shape and v.bound == vols[0].bound
-        take = v.rgba[..., 3:] > out[..., 3:]
+        assert v.sh_deg == vols[0].sh_deg
+        take = v.rgba[..., -1:] > out[..., -1:]
         out = jnp.where(take, v.rgba, out)
-    return BakedVolume(rgba=out, bound=vols[0].bound)
+    return BakedVolume(rgba=out, bound=vols[0].bound, sh_deg=vols[0].sh_deg)
 
 
 # ------------------------------------------------------------------- render
@@ -178,7 +226,7 @@ def _hat(x):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis", "flip", "H", "W", "ri")
+    jax.jit, static_argnames=("axis", "flip", "H", "W", "ri", "sh_deg")
 )
 def _render_core(
     rgba,  # [R, R, R, 4] axes (x, y, z)
@@ -193,8 +241,10 @@ def _render_core(
     ri: int,
     bg_color: float,
     density_scale: float,
+    sh_deg: int = 0,
 ):
     R = rgba.shape[0]
+    CH = rgba.shape[-1]  # payload channels + 1 (sigma last)
     b = bound
 
     # --- permute so the principal axis is leading (slice axis), others (y, x)
@@ -241,7 +291,7 @@ def _render_core(
     assert R % K == 0
     n_blocks = R // K
     # front-to-back: nearest (+z') slice first
-    V_f2b = jnp.flip(V, 0).reshape(n_blocks, K, R, R, 4)
+    V_f2b = jnp.flip(V, 0).reshape(n_blocks, K, R, R, CH)
     z_f2b = jnp.flip(centers, 0).reshape(n_blocks, K)
 
     def block_body(carry, xs):
@@ -258,22 +308,43 @@ def _render_core(
         tmp = jnp.einsum("kyxc,kyY->kYxc", Vb, My,
                          preferred_element_type=jnp.float32)
         sl = jnp.einsum("kYxc,kxX->kYXc", tmp.astype(V.dtype), Mx,
-                        preferred_element_type=jnp.float32)  # [K, Ri, Ri, 4]
-        sigma = jnp.maximum(sl[..., 3], 0.0) * density_scale
+                        preferred_element_type=jnp.float32)  # [K, Ri, Ri, CH]
+        sigma = jnp.maximum(sl[..., -1], 0.0) * density_scale
         alpha = 1.0 - jnp.exp(-sigma * dt[None])  # [K, Ri, Ri]
         # exclusive within-block transmittance, then fold into the carry
         Tw = jnp.cumprod(1.0 - alpha, axis=0)
         Tw_excl = jnp.concatenate([jnp.ones_like(Tw[:1]), Tw[:-1]], axis=0)
         w = Tw_excl * alpha  # [K, Ri, Ri]
-        C = C + T[..., None] * jnp.einsum("kij,kijc->ijc", w, sl[..., :3])
+        C = C + T[..., None] * jnp.einsum("kij,kijc->ijc", w, sl[..., :-1])
         D = D + T * jnp.einsum("kij,k->ij", w, e_z - zb)
         T = T * Tw[-1]
         return (T, C, D), None
 
     T0 = jnp.ones((ri, ri), jnp.float32)
-    C0 = jnp.zeros((ri, ri, 3), jnp.float32)
+    C0 = jnp.zeros((ri, ri, CH - 1), jnp.float32)
     D0 = jnp.zeros((ri, ri), jnp.float32)
     (T, C, D), _ = jax.lax.scan(block_body, (T0, C0, D0), (V_f2b, z_f2b))
+
+    if sh_deg > 0:
+        # each intermediate pixel is exactly one primary ray through the eye,
+        # so the composited SH payload contracts with ONE basis per pixel:
+        # rgb = sum_l Y_l(dir) * C[..., l, :]
+        from focnerf_tpu.ops.sh import sh_encode
+
+        dz_p = jnp.broadcast_to(-e_z, (ri, ri))
+        dy_p = jnp.broadcast_to((gy - e_y)[:, None], (ri, ri))
+        dx_p = jnp.broadcast_to((gx - e_x)[None, :], (ri, ri))
+        d_world = jnp.zeros((ri, ri, 3), jnp.float32)
+        d_world = d_world.at[..., axis].set(dz_p * (-1.0 if flip else 1.0))
+        d_world = d_world.at[..., others[0]].set(dy_p)
+        d_world = d_world.at[..., others[1]].set(dx_p)
+        d_world = d_world / jnp.maximum(
+            jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-9
+        )
+        L = sh_deg * sh_deg
+        Y = sh_encode(d_world, sh_deg)  # [Ri, Ri, L]
+        C = jnp.einsum("ijl,ijlc->ijc", Y, C.reshape(ri, ri, L, 3))
+        C = jnp.clip(C, 0.0, 1.0)
 
     # --- final warp: screen pixel -> plane z'=0 -> bilinear sample
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
@@ -361,4 +432,5 @@ def render_baked(
         ri=ri,
         bg_color=bg_color,
         density_scale=density_scale,
+        sh_deg=int(vol.sh_deg),
     )

@@ -133,3 +133,73 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(back.rgba), np.asarray(vol.rgba), atol=2e-2
     )
+
+
+class TestSHBake:
+    def _directional_volume(self, R=64, a=0.5, b=0.3):
+        """Solid sphere whose color is a + b*d_z for view direction d —
+        exactly representable at sh degree 2 (Y0 + Y2 ~ z)."""
+        from focnerf_tpu.ops.sh import _C0, _C1
+
+        c = (jnp.arange(R) + 0.5) / R * 2 - 1
+        X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
+        inside = (X**2 + Y**2 + Z**2) < 0.4**2
+        L = 4  # degree 2
+        coef = np.zeros((R, R, R, L, 3), np.float32)
+        coef[..., 0, :] = a / _C0
+        coef[..., 2, :] = b / _C1
+        payload = coef.reshape(R, R, R, 3 * L)
+        sigma = np.where(np.asarray(inside), 80.0, 0.0)[..., None]
+        return BakedVolume(
+            rgba=jnp.asarray(np.concatenate([payload, sigma], -1)),
+            bound=1.0,
+            sh_deg=2,
+        )
+
+    def test_view_dependent_color(self):
+        vol = self._directional_volume()
+        intr = (76.8, 76.8, 32, 32)
+
+        def frontal_color(sign):
+            pose = np.eye(4, dtype=np.float32)
+            if sign > 0:
+                # camera at +z looking -z: R maps cam +z -> world -z
+                pose[:3, :3] = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+                pose[2, 3] = 2.5
+            else:
+                pose[2, 3] = -2.5  # identity R: cam +z == world +z
+            img, _, alpha = render_baked(vol, pose, intr, 64, 64, bg_color=0.0)
+            m = np.asarray(alpha) > 0.9
+            return float(np.asarray(img)[m].mean())
+
+        # looking from +z the rays run along -z: color = a - b = 0.2
+        # looking from -z the rays run along +z: color = a + b = 0.8
+        assert abs(frontal_color(+1) - 0.2) < 0.03
+        assert abs(frontal_color(-1) - 0.8) < 0.03
+
+    def test_bake_field_sh_roundtrip(self):
+        """SH bake of a real (diffuse-ish) model reproduces the diffuse bake
+        color in expectation over directions."""
+        from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+        from focnerf_tpu.render.baked import bake_field
+
+        cfg = NeRFConfig(
+            num_levels=4, base_resolution=4, log2_hashmap_size=10,
+            use_objfeat=False, compute_dtype=jnp.float32, bound=1.0,
+        )
+        params = init_nerf_params(jax.random.key(0), cfg)
+        v_sh = bake_field(params, cfg, resolution=16, chunk=1024,
+                          sh_degree=2, n_dirs=24)
+        assert v_sh.rgba.shape == (16, 16, 16, 13)  # 3*4 coeffs + sigma
+        assert v_sh.sh_deg == 2
+        # sigma identical to the diffuse bake
+        v_d = bake_field(params, cfg, resolution=16, chunk=1024)
+        np.testing.assert_allclose(
+            np.asarray(v_sh.rgba[..., -1]), np.asarray(v_d.rgba[..., -1]),
+            rtol=1e-4, atol=1e-5,
+        )
+        # DC term scaled by Y0 approximates the direction-averaged color
+        from focnerf_tpu.ops.sh import _C0
+
+        dc = np.asarray(v_sh.rgba[..., 0:3]) * _C0
+        assert dc.min() > -0.2 and dc.max() < 1.2

@@ -69,13 +69,13 @@ def make_views(n_views, H, W, seed):
     )
 
 
-def run_variant(name, cfg, iters, data_train, data_test, occ_bits, occ_skip=None):
+def run_variant(name, cfg, iters, data_train, data_test, occ_bits, occ_skip=None, seed=0):
     import optax
 
     from focnerf_tpu.render.renderer import render_rays_occupancy
 
     optimizer = make_optimizer(lr=1e-2, iters=max(iters, 1000))
-    state = create_train_state(jax.random.key(0), cfg, optimizer)
+    state = create_train_state(jax.random.key(seed), cfg, optimizer)
     tr_o, tr_d, tr_rgb = data_train
 
     def loss_fn(params, batch, rng):
@@ -95,11 +95,11 @@ def run_variant(name, cfg, iters, data_train, data_test, occ_bits, occ_skip=None
         params = optax.apply_updates(state.params, updates)
         return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
 
-    state, loss = train_step(state, jax.random.key(0))
+    state, loss = train_step(state, jax.random.key(seed * 100000))
     jax.block_until_ready(loss)
     t0 = time.time()
     for i in range(1, iters):
-        state, loss = train_step(state, jax.random.key(i))
+        state, loss = train_step(state, jax.random.key(seed * 100000 + i))
     loss = float(loss)
     dt = (time.time() - t0) / (iters - 1)
 
@@ -137,6 +137,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=800)
     ap.add_argument("--variants", default="exact,int8,stoch1,stoch2,stoch1i8")
+    ap.add_argument("--seeds", default="0")
     args = ap.parse_args()
 
     from focnerf_tpu.ops import hashgrid
@@ -169,8 +170,10 @@ def main():
         cfg = NeRFConfig(
             use_objfeat=False, stochastic_corners=k, stochastic_min_size=ms
         )
-        run_variant(name, cfg, args.iters, data_train, data_test, occ_bits,
-                    occ_skip=occ_skip_field if skipm else None)
+        for seed in (int(x) for x in args.seeds.split(",")):
+            run_variant(f"{name}/s{seed}", cfg, args.iters, data_train,
+                        data_test, occ_bits,
+                        occ_skip=occ_skip_field if skipm else None, seed=seed)
     hashgrid.BACKWARD_INT8 = None
 
 
