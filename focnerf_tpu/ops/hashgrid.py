@@ -154,6 +154,28 @@ def _level_corner_indices(x01: jax.Array, spec: HashGridSpec, lvl: int):
     return rows, w
 
 
+def _level_sampled_indices(x01: jax.Array, spec: HashGridSpec, lvl: int, u3: jax.Array):
+    """Rows of K weight-sampled corners, computed DIRECTLY.
+
+    The trilinear corner weights factorize per axis (w_c = prod_d f_d^{b_d}
+    (1-f_d)^{1-b_d}), so sampling a corner with probability w_c is D
+    independent Bernoulli(f_d) draws — no need to materialize all 2^D corner
+    rows, weights, and a CDF-select (which cost ~2x the stochastic encode's
+    gather time at production shapes). u3: [N, K, D] uniforms. Returns rows
+    [N, K] int32 into the flat table.
+    """
+    scale = np.float32(
+        np.exp2(lvl * np.log2(spec.per_level_scale)) * spec.base_resolution - 1.0
+    )
+    pos = x01.astype(jnp.float32) * scale + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid  # [N, D]
+    base = pos_grid.astype(jnp.uint32)
+    bits = (u3 < frac[:, None, :]).astype(jnp.uint32)  # [N, K, D]
+    corner = base[:, None, :] + bits
+    return _coords_to_rows(corner, spec, lvl)
+
+
 def _coords_to_rows(coords: jax.Array, spec: HashGridSpec, lvl: int) -> jax.Array:
     """Integer vertex coords [..., D] (uint32) -> flat table rows [...] (int32),
     including the level offset (gridencoder.cu get_grid_index :67-84)."""
@@ -321,22 +343,20 @@ def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec, u=None):
         lvl for lvl, (_, ncols) in enumerate(layout) if ncols != n_corners
     ]
     if stoch_lvls:
-        assert u is not None and u.shape == (n, len(stoch_lvls), spec.stochastic_k)
+        assert u is not None and u.shape == (
+            n, len(stoch_lvls), spec.stochastic_k, spec.input_dim
+        )
 
     rows_l, w_l = [], []
     for lvl in range(spec.num_levels):
-        rows, w = _level_corner_indices(x, spec, lvl)  # [N, corners] each
         if lvl in stoch_lvls:
             k = spec.stochastic_k
-            u_l = u[:, stoch_lvls.index(lvl), :]  # [N, K]
-            cdf = jnp.cumsum(w, axis=-1)  # [N, corners], last col == 1
-            # first corner whose cdf exceeds the draw (inverse-CDF sampling)
-            choice = jnp.sum(
-                cdf[:, None, :] < u_l[..., None] * cdf[:, None, -1:], axis=-1
-            )  # [N, K] int
-            choice = jnp.clip(choice, 0, n_corners - 1)
-            rows = jnp.take_along_axis(rows, choice.astype(jnp.int32), axis=1)
+            rows = _level_sampled_indices(
+                x, spec, lvl, u[:, stoch_lvls.index(lvl)]
+            )  # [N, K]
             w = jnp.full((n, k), 1.0 / k, jnp.float32)
+        else:
+            rows, w = _level_corner_indices(x, spec, lvl)  # [N, corners]
         rows_l.append(rows)
         w_l.append(w)
     rows = jnp.concatenate(rows_l, axis=1)  # [N, total_cols]
@@ -419,9 +439,11 @@ def hashgrid_encode(
         n_stoch = sum(
             _is_stochastic_level(spec, lvl) for lvl in range(spec.num_levels)
         )
-        u = jax.random.uniform(rng, (x.shape[0], n_stoch, spec.stochastic_k))
+        u = jax.random.uniform(
+            rng, (x.shape[0], n_stoch, spec.stochastic_k, spec.input_dim)
+        )
     else:
-        u = jnp.zeros((x.shape[0], 0, 0), jnp.float32)
+        u = jnp.zeros((x.shape[0], 0, 0, 0), jnp.float32)
     if input_grads:
         out, _, _ = _encode_impl(table, x, spec, u)
     else:
