@@ -42,7 +42,7 @@ def bench_baked(args):
     vols = []
     for i in range(args.objects):
         params = init_nerf_params(jax.random.key(i), cfg)
-        v = bake_field(params, cfg, resolution=args.bake_res)
+        v = bake_field(params, cfg, resolution=args.bake_res, sh_degree=args.bake_sh)
         vols.append(shift_volume(v, (0.5 * i - 0.25 * args.objects, 0.0, 0.0)))
     merged = merge_volumes(vols)
     jax.block_until_ready(merged.rgba)
@@ -70,7 +70,8 @@ def bench_baked(args):
         n += 1
     dt = (time.time() - t0) / n
     print(json.dumps({
-        "metric": f"baked_fps_{args.res}px_{args.objects}obj",
+        "metric": f"baked_fps_{args.res}px_{args.objects}obj"
+                  + (f"_sh{args.bake_sh}" if args.bake_sh else ""),
         "value": round(1.0 / dt, 2), "unit": "fps",
         "ms_per_frame": round(dt * 1000, 3),
         "bake_res": args.bake_res,
@@ -85,6 +86,7 @@ def main():
     p.add_argument("--num_steps", type=int, default=128)
     p.add_argument("--baked", action="store_true")
     p.add_argument("--bake_res", type=int, default=256)
+    p.add_argument("--bake_sh", type=int, default=0)
     args = p.parse_args()
 
     if args.baked:
