@@ -37,6 +37,7 @@ def build_trainer(opt, cfg):
         dt_gamma=opt.dt_gamma,
         max_steps=opt.max_steps,
         train_slab=opt.train_slab,
+        skip_march=opt.skip_march,
         density_thresh=opt.density_thresh,
         update_extra_interval=opt.update_extra_interval,
         min_near=opt.min_near,

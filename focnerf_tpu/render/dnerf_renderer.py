@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from focnerf_tpu.core.geometry import near_far_from_aabb
 from focnerf_tpu.models.dnerf import DNeRFConfig, dnerf_color, dnerf_density
 from focnerf_tpu.ops.composite import composite_rays
-from focnerf_tpu.ops.marching import march_rays
+from focnerf_tpu.ops.marching import march_rays, march_rays_skip
 
 
 def render_rays_dnerf(
@@ -95,21 +95,19 @@ def render_rays_dnerf_occupancy(
     min_near: float = 0.2,
     T_thresh: float = 1e-4,
     grid_size: int = 128,
+    occ_skip: Optional[jax.Array] = None,
 ) -> Dict[str, Any]:
     """Occupancy-accelerated dynamic render (dnerf run_cuda,
     dnerf/renderer.py:243-340): march through the time-slot bitfield, then
-    evaluate the time-conditioned field on the surviving slab."""
+    evaluate the time-conditioned field on the surviving slab. ``occ_skip``
+    (occupancy_skip_field of the slot) switches to the sphere-trace skip
+    marcher, as in the static renderer."""
     if aabb is None:
         b = cfg.bound
         aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
 
-    m = march_rays(
-        rays_o,
-        rays_d,
-        nears,
-        fars,
-        occ_bits,
+    common = dict(
         bound=cfg.bound,
         dt_gamma=dt_gamma,
         max_steps=max_steps,
@@ -118,6 +116,10 @@ def render_rays_dnerf_occupancy(
         rng=rng,
         perturb=perturb,
     )
+    if occ_skip is not None:
+        m = march_rays_skip(rays_o, rays_d, nears, fars, occ_skip, **common)
+    else:
+        m = march_rays(rays_o, rays_d, nears, fars, occ_bits, **common)
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * m.ts[..., None]
     xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
     sigmas, geo, aux = dnerf_density(params, cfg, xyzs, t)

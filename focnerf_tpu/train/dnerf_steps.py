@@ -81,11 +81,14 @@ def make_dnerf_train_step_occupancy(
     ema_decay: float = 0.95,
     T_thresh: float = 1e-4,
     donate: bool = False,
+    skip_field: bool = False,
 ):
-    """(state, batch, occ_bits [CAS, H^3], rng) -> (state, metrics).
+    """(state, batch, occ [CAS, H^3], rng) -> (state, metrics).
 
-    ``occ_bits`` is the bitfield slot for the batch's time
-    (time_occupancy_bitfield; ref dnerf/renderer.py:286).
+    ``occ`` is the bitfield slot for the batch's time
+    (time_occupancy_bitfield; ref dnerf/renderer.py:286), or — with
+    ``skip_field=True`` — its uint8 skip-code field driving the
+    sphere-trace marcher.
     """
 
     def loss_fn(params, batch, occ_bits, rng):
@@ -95,7 +98,7 @@ def make_dnerf_train_step_occupancy(
             params, cfg, batch["rays_o"], batch["rays_d"], batch["time"], occ_bits,
             dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
             rng=k_perturb, perturb=True, bg_color=bg, min_near=min_near,
-            T_thresh=T_thresh,
+            T_thresh=T_thresh, occ_skip=occ_bits if skip_field else None,
         )
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
         loss = jnp.mean(per_ray)

@@ -54,6 +54,7 @@ class DNeRFTrainer(Trainer):
                 slab=self.train_slab,
                 min_near=self.min_near,
                 ema_decay=ema_decay,
+                skip_field=self.skip_march,
             )
         self._train_step = make_dnerf_train_step(
             self.cfg,
@@ -72,7 +73,16 @@ class DNeRFTrainer(Trainer):
         return
 
     def _occ_bits_for_batch(self, batch):
-        return time_occupancy_bitfield(self.occupancy, batch["time"], self.density_thresh)
+        bits = time_occupancy_bitfield(
+            self.occupancy, batch["time"], self.density_thresh
+        )
+        if self.skip_march:
+            if not hasattr(self, "_skip_field_jit"):
+                from focnerf_tpu.ops.occupancy import occupancy_skip_field
+
+                self._skip_field_jit = jax.jit(occupancy_skip_field)
+            bits = self._skip_field_jit(bits)
+        return bits
 
     def _maybe_update_occupancy(self):
         if self.occupancy is None:

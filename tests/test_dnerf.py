@@ -265,3 +265,34 @@ class TestDNeRFTrainer:
         assert np.isfinite(res["PSNR"])
         path = tr2.save_mesh(resolution=24, threshold=0.5, t=0.5)
         assert path.endswith("t0.50.obj")
+
+    def test_occupancy_skip_march_trains(self, tmp_path):
+        """D-NeRF occupancy training through the sphere-trace skip marcher
+        (skip_march=True): loss decreases and the step runs end-to-end."""
+        from focnerf_tpu.data.dnerf_provider import DNeRFDataset
+        from focnerf_tpu.data.provider import DatasetOptions
+        from focnerf_tpu.models.dnerf import DNeRFConfig
+        from focnerf_tpu.train.dnerf_trainer import DNeRFTrainer
+        from helpers import make_synthetic_scene
+
+        scene = make_synthetic_scene(str(tmp_path / "scene"), n_train=3, n_val=1, H=16, W=16)
+        cfg = DNeRFConfig(
+            variant="deform", num_levels=4, base_resolution=4, log2_hashmap_size=11,
+            deform_layers=2, deform_hidden=16, hidden_dim=16, hidden_dim_color=16,
+            use_objfeat=False, compute_dtype=jnp.float32, bound=1.0,
+        )
+        train_ds = DNeRFDataset(DatasetOptions(path=scene, num_rays=64, scale=1.0), split="train")
+        tr = DNeRFTrainer(
+            "dnerf", cfg, workspace=str(tmp_path / "ws"), lr=1e-2, iters=100,
+            num_steps=32, max_ray_batch=256, use_occupancy=True, dt_gamma=0.0,
+            max_steps=64, train_slab=16, skip_march=True,
+            update_extra_interval=4, eval_interval=1000, use_tensorboard=False,
+            time_slots=4,
+        )
+        l0 = tr.train_step_once(train_ds)
+        # the occupancy payload reaching the step must be the uint8 skip field
+        bits = tr._occ_bits_for_batch({"time": jnp.float32(0.25)})
+        assert bits.dtype == jnp.uint8
+        for _ in range(30):
+            l = tr.train_step_once(train_ds)
+        assert np.isfinite(l) and l < l0 * 1.5
