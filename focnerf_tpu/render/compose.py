@@ -263,6 +263,9 @@ def compose_rays_occupancy(
     }
 
 
+_compose_chunk_cache = {}
+
+
 def compose_image(
     stacked_params,
     cfg: NeRFConfig,
@@ -283,7 +286,9 @@ def compose_image(
     max_steps: int = 1024,
     slab: int = 64,
 ):
-    """Full-image composition, chunked with lax.map. Returns (rgba [H,W,4], depth).
+    """Full-image composition, python-looped over cached compiled chunks
+    (NOT lax.map — nested encode/march scans inside a map execute
+    pathologically, PERF.md round 2). Returns (rgba [H,W,4], depth).
 
     With ``occ_bits`` (a scene-space union bitfield, see
     ``union_occupancy_bits``) rays march through occupied space only.
@@ -298,42 +303,41 @@ def compose_image(
     ro = ro.reshape(-1, max_ray_batch, 3)
     rd = rd.reshape(-1, max_ray_batch, 3)
 
-    def chunk_fn(chunk):
-        o, d = chunk
-        if occ_bits is not None:
-            res = compose_rays_occupancy(
-                stacked_params,
-                cfg,
-                o,
-                d,
-                occ_bits,
-                obj_feats,
-                offsets,
-                dt_gamma=dt_gamma,
-                max_steps=max_steps,
-                slab=slab,
-                bg_color=bg_color,
-                aabb=aabb,
-                min_near=min_near,
-            )
-        else:
-            res = compose_rays(
-                stacked_params,
-                cfg,
-                o,
-                d,
-                obj_feats,
-                offsets,
-                num_steps=num_steps,
-                bg_color=bg_color,
-                aabb=aabb,
-                min_near=min_near,
-            )
-        return res["image"], res["depth"], res["alpha"]
+    key = (
+        cfg, num_steps, min_near, dt_gamma, max_steps, slab,
+        occ_bits is not None,
+    )
+    if key not in _compose_chunk_cache:
+        use_occ = occ_bits is not None
 
-    images, depths, alphas = jax.lax.map(chunk_fn, (ro, rd))
+        def chunk_run(stacked_params, o, d, occ_bits, obj_feats, offsets, aabb, bg_color):
+            if use_occ:
+                res = compose_rays_occupancy(
+                    stacked_params, cfg, o, d, occ_bits, obj_feats, offsets,
+                    dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
+                    bg_color=bg_color, aabb=aabb, min_near=min_near,
+                )
+            else:
+                res = compose_rays(
+                    stacked_params, cfg, o, d, obj_feats, offsets,
+                    num_steps=num_steps, bg_color=bg_color, aabb=aabb,
+                    min_near=min_near,
+                )
+            return res["image"], res["depth"], res["alpha"]
+
+        _compose_chunk_cache[key] = jax.jit(chunk_run)
+    chunk_jit = _compose_chunk_cache[key]
+    outs = [
+        chunk_jit(stacked_params, ro[i], rd[i], occ_bits, obj_feats, offsets,
+                  aabb, bg_color)
+        for i in range(ro.shape[0])
+    ]
     rgba = jnp.concatenate(
-        [images.reshape(-1, 3)[:n], alphas.reshape(-1, 1)[:n]], axis=-1
+        [
+            jnp.concatenate([o[0] for o in outs]).reshape(-1, 3)[:n],
+            jnp.concatenate([o[2] for o in outs]).reshape(-1, 1)[:n],
+        ],
+        axis=-1,
     ).reshape(H, W, 4)
-    depth = depths.reshape(-1)[:n].reshape(H, W)
+    depth = jnp.concatenate([o[1] for o in outs]).reshape(-1)[:n].reshape(H, W)
     return rgba, depth

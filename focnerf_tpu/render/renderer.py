@@ -272,6 +272,9 @@ def render_rays_occupancy(
     }
 
 
+_chunk_render_cache = {}
+
+
 def render_image(
     params,
     cfg: NeRFConfig,
@@ -290,16 +293,21 @@ def render_image(
     dt_gamma: float = 0.0,
     max_steps: int = 1024,
     slab: int = 64,
+    occ_skip: Optional[jax.Array] = None,
 ):
-    """Full-image staged render: lax.map over fixed-size ray chunks.
+    """Full-image staged render: a python loop over fixed-size ray chunks.
 
-    Replaces the reference's python-loop staged mode (nerf/renderer.py:524-554)
-    with a single compiled scan — one compilation, no host round-trips.
+    NOT lax.map: the encode/march scans nested inside a map both compile and
+    execute pathologically (the 16 s/frame eval of PERF.md round 2); the
+    loop dispatches one cached compiled chunk program (~1.6 ms/dispatch
+    against multi-ms chunks), exactly like the reference's python-loop
+    staged mode (nerf/renderer.py:524-554) but with a single compilation.
 
     When ``occ_bits`` is given, rays go through the occupancy-accelerated
     marcher (``render_rays_occupancy``) instead of ``num_steps`` uniform
     samples — the equivalent of the reference routing eval/test/GUI through
     ``run_cuda`` whenever --cuda_ray is on (nerf/renderer.py:318-354).
+    ``occ_skip`` additionally switches it to the sphere-trace skip marcher.
     Returns (image [H, W, 3], depth [H, W]).
     """
     from focnerf_tpu.core.rays import get_rays
@@ -312,38 +320,35 @@ def render_image(
     ro = ro.reshape(-1, max_ray_batch, 3)
     rd = rd.reshape(-1, max_ray_batch, 3)
 
-    def chunk_fn(rays_chunk):
-        o, d = rays_chunk
-        if occ_bits is not None:
-            res = render_rays_occupancy(
-                params,
-                cfg,
-                o,
-                d,
-                occ_bits,
-                dt_gamma=dt_gamma,
-                max_steps=max_steps,
-                slab=slab,
-                bg_color=bg_color,
-                aabb=aabb,
-                min_near=min_near,
-                obj_feat=obj_feat,
-            )
-        else:
-            res = render_rays(
-                params,
-                cfg,
-                o,
-                d,
-                num_steps=num_steps,
-                bg_color=bg_color,
-                aabb=aabb,
-                min_near=min_near,
-                obj_feat=obj_feat,
-            )
-        return res["image"], res["depth"]
+    key = (
+        cfg, num_steps, min_near, dt_gamma, max_steps, slab,
+        occ_bits is not None, occ_skip is not None,
+    )
+    if key not in _chunk_render_cache:
+        use_occ = occ_bits is not None
 
-    images, depths = jax.lax.map(chunk_fn, (ro, rd))
-    image = images.reshape(-1, 3)[:n].reshape(H, W, 3)
-    depth = depths.reshape(-1)[:n].reshape(H, W)
-    return image, depth
+        def chunk_run(params, o, d, obj_feat, occ_bits, occ_skip, aabb, bg_color):
+            if use_occ:
+                res = render_rays_occupancy(
+                    params, cfg, o, d, occ_bits,
+                    dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
+                    bg_color=bg_color, aabb=aabb, min_near=min_near,
+                    obj_feat=obj_feat, occ_skip=occ_skip,
+                )
+            else:
+                res = render_rays(
+                    params, cfg, o, d, num_steps=num_steps,
+                    bg_color=bg_color, aabb=aabb, min_near=min_near,
+                    obj_feat=obj_feat,
+                )
+            return res["image"], res["depth"]
+
+        _chunk_render_cache[key] = jax.jit(chunk_run)
+    chunk_jit = _chunk_render_cache[key]
+    outs = [
+        chunk_jit(params, ro[i], rd[i], obj_feat, occ_bits, occ_skip, aabb, bg_color)
+        for i in range(ro.shape[0])
+    ]
+    image = jnp.concatenate([o[0] for o in outs]).reshape(-1, 3)[:n]
+    depth = jnp.concatenate([o[1] for o in outs]).reshape(-1)[:n]
+    return image.reshape(H, W, 3), depth.reshape(H, W)

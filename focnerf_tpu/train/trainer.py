@@ -388,12 +388,17 @@ class Trainer:
             min_near=self.min_near,
         )
         if self.occupancy is not None:
+            bits = occupancy_bitfield(self.occupancy, self.density_thresh)
             kw.update(
-                occ_bits=occupancy_bitfield(self.occupancy, self.density_thresh),
+                occ_bits=bits,
                 dt_gamma=self.dt_gamma,
                 max_steps=self.max_steps,
                 slab=max(self.train_slab, 64),
             )
+            if self.skip_march:
+                from focnerf_tpu.ops.occupancy import occupancy_skip_field
+
+                kw["occ_skip"] = occupancy_skip_field(bits)
         return kw
 
     def evaluate(self, dataset, name: str = "val", save_images: bool = True, use_ema: bool = True):

@@ -112,30 +112,22 @@ def main():
     X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
     bits = ((X**2 + Y**2 + Z**2) < 0.45**2).reshape(1, -1)
 
-    chunk = 65536
+    from focnerf_tpu.render.renderer import render_image
+    from focnerf_tpu.ops.occupancy import occupancy_skip_field
 
-    @jax.jit
-    def render_occ(params, ro, rd):
-        n = ro.shape[0]
-        pad = (-n) % chunk
-        ro = jnp.pad(ro, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
-        rd = jnp.pad(rd, ((0, pad), (0, 0)))
-        if pad:
-            rd = rd.at[n:, 2].set(1.0)  # padded rays need a valid direction
-        rd = rd.reshape(-1, chunk, 3)
-        def go(c):
-            o, d = c
-            out = render_rays_occupancy(
-                params, cfg, o, d, bits, dt_gamma=1 / 128,
-                max_steps=1024, slab=args.slab, bg_color=1.0,
-            )
-            return out["image"]
-        return jax.lax.map(go, (ro, rd)).reshape(-1, 3)[:n]
+    skip = occupancy_skip_field(bits)
 
-    img = render_occ(params, rays["rays_o"], rays["rays_d"])
+    def render_occ(params, pose_):
+        return render_image(
+            params, cfg, pose_, (fx, fx, W / 2, H / 2), H, W,
+            occ_bits=bits, occ_skip=skip, dt_gamma=1 / 128,
+            max_steps=1024, slab=args.slab, max_ray_batch=65536, bg_color=1.0,
+        )[0]
+
+    img = render_occ(params, pose)
     jax.block_until_ready(img)
     t0 = time.time()
-    img = render_occ(params, rays["rays_o"], rays["rays_d"])
+    img = render_occ(params, pose.at[2, 3].add(0.01))  # fresh pose: no dedup
     jax.block_until_ready(img)
     dt = time.time() - t0
     print(json.dumps({
@@ -154,18 +146,17 @@ def main():
     # lookups of one chunk; keep chunks small enough to fit
     comp_chunk = min(chunk, max(1024, (2 << 30) // (args.num_steps * 2048)))
 
-    @jax.jit
-    def render_comp(stacked):
+    def render_comp(stacked, pose_):
         rgba, depth = compose_image(
-            stacked, cfg, pose, (fx, fx, W / 2, H / 2), H, W,
+            stacked, cfg, pose_, (fx, fx, W / 2, H / 2), H, W,
             feats, None, num_steps=args.num_steps, max_ray_batch=comp_chunk,
         )
         return rgba
 
-    out = render_comp(stacked)
+    out = render_comp(stacked, pose)
     jax.block_until_ready(out)
     t0 = time.time()
-    out = render_comp(stacked)
+    out = render_comp(stacked, pose.at[2, 3].add(0.01))
     jax.block_until_ready(out)
     dt = time.time() - t0
     print(json.dumps({
