@@ -144,7 +144,7 @@ def main():
 
     # the uniform compose path needs ~2 KB HBM per (ray, step) for the hash
     # lookups of one chunk; keep chunks small enough to fit
-    comp_chunk = min(chunk, max(1024, (2 << 30) // (args.num_steps * 2048)))
+    comp_chunk = min(65536, max(1024, (2 << 30) // (args.num_steps * 2048)))
 
     def render_comp(stacked, pose_):
         rgba, depth = compose_image(
