@@ -76,9 +76,13 @@ def main(argv=None):
     if val_ds is not None:
         trainer.evaluate(val_ds)
     try:
-        # mesh at t=0 and t=1 brackets the motion (ref exports at a given t)
-        trainer.save_mesh(resolution=128, threshold=opt.density_thresh, t=0.0)
-        trainer.save_mesh(resolution=128, threshold=opt.density_thresh, t=1.0)
+        if opt.mesh_t is not None:
+            # ref dnerf/utils.py:221-243 exports at a caller-chosen t
+            trainer.save_mesh(resolution=128, threshold=opt.density_thresh, t=float(opt.mesh_t))
+        else:
+            # default: mesh at t=0 and t=1 brackets the motion
+            trainer.save_mesh(resolution=128, threshold=opt.density_thresh, t=0.0)
+            trainer.save_mesh(resolution=128, threshold=opt.density_thresh, t=1.0)
     except Exception as e:  # mesh export must never kill a training run
         trainer.log(f"[WARN] mesh export failed: {e}")
     return trainer

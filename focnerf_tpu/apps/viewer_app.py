@@ -42,8 +42,45 @@ def _view_only(opt):
         os.path.join(ckpt_dir, "model_config.json")) else opt.nerf_config())
     print(f"[viewer] loaded checkpoint from {ckpt_dir}")
 
-    occ_kwargs = {}
     occ = load_object_occupancy(ckpt_dir, cfg) if opt.cuda_ray else None
+
+    if isinstance(cfg, DNeRFConfig):
+        import jax
+
+        from focnerf_tpu.render.dnerf_renderer import (
+            TimeOccupancyState,
+            render_image_dnerf,
+            time_occupancy_bitfield,
+        )
+
+        occ_kwargs = {}
+        bits_at = None
+        if isinstance(occ, TimeOccupancyState):
+            # per-t bitfield slice of the time-axis grid (dnerf/renderer.py:286)
+            bits_at = jax.jit(
+                lambda t: time_occupancy_bitfield(occ, t, opt.density_thresh)
+            )
+            occ_kwargs = dict(
+                dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+                slab=max(opt.train_slab, 64),
+            )
+            print("[viewer] occupancy-accelerated dnerf rendering on")
+
+        def render_fn(pose, intrinsics, H, W, t):
+            kw = dict(occ_kwargs)
+            if bits_at is not None:
+                kw["occ_bits"] = bits_at(jnp.asarray(t, jnp.float32))
+            img, _ = render_image_dnerf(
+                params, cfg, jnp.asarray(pose), intrinsics, H, W, t,
+                num_steps=min(opt.num_steps, 128),
+                max_ray_batch=opt.max_ray_batch,
+                min_near=opt.min_near, bg_color=1.0, **kw,
+            )
+            return np.asarray(img)
+
+        return render_fn, None
+
+    occ_kwargs = {}
     if occ is not None:
         from focnerf_tpu.ops.occupancy import occupancy_bitfield
 
@@ -53,20 +90,6 @@ def _view_only(opt):
             slab=max(opt.train_slab, 64),
         )
         print("[viewer] occupancy-accelerated rendering on")
-
-    if isinstance(cfg, DNeRFConfig):
-        from focnerf_tpu.render.dnerf_renderer import render_image_dnerf
-
-        def render_fn(pose, intrinsics, H, W, t):
-            img, _ = render_image_dnerf(
-                params, cfg, jnp.asarray(pose), intrinsics, H, W, t,
-                num_steps=min(opt.num_steps, 128),
-                max_ray_batch=opt.max_ray_batch,
-                min_near=opt.min_near, bg_color=1.0,
-            )
-            return np.asarray(img)
-
-        return render_fn, None
 
     obj_feat = jnp.zeros((cfg.yolo_feats_dim,)) if cfg.use_objfeat else None
 
@@ -99,10 +122,15 @@ def _view_only(opt):
             save_volume(cache, vol)
 
         def render_fn(pose, intrinsics, H, W, t):
-            img, _, _ = render_baked(
-                vol, pose, intrinsics, H, W, bg_color=1.0,
-                density_scale=cfg.density_scale,
-            )
+            try:
+                img, _, _ = render_baked(
+                    vol, pose, intrinsics, H, W, bg_color=1.0,
+                    density_scale=cfg.density_scale,
+                )
+            except ValueError:
+                # camera zoomed inside the volume: shear-warp undefined;
+                # serve a flat frame instead of NaN garbage
+                return np.ones((H, W, 3), np.float32)
             return np.asarray(img)
 
         return render_fn, None

@@ -101,6 +101,9 @@ class Options:
     # dnerf
     dnerf_variant: str = "deform"
     time_slots: int = 64
+    # time at which to export the mesh (ref dnerf/utils.py:221-243 exports
+    # at a caller-chosen t); None -> bracket the motion at t=0 and t=1
+    mesh_t: float = None
 
     @property
     def use_objfeat(self) -> bool:
@@ -152,7 +155,7 @@ class Options:
             patch_size=self.patch_size,
             color_space=self.color_space,
             edit_x=self.edit_x,
-            # --preload false == the reference's host-side DataLoader path:
+            # --no-preload == the reference's host-side DataLoader path:
             # uint8 stack in host RAM + native threaded sampler
             host_pipeline=not self.preload,
         )
@@ -168,11 +171,21 @@ def build_parser(edit: bool = False, dnerf: bool = False) -> argparse.ArgumentPa
             continue
         arg = f"--{f.name}"
         if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
-            p.add_argument(arg, action="store_true", default=getattr(defaults, f.name))
+            # BooleanOptionalAction so True-default flags are reachable from
+            # the CLI (--no-preload selects the host-side pipeline; plain
+            # store_true made `not self.preload` unreachable)
+            p.add_argument(
+                arg,
+                action=argparse.BooleanOptionalAction,
+                default=getattr(defaults, f.name),
+            )
         elif f.name in ("offset", "bound_inf", "objects_of_interest"):
             p.add_argument(arg, nargs="+", default=getattr(defaults, f.name))
         else:
-            caster = type(getattr(defaults, f.name)) if getattr(defaults, f.name) is not None else str
+            if f.name == "mesh_t":
+                caster = float  # default is None; a bare str would leak through
+            else:
+                caster = type(getattr(defaults, f.name)) if getattr(defaults, f.name) is not None else str
             p.add_argument(arg, type=caster, default=getattr(defaults, f.name))
     return p
 

@@ -190,4 +190,14 @@ def load_sidecar(scene_dir: str, split: str) -> Optional[Dict]:
     if not os.path.exists(path):
         return None
     data = np.load(path, allow_pickle=False)
+    if "paths" not in data.files:
+        # A sidecar without per-row paths predates path-keyed alignment; the
+        # provider would fall back to positional pairing, which its frame
+        # sorting + split selection silently misalign. Refuse rather than
+        # corrupt FOC masked training with wrong mask/image pairs.
+        raise ValueError(
+            f"{path} has no 'paths' key (written by an old preprocessing "
+            "run); re-run `python -m focnerf_tpu.data.yolo_sidecar` for "
+            "this scene to regenerate path-keyed sidecars"
+        )
     return {k: data[k] for k in data.files}

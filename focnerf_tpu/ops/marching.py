@@ -178,12 +178,13 @@ def march_rays_skip(
     Same contract as march_rays, but instead of probing a dense candidate
     ladder ([N, max_steps] bitfield gathers — the measured per-row gather
     floor makes that the dominant march cost), it walks each ray with a
-    lax.scan whose step either samples (skip code 0: occupied cell, advance
-    by the dt recurrence — raymarching.cu:349-383) or leaps over empty space
-    (code v >= 1: advance past the cell boundary plus (v-2) safe cells; the
-    skip field guarantees every cell the segment can touch is empty).
-    Gathers drop from N*max_steps rows to N*max_iters with
-    max_iters ~= slab + O(log H).
+    lax.while_loop whose step either samples (skip code 0: occupied cell,
+    advance by the dt recurrence — raymarching.cu:349-383) or leaps over
+    empty space (code v >= 1: advance past the cell boundary plus (v-2)
+    safe cells; the skip field guarantees every cell the segment can touch
+    is empty). The loop exits when every ray is done, so gathers drop from
+    N*max_steps rows to N*(slab + O(log H)) on typical scenes, with
+    max_iters as a hard termination cap.
 
     dt positions are memoryless (dt = clamp(t*gamma, lo, hi) depends only on
     t), so leap landings resume the exact CUDA step recurrence.
@@ -193,7 +194,13 @@ def march_rays_skip(
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 * (2.0 ** (cascades - 1)) / grid_size
     if max_iters <= 0:
-        max_iters = slab + 48
+        # hard CAP on walk length, not the expected cost: the while_loop
+        # below exits as soon as every ray is done, so clean scenes stop
+        # after ~slab + O(log H) iterations regardless of this value. The
+        # cap only bites in pathological clutter (skip codes pinned at 1-2,
+        # ~1 cell/iteration), where a tight slab+48 bound silently dropped
+        # all samples in the back of the volume.
+        max_iters = slab + 8 * grid_size
 
     t0 = nears
     if perturb:
@@ -204,8 +211,8 @@ def march_rays_skip(
     skip_flat = occ_skip.reshape(-1)
     k_iota = jnp.arange(slab)[None, :]  # [1, K]
 
-    def body(carry, _):
-        t, count, out_t, out_dt = carry
+    def body(carry):
+        t, count, out_t, out_dt, it = carry
         alive = t < fars
         dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
         xyz = rays_o + rays_d * t[:, None]
@@ -263,14 +270,23 @@ def march_rays_skip(
         t = t + jnp.where(occupied, dt, adv_empty)
         done = (count >= slab) | ~alive
         t = jnp.where(done & ~occupied, jnp.maximum(t, fars), t)
-        return (t, count, out_t, out_dt), None
+        return (t, count, out_t, out_dt, it + 1)
+
+    def cond(carry):
+        t, count, _, _, it = carry
+        return (it < max_iters) & jnp.any((t < fars) & (count < slab))
 
     carry0 = (
         t0,
         jnp.zeros((n,), jnp.int32),
         jnp.zeros((n, slab), jnp.float32),
         jnp.zeros((n, slab), jnp.float32),
+        jnp.zeros((), jnp.int32),
     )
-    (t, count, out_t, out_dt), _ = jax.lax.scan(body, carry0, None, length=max_iters)
+    # while_loop, not a fixed-length scan: exits the moment every ray has
+    # either found its slab samples or left the volume (no tangents flow
+    # through the march — ts depend only on rays/occupancy, so reverse-mode
+    # AD of the train step never differentiates this loop).
+    t, count, out_t, out_dt, _ = jax.lax.while_loop(cond, body, carry0)
     keep = k_iota < count[:, None]
     return MarchResult(ts=out_t, dts=out_dt, valid=keep, count=count)

@@ -150,11 +150,22 @@ def bake_field(
         _hg.FORWARD_MODE = prev_mode
 
     if occ_bits is not None:
-        occ = occ_bits.reshape(-1, grid_size**3).any(axis=0)  # union of cascades
-        occ3 = occ.reshape(grid_size, grid_size, grid_size)
-        # resize occupancy (cell-major x,y,z) to the bake grid by nearest
-        idx = (jnp.arange(R) * grid_size // R).astype(jnp.int32)
-        occ_r = occ3[idx][:, idx][:, :, idx].reshape(-1)
+        occ2 = occ_bits.reshape(-1, grid_size**3)  # [CAS, H^3]
+        cas = occ2.shape[0]
+        # look each bake voxel up in the cascade that OWNS its position
+        # (mip_from_pos with dt->0, matching the marcher's _mip_level /
+        # raymarching.cu:42-54): cascade c covers [-2^c, 2^c], so a plain
+        # .any() union reads every cascade at the wrong scale for bound > 1
+        # (holes where the coarse grid decayed, phantom bits elsewhere).
+        _, e_pos = jnp.frexp(jnp.max(jnp.abs(pts), axis=-1))
+        level = jnp.clip(e_pos, 0, cas - 1)
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), b)
+        cell = jnp.clip(
+            (0.5 * (pts / mip_bound[:, None] + 1.0) * grid_size).astype(jnp.int32),
+            0, grid_size - 1,
+        )
+        lin = (cell[:, 0] * grid_size + cell[:, 1]) * grid_size + cell[:, 2]
+        occ_r = occ2[level, lin]
         rgba = rgba.at[:, -1].set(jnp.where(occ_r, rgba[:, -1], 0.0))
 
     ch = rgba.shape[-1]
@@ -417,6 +428,22 @@ def render_baked(
     pose_np = np.asarray(pose, np.float32)
     fwd = pose_np[:3, :3] @ np.array([0.0, 0.0, 1.0], np.float32)
     axis = int(np.argmax(np.abs(fwd)))
+    eye = pose_np[:3, 3]
+    b = float(vol.bound)
+    # The factorization needs the eye strictly outside the slice slab along
+    # the chosen axis (every s_k = e_z/(e_z - z_k) positive; at |e_z| <= b
+    # slices behind the eye flip sign and at e_z ~ 0 the footprint math
+    # divides by zero). Prefer the view-dominant axis, but for oblique
+    # exterior cameras (looking along x while standing far out in y) fall
+    # back to the axis the eye is actually outside of.
+    if abs(eye[axis]) <= b:
+        axis = int(np.argmax(np.abs(eye)))
+    if abs(eye[axis]) <= b:
+        raise ValueError(
+            f"render_baked: eye {eye.tolist()} is inside the volume cube "
+            f"(bound {b}); shear-warp needs an exterior camera — move the "
+            "eye out or use the per-sample render path"
+        )
     # eye must sit on the +z' side: flip when the eye coordinate is negative
     flip = bool(pose_np[axis, 3] < 0)
     ri = int(vol.rgba.shape[0] * intermediate_scale)

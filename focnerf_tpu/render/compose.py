@@ -263,7 +263,9 @@ def compose_rays_occupancy(
     }
 
 
-_compose_chunk_cache = {}
+from focnerf_tpu.render.renderer import _LRUJitCache  # noqa: E402  (bounded jit cache)
+
+_compose_chunk_cache = _LRUJitCache()
 
 
 def compose_image(

@@ -18,6 +18,9 @@ from focnerf_tpu.core.geometry import near_far_from_aabb
 from focnerf_tpu.models.dnerf import DNeRFConfig, dnerf_color, dnerf_density
 from focnerf_tpu.ops.composite import composite_rays
 from focnerf_tpu.ops.marching import march_rays, march_rays_skip
+from focnerf_tpu.render.renderer import _LRUJitCache
+
+_dnerf_chunk_cache = _LRUJitCache()
 
 
 def render_rays_dnerf(
@@ -171,7 +174,13 @@ def render_image_dnerf(
     slab: int = 64,
 ):
     """Full-image staged dynamic render at time t (the dnerf analogue of
-    render.renderer.render_image, incl. the occupancy route)."""
+    render.renderer.render_image, incl. the occupancy route).
+
+    A python loop over one cached jitted chunk program, NOT lax.map — the
+    march/encode scans nested inside a map compile and execute
+    pathologically (the 16 s/frame eval documented in PERF.md round 2),
+    exactly as in the static render_image.
+    """
     from focnerf_tpu.core.rays import get_rays
 
     rays = get_rays(pose, intrinsics, H, W)
@@ -183,26 +192,37 @@ def render_image_dnerf(
     rd = rd.reshape(-1, max_ray_batch, 3)
     t = jnp.asarray(t, jnp.float32)
 
-    def chunk_fn(chunk):
-        o, d = chunk
-        if occ_bits is not None:
-            res = render_rays_dnerf_occupancy(
-                params, cfg, o, d, t, occ_bits,
-                dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
-                bg_color=bg_color, aabb=aabb, min_near=min_near,
-            )
-        else:
-            res = render_rays_dnerf(
-                params, cfg, o, d, t,
-                num_steps=num_steps, bg_color=bg_color, aabb=aabb,
-                min_near=min_near,
-            )
-        return res["image"], res["depth"]
+    key = (
+        cfg, num_steps, min_near, dt_gamma, max_steps, slab,
+        occ_bits is not None,
+    )
+    if key not in _dnerf_chunk_cache:
+        use_occ = occ_bits is not None
 
-    images, depths = jax.lax.map(chunk_fn, (ro, rd))
-    image = images.reshape(-1, 3)[:n].reshape(H, W, 3)
-    depth = depths.reshape(-1)[:n].reshape(H, W)
-    return image, depth
+        def chunk_run(params, o, d, t, occ_bits, aabb, bg_color):
+            if use_occ:
+                res = render_rays_dnerf_occupancy(
+                    params, cfg, o, d, t, occ_bits,
+                    dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
+                    bg_color=bg_color, aabb=aabb, min_near=min_near,
+                )
+            else:
+                res = render_rays_dnerf(
+                    params, cfg, o, d, t,
+                    num_steps=num_steps, bg_color=bg_color, aabb=aabb,
+                    min_near=min_near,
+                )
+            return res["image"], res["depth"]
+
+        _dnerf_chunk_cache[key] = jax.jit(chunk_run)
+    chunk_jit = _dnerf_chunk_cache[key]
+    outs = [
+        chunk_jit(params, ro[i], rd[i], t, occ_bits, aabb, bg_color)
+        for i in range(ro.shape[0])
+    ]
+    image = jnp.concatenate([o[0] for o in outs]).reshape(-1, 3)[:n]
+    depth = jnp.concatenate([o[1] for o in outs]).reshape(-1)[:n]
+    return image.reshape(H, W, 3), depth.reshape(H, W)
 
 
 class TimeOccupancyState(NamedTuple):

@@ -272,7 +272,25 @@ def render_rays_occupancy(
     }
 
 
-_chunk_render_cache = {}
+class _LRUJitCache(dict):
+    """Bounded cache of jitted chunk closures.
+
+    Keys embed cfg/slab/dt settings, so a long-lived process sweeping
+    configs (quality_exp, a viewer toggling slab) would otherwise pin one
+    compiled TPU executable (tens of MB) per distinct key forever.
+    """
+
+    def __init__(self, maxsize: int = 16):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __setitem__(self, key, value):
+        if key not in self and len(self) >= self.maxsize:
+            del self[next(iter(self))]  # evict oldest insertion
+        super().__setitem__(key, value)
+
+
+_chunk_render_cache = _LRUJitCache()
 
 
 def render_image(

@@ -120,6 +120,43 @@ class TestShearWarp:
         vol2 = bake_field(params, cfg, resolution=16, chunk=1024)
         assert float(jnp.abs(vol2.rgba[..., 3]).max()) > 0.0
 
+    def test_bake_occ_mask_multicascade(self):
+        """Each cascade covers a different extent (cascade c spans
+        [-2^c, 2^c]); the bake mask must read each voxel from the cascade
+        that owns its position, not a flat union (which punched holes near
+        the origin when only the fine cascade held bits there)."""
+        from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+
+        cfg = NeRFConfig(
+            num_levels=4, base_resolution=4, log2_hashmap_size=10,
+            use_objfeat=False, compute_dtype=jnp.float32, bound=2.0,
+        )
+        params = init_nerf_params(jax.random.key(0), cfg)
+        gs = 16
+        # fine cascade (|x| <= 1): fully occupied; coarse cascade: empty
+        occ = jnp.concatenate(
+            [jnp.ones((1, gs**3), bool), jnp.zeros((1, gs**3), bool)]
+        )
+        vol = bake_field(params, cfg, resolution=16, occ_bits=occ,
+                         grid_size=gs, chunk=1024)
+        R = 16
+        centers = (np.arange(R) + 0.5) / R * 4.0 - 2.0
+        X, Y, Z = np.meshgrid(centers, centers, centers, indexing="ij")
+        inner = np.maximum.reduce([np.abs(X), np.abs(Y), np.abs(Z)]) < 0.5
+        sig = np.asarray(vol.rgba[..., -1])
+        # the inner region is owned by the occupied fine cascade -> nonzero
+        assert np.abs(sig[inner]).max() > 0.0
+        # far corners are owned by the EMPTY coarse cascade -> masked out
+        outer = np.maximum.reduce([np.abs(X), np.abs(Y), np.abs(Z)]) > 1.1
+        assert np.abs(sig[outer]).max() == 0.0
+
+    def test_interior_eye_raises(self):
+        vol = _analytic_volume(R=16)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.1, 0.2, 0.0]  # inside the volume cube
+        with np.testing.assert_raises(ValueError):
+            render_baked(vol, pose, (38.4, 38.4, 16, 16), 32, 32)
+
 
 def test_save_load_roundtrip(tmp_path):
     from focnerf_tpu.render.baked import load_volume, save_volume

@@ -141,6 +141,25 @@ class TestProvider:
                 f"view {v} ({rel}) got feats of another frame"
             )
 
+    def test_legacy_sidecar_without_paths_refused(self, scene, tmp_path):
+        """A round-1 sidecar npz (no per-row 'paths') must be refused at
+        load: the provider's frame sorting + split selection silently
+        misalign positional rows (ADVICE round 1, high)."""
+        import pytest
+
+        from focnerf_tpu.data.yolo_sidecar import load_sidecar
+
+        root = str(tmp_path / "legacy")
+        os.makedirs(os.path.join(root, "yolo"))
+        np.savez(
+            os.path.join(root, "yolo", "train.npz"),
+            masks=np.ones((2, 8, 8), bool),
+            feats=np.zeros((2, 144), np.float32),
+        )
+        with pytest.raises(ValueError, match="paths"):
+            load_sidecar(root, "train")
+        assert load_sidecar(root, "val") is None  # absent file still -> None
+
     def test_dnerf_times(self, scene):
         from focnerf_tpu.data.dnerf_provider import DNeRFDataset
 

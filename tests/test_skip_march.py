@@ -114,6 +114,45 @@ class TestSkipMarch:
         rel = np.abs(len_l - len_s) / np.maximum(len_l, dt_min)
         assert np.median(rel) < 0.1, f"median rel length err {np.median(rel)}"
 
+    def test_cluttered_grid_reaches_far_wall(self):
+        """Regression: skip codes pinned at 1-2 advance ~1 cell/iteration, so
+        a fixed slab+48 iteration budget starved rays of far content. A comb
+        of occupied planes keeps every empty cell within L-inf 1 of an
+        occupied one; an axis ray between two planes must still collect its
+        samples from the far half of the volume."""
+        gs = 64
+        occ3 = np.zeros((gs, gs, gs), bool)
+        occ3[:, ::2, :] = True  # comb: every other y-plane occupied
+        skip = occupancy_skip_field(jnp.asarray(occ3.reshape(1, -1)), gs)
+        # ray along +x in an EMPTY y-plane: crosses gs cells, all code 1-2
+        y_empty = (1.5 / gs) * 2 - 1  # center of y-cell 1 (unoccupied)
+        o = jnp.array([[-1.5, y_empty, 0.0]])
+        d = jnp.array([[1.0, 0.0, 0.0]])
+        nears, fars = jnp.array([0.5]), jnp.array([3.5])
+        res = march_rays_skip(
+            o, d, nears, fars, skip, bound=1.0, dt_gamma=0.0,
+            max_steps=256, slab=16, grid_size=gs,
+        )
+        # the comb's empty plane holds no samples; the marcher must walk the
+        # full extent (gs iterations > old slab+48 budget) and exit at fars
+        # rather than stopping mid-volume with t stuck inside the grid
+        ts = np.asarray(res.ts)
+        valid = np.asarray(res.valid)
+        assert not valid.any()  # nothing occupied on this ray's path
+        # ...and a neighboring ray nudged into an occupied plane must
+        # collect samples all the way to the BACK half of the volume
+        y_occ = (2.0 / gs) * 2 - 1  # boundary-adjacent occupied plane
+        o2 = jnp.array([[-1.5, y_occ + 1e-4, 0.0]])
+        res2 = march_rays_skip(
+            o2, d, nears, fars, skip, bound=1.0, dt_gamma=0.0,
+            max_steps=256, slab=200, grid_size=gs,
+        )
+        ts2, v2 = np.asarray(res2.ts), np.asarray(res2.valid)
+        x_hit = (o2[0, 0] + ts2[0]) * v2[0]
+        assert v2.any() and x_hit.max() > 0.9, (
+            f"far-wall starvation: deepest sample x={x_hit.max():.2f}"
+        )
+
     def test_dt_gamma_recurrence(self):
         gs = 64
         occ = _sphere_occ(gs)

@@ -59,7 +59,10 @@ def bench_baked(args):
     # artifact, not a render cost; on a real host PCIe d2h of 7.7 MB is
     # sub-ms.
     poses = rand_poses(np.random.default_rng(0), 40, radius=2.5)
-    for p_ in poses[:12]:  # warm every (axis, flip) jit variant
+    # warm EVERY pose once: the timed poses must all hit a compiled
+    # (axis, flip) variant — one cold ~30 s TPU compile inside the timed
+    # loop reads as ~1.3 s/frame and buries the real 0.4-2 ms cost
+    for p_ in poses:
         img, _, _ = render_baked(merged, p_, intr, H, W)
         jax.block_until_ready(img)
     t0 = time.time()
