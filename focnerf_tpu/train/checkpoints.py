@@ -135,7 +135,18 @@ class CheckpointManager:
         if "occupancy" in restored:
             from focnerf_tpu.ops.occupancy import OccupancyState
 
-            occ_cls = type(occupancy) if occupancy is not None else OccupancyState
+            if occupancy is not None:
+                occ_cls = type(occupancy)
+            elif restored["occupancy"]["density_grid"].ndim == 3:
+                # [T, CAS, H^3] — a time-axis grid (dnerf); the static grid
+                # is [CAS, H^3]. Dispatch by rank so callers restoring
+                # without a template (viewer/composition) get the class the
+                # checkpoint was trained with.
+                from focnerf_tpu.render.dnerf_renderer import TimeOccupancyState
+
+                occ_cls = TimeOccupancyState
+            else:
+                occ_cls = OccupancyState
             new_occ = occ_cls(**restored["occupancy"])
         return new_state, new_occ, restored.get("extra")
 

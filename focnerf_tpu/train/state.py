@@ -43,7 +43,16 @@ def create_train_state(
     params: Optional[Any] = None,
 ) -> TrainState:
     if params is None:
-        params = init_nerf_params(rng, cfg)
+        from focnerf_tpu.models.dnerf import DNeRFConfig, init_dnerf_params
+
+        # dispatch by config class so checkpoint TEMPLATES built from a
+        # saved model_config.json get the right tree (a DNeRFConfig with
+        # the static init was missing deform/basis/hyper params, breaking
+        # viewer/composition restores of dnerf checkpoints)
+        if isinstance(cfg, DNeRFConfig):
+            params = init_dnerf_params(rng, cfg)
+        else:
+            params = init_nerf_params(rng, cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -117,6 +117,43 @@ class TestCheckpoints:
         )
         mgr2.close()
 
+    def test_restore_dnerf_checkpoint_without_template(self, tmp_path):
+        """A dnerf checkpoint must restore via the saved model_config alone
+        (viewer/composition flow): create_train_state must build the dnerf
+        param tree from a DNeRFConfig, and a [T, CAS, H^3] grid must come
+        back as a TimeOccupancyState, not a mis-classed static grid."""
+        from focnerf_tpu.models.dnerf import DNeRFConfig
+        from focnerf_tpu.render.dnerf_renderer import (
+            TimeOccupancyState,
+            init_time_occupancy,
+        )
+        from focnerf_tpu.train.checkpoints import (
+            CheckpointManager,
+            load_object_occupancy,
+            load_object_params,
+            save_model_config,
+        )
+        from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+        cfg = DNeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                          use_objfeat=False, compute_dtype=jnp.float32)
+        opt = make_optimizer()
+        state = create_train_state(jax.random.key(0), cfg, opt)
+        assert "deform_net" in state.params  # dnerf init dispatched
+        occ = init_time_occupancy(1.0, time_slots=4, grid_size=16)
+        ckdir = str(tmp_path / "dn")
+        mgr = CheckpointManager(ckdir)
+        mgr.save(state, occ)
+        mgr.close()
+        save_model_config(ckdir, cfg)
+
+        params, cfg2 = load_object_params(ckdir)  # no cfg passed
+        assert isinstance(cfg2, DNeRFConfig)
+        assert "deform_net" in params
+        r_occ = load_object_occupancy(ckdir, cfg2)
+        assert isinstance(r_occ, TimeOccupancyState)
+        assert r_occ.density_grid.shape == occ.density_grid.shape
+
     def test_best_checkpoint(self, tmp_path):
         from focnerf_tpu.models.nerf import NeRFConfig
         from focnerf_tpu.train.checkpoints import BestCheckpoint
