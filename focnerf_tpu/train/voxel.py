@@ -6,9 +6,15 @@ table row. This module removes random access from the training loop
 entirely, Plenoxels-style: the scene is a dense RGBA(+SH) voxel grid
 (render/baked.py::BakedVolume) optimized by gradient descent THROUGH the
 shear-warp renderer — forward and backward are batched slice resamples,
-einsums and cumprods, all dense, all MXU/VPU-shaped. One 800^2 frame costs
-0.45 ms forward on a v5e chip, so whole-image supervision runs at millions
-of rays per second per step instead of tens of thousands.
+einsums and cumprods, all dense, all MXU/VPU-shaped.
+
+Measured reality (PERF.md round-2 "dense voxel training" entry): the
+0.45 ms forward does NOT translate into a 0.45 ms training step — naive
+reverse-mode AD through the R/32 sequential compositing folds costs
+~3.4 s/step at 128^3 / 800^2 on v5e (0.19M rays/s, slightly above the
+hash path's 0.165M). The headroom is in the backward's rematerialization
+schedule (jax.checkpoint over the fold, training-time ri=R, bf16
+residuals), not in the forward.
 
 Relation to the reference: this is a new TPU-first training family, not a
 port — the reference's only training path is the per-sample CUDA marcher

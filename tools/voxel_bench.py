@@ -1,0 +1,95 @@
+"""Benchmark dense voxel training (train/voxel.py) on the current backend.
+
+Self-contained: synthesizes a striped-sphere ground truth as a BakedVolume,
+renders posed GT views with the shear-warp renderer (device-resident — the
+relay's d2h is ~130 KB/s, never round-trip images through the host), then
+fits a fresh field and reports effective supervised rays/s and held-out
+PSNR as one JSON line.
+
+Usage:
+  python tools/voxel_bench.py [--res 128] [--image 800] [--iters 60]
+      [--sync-every 1]   # per-step scalar fetch (honest relay timing)
+      [--all-variants]   # don't restrict poses to one (axis, flip) compile
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--image", type=int, default=800)
+    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--sync-every", type=int, default=1)
+    ap.add_argument("--all-variants", action="store_true")
+    args = ap.parse_args()
+
+    from focnerf_tpu.core.camera import rand_poses
+    from focnerf_tpu.render.baked import BakedVolume, render_baked
+    from focnerf_tpu.train.voxel import _pose_variant, fit_voxels
+
+    R = args.res
+    c = (jnp.arange(R) + 0.5) / R * 2 - 1
+    X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
+    d = jnp.sqrt(X**2 + Y**2 + Z**2)
+    sigma = jnp.where(d < 0.45, 30.0, 0.0)
+    stripes = 0.5 + 0.5 * jnp.sin(8 * jnp.arctan2(Y, X))
+    rgb = jnp.stack([stripes, jnp.clip(Z + 0.5, 0, 1), 1 - stripes], -1)
+    gt_vol = BakedVolume(
+        rgba=jnp.concatenate([rgb, sigma[..., None]], -1), bound=1.0
+    )
+
+    H = W = args.image
+    f = 1.25 * H
+    intr = (f, f, H / 2.0, W / 2.0)
+    all_poses = np.asarray(rand_poses(np.random.default_rng(0), 60, radius=2.5))
+    if args.all_variants:
+        poses = all_poses[:14]
+    else:
+        key0 = _pose_variant(all_poses[0], 1.0)
+        poses = np.stack(
+            [p for p in all_poses if _pose_variant(p, 1.0) == key0]
+        )[:14]
+
+    gts = []
+    for p in poses:
+        img, _, _ = render_baked(gt_vol, p, intr, H, W)
+        gts.append(img)
+    gts = jnp.stack(gts)
+    jax.block_until_ready(gts)
+
+    t0 = time.time()
+    vol, info = fit_voxels(
+        poses[:12], gts[:12], intr, resolution=R, iters=args.iters,
+        lr=0.08, tv_weight=1e-5, log_every=args.sync_every,
+    )
+    wall = time.time() - t0
+
+    img, _, _ = render_baked(vol, poses[13], intr, H, W)
+    mse = float(jnp.mean((img - gts[13]) ** 2))
+    print(json.dumps({
+        "metric": "voxel_train_rays_per_sec",
+        "value": round(info["rays_per_sec"], 1),
+        "unit": "rays/s",
+        "train_psnr": round(info["psnr"], 2),
+        "heldout_psnr": round(-10 * np.log10(max(mse, 1e-10)), 2),
+        "iters": args.iters,
+        "res": R,
+        "image": args.image,
+        "wall_incl_compile_s": round(wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
