@@ -38,6 +38,29 @@ def _view_only(opt):
     )
 
     ckpt_dir = os.path.join(opt.workspace, "checkpoints")
+    baked_cache = os.path.join(
+        opt.workspace, f"baked_{opt.bake_res}_sh{opt.bake_sh}.npz"
+    )
+    if opt.baked and not os.path.isdir(ckpt_dir) and os.path.exists(baked_cache):
+        # voxel-trained workspace (apps/main_voxel.py): there is no network
+        # checkpoint, the volume IS the model
+        from focnerf_tpu.render.baked import load_volume, render_baked
+
+        vol = load_volume(baked_cache)
+        print(f"[viewer] loaded voxel volume {baked_cache}")
+
+        def render_fn(pose, intrinsics, H, W, t):
+            try:
+                img, _, _ = render_baked(
+                    vol, pose, intrinsics, H, W, bg_color=1.0,
+                    density_scale=1.0,
+                )
+            except ValueError:  # camera inside the volume
+                return np.ones((H, W, 3), np.float32)
+            return np.asarray(img)
+
+        return render_fn, None
+
     params, cfg = load_object_params(ckpt_dir, None if os.path.exists(
         os.path.join(ckpt_dir, "model_config.json")) else opt.nerf_config())
     print(f"[viewer] loaded checkpoint from {ckpt_dir}")

@@ -228,6 +228,34 @@ class TestConfig:
 
 
 @pytest.mark.slow
+class TestVoxelCLI:
+    def test_voxel_train_and_view(self, scene, tmp_path):
+        """main_voxel trains a dense field, saves the baked cache, and the
+        viewer serves a voxel-only workspace (no network checkpoint)."""
+        import numpy as np
+
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+        from focnerf_tpu.apps.viewer_app import _view_only
+        from focnerf_tpu.config import parse_options
+
+        ws = str(tmp_path / "vxws")
+        voxel_main([
+            scene, "--workspace", ws, "--iters", "40", "--bake_res", "16",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        assert os.path.exists(os.path.join(ws, "baked_16_sh0.npz"))
+        opt = parse_options([
+            scene, "--workspace", ws, "--baked", "--bake_res", "16",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        render_fn, _ = _view_only(opt)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 2.5
+        img = render_fn(pose, (38.4, 38.4, 16.0, 16.0), 32, 32, 0.0)
+        assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
+@pytest.mark.slow
 class TestOccupancyTrainerCLI:
     def test_cuda_ray_path_end_to_end(self, scene, tmp_path):
         """--cuda_ray: occupancy-grid maintenance + accelerated train steps."""
