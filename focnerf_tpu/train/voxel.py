@@ -179,3 +179,69 @@ def fit_voxels(
     psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
     info = {"psnr": psnr, "rays_per_sec": H * W * iters / dt, "seconds": dt}
     return field_to_volume(raw, bound, sh_degree), info
+
+
+def make_voxel_dp_step(
+    mesh,
+    intrinsics: Sequence[float],
+    *,
+    H: int,
+    W: int,
+    resolution: int,
+    warp_axis: int,
+    flip: bool,
+    bound: float = 1.0,
+    sh_degree: int = 0,
+    lr: float = 5e-2,
+    tv_weight: float = 1e-4,
+    bg_color: float = 1.0,
+    density_scale: float = 1.0,
+    axis: str = "data",
+):
+    """Pose-parallel voxel train step over a device mesh (SURVEY §2.3 DP).
+
+    Each device renders + differentiates ONE pose of the batch against its
+    GT image; the raw field and optimizer state are replicated and the
+    gradient mean rides XLA's psum over the mesh axis. All poses in a batch
+    must share the renderer's (warp_axis, flip) variant — the principal
+    axis is a compile-time choice (group poses with _pose_variant, exactly
+    like fit_voxels' step cache).
+
+    Returns (optimizer, step) with
+    step(raw, opt_state, poses [D,4,4], gts [D,H,W,3]) -> (raw, opt_state, mse).
+    """
+    import optax
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from focnerf_tpu.render.baked import _render_core
+
+    optimizer = optax.adam(lr)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+    intr_dev = jnp.asarray(intrinsics, jnp.float32)
+    ri = resolution * 2
+
+    def loss_one(raw, pose, gt):
+        vol = field_to_volume(raw, bound, sh_degree)
+        img, _, _ = _render_core(
+            vol.rgba, bound, pose, intr_dev, axis=warp_axis, flip=flip,
+            H=H, W=W, ri=ri, bg_color=bg_color, density_scale=density_scale,
+            sh_deg=sh_degree,
+        )
+        return jnp.mean((img - gt) ** 2)
+
+    def loss_fn(raw, poses, gts):
+        mse = jnp.mean(jax.vmap(loss_one, in_axes=(None, 0, 0))(raw, poses, gts))
+        return mse + tv_weight * tv_loss(raw), mse
+
+    @jax.jit
+    def step(raw, opt_state, poses, gts):
+        raw = jax.lax.with_sharding_constraint(raw, repl)
+        poses = jax.lax.with_sharding_constraint(poses, data)
+        gts = jax.lax.with_sharding_constraint(gts, data)
+        (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(raw, poses, gts)
+        updates, opt_state = optimizer.update(g, opt_state)
+        return optax.apply_updates(raw, updates), opt_state, mse
+
+    return optimizer, step

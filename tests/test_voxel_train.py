@@ -82,3 +82,48 @@ class TestFitVoxels:
             init_raw=raw0,
         )
         assert info1["psnr"] > info0["psnr"] - 1.0  # longer run at least as good
+
+
+class TestVoxelDP:
+    def test_dp_matches_single_device(self):
+        """8-way pose-parallel step == the same batch on one device."""
+        import pytest
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from focnerf_tpu.parallel.mesh import make_mesh
+        from focnerf_tpu.train.voxel import make_voxel_dp_step, _pose_variant
+
+        gt_vol = _gt_volume()
+        H = W = 32
+        intr = (38.4, 38.4, 16.0, 16.0)
+        all_poses = np.asarray(rand_poses(np.random.default_rng(3), 64, radius=2.5))
+        key0 = _pose_variant(all_poses[0], 1.0)
+        poses = np.stack(
+            [p for p in all_poses if _pose_variant(p, 1.0) == key0]
+        )[:8]
+        assert len(poses) == 8
+        gts = jnp.stack(
+            [render_baked(gt_vol, p, intr, H, W)[0] for p in poses]
+        )
+        raw0 = init_voxel_field(16, rng=jax.random.key(0))
+
+        mesh8 = make_mesh(8)
+        optimizer, step8 = make_voxel_dp_step(
+            mesh8, intr, H=H, W=W, resolution=16,
+            warp_axis=key0[0], flip=key0[1], tv_weight=1e-4,
+        )
+        opt_state = optimizer.init(raw0)
+        raw8, _, mse8 = step8(raw0, opt_state, jnp.asarray(poses), gts)
+
+        mesh1 = make_mesh(1)
+        optimizer1, step1 = make_voxel_dp_step(
+            mesh1, intr, H=H, W=W, resolution=16,
+            warp_axis=key0[0], flip=key0[1], tv_weight=1e-4,
+        )
+        raw1, _, mse1 = step1(raw0, optimizer1.init(raw0), jnp.asarray(poses), gts)
+
+        np.testing.assert_allclose(float(mse8), float(mse1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(raw8), np.asarray(raw1), atol=1e-5
+        )
