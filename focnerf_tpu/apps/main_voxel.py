@@ -59,6 +59,7 @@ def main(argv=None):
         iters=opt.iters, bg_color=1.0,
         density_scale=1.0,
         log_every=max(opt.iters // 10, 1),
+        supervise=opt.voxel_supervise,
     )
     print(
         f"[voxel] {opt.iters} iters in {time.time()-t0:.1f}s — "

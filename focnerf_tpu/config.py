@@ -97,6 +97,10 @@ class Options:
     baked: bool = False
     bake_res: int = 256
     bake_sh: int = 0  # >0: view-dependent SH bake of this degree (1-4)
+    # dense voxel training (train/voxel.py): photometric loss location.
+    # "intermediate" pre-warps GTs onto the shear-warp plane (~370x faster
+    # backward on TPU — PERF.md); "screen" is the exact end-to-end oracle.
+    voxel_supervise: str = "intermediate"
 
     # dnerf
     dnerf_variant: str = "deform"

@@ -236,24 +236,108 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("axis", "flip", "H", "W", "ri", "sh_deg")
-)
-def _render_core(
-    rgba,  # [R, R, R, 4] axes (x, y, z)
-    bound: float,
+def _grid_geometry(e_z, e_y, e_x, b: float, ri: int):
+    """Intermediate-plane pixel grid: the volume footprint on z'=0 seen from
+    the (permuted-coords) eye. Returns (gy [ri], gx [ri], ymin, xmin, dy_i,
+    dx_i). Shared by the compositor, the final warp, and GT pre-warping."""
+    corners = jnp.array([-b, b], jnp.float32)
+    s_c = e_z / (e_z - corners)  # scale for the two extreme slices [2]
+    uy = e_y + (corners[None, :] - e_y) * s_c[:, None]  # [2 slices, 2 corners]
+    ux = e_x + (corners[None, :] - e_x) * s_c[:, None]
+    ymin, ymax = jnp.min(uy), jnp.max(uy)
+    xmin, xmax = jnp.min(ux), jnp.max(ux)
+    dy_i = (ymax - ymin) / ri
+    dx_i = (xmax - xmin) / ri
+    gy = ymin + (jnp.arange(ri, dtype=jnp.float32) + 0.5) * dy_i  # [Ri]
+    gx = xmin + (jnp.arange(ri, dtype=jnp.float32) + 0.5) * dx_i
+    return gy, gx, ymin, xmin, dy_i, dx_i
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "flip", "ri"))
+def warp_gt_to_intermediate(
+    gt,  # [H, W, 3] ground-truth image
     pose,  # [4, 4] c2w
     intr,  # [4] fx, fy, cx, cy
+    bound: float,
     *,
     axis: int,
     flip: bool,
-    H: int,
-    W: int,
     ri: int,
-    bg_color: float,
+):
+    """Resample a GT image onto the shear-warp intermediate plane.
+
+    Each intermediate pixel is one primary ray (eye -> plane point); its
+    supervising color is the GT bilinearly sampled where that ray crosses the
+    screen. Precomputing this once per pose lets training supervise the
+    compositor output DIRECTLY — the screen-space warp (whose forward lowers
+    to a scalar-loop gather and whose backward is an H*W overlapping
+    scatter-add inside the train graph; PERF.md voxel-backward bisect) never
+    enters the hot loop. Returns (warped_gt [ri,ri,3], mask [ri,ri] — 1 where
+    the ray lands inside the image in front of the camera).
+    """
+    pose = jnp.asarray(pose, jnp.float32)
+    intr = jnp.asarray(intr, jnp.float32)
+    H, W = gt.shape[0], gt.shape[1]
+    b = bound
+    others = [a for a in range(3) if a != axis]
+    e = pose[:3, 3]
+    e_z, e_y, e_x = e[axis], e[others[0]], e[others[1]]
+    if flip:
+        e_z = -e_z
+    gy, gx, _, _, _, _ = _grid_geometry(e_z, e_y, e_x, b, ri)
+
+    # plane point in world coords (plane z'=0 is world plane [axis]=0,
+    # independent of flip — the flip only mirrors the slice ORDER)
+    p_world = jnp.zeros((ri, ri, 3), jnp.float32)
+    p_world = p_world.at[..., others[0]].set(gy[:, None])
+    p_world = p_world.at[..., others[1]].set(gx[None, :])
+
+    # project into the camera (get_rays convention: +z forward)
+    rel = p_world - pose[:3, 3]
+    p_cam = jnp.einsum("ijr,rc->ijc", rel, pose[:3, :3])  # R^T @ rel
+    z = p_cam[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    u = p_cam[..., 0] / zs * fx + cx - 0.5  # column (W axis)
+    v = p_cam[..., 1] / zs * fy + cy - 0.5  # row (H axis)
+
+    mask = (z > 0) & (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+    wy = jnp.clip(v - y0, 0.0, 1.0)[..., None]
+    wx = jnp.clip(u - x0, 0.0, 1.0)[..., None]
+    g00 = gt[y0, x0]
+    g01 = gt[y0, x0 + 1]
+    g10 = gt[y0 + 1, x0]
+    g11 = gt[y0 + 1, x0 + 1]
+    wgt = (
+        g00 * (1 - wy) * (1 - wx)
+        + g01 * (1 - wy) * wx
+        + g10 * wy * (1 - wx)
+        + g11 * wy * wx
+    )
+    return wgt, mask.astype(jnp.float32)
+
+
+def _composite_core(
+    rgba,  # [R, R, R, 4] axes (x, y, z)
+    bound: float,
+    pose,  # [4, 4] c2w
+    *,
+    axis: int,
+    flip: bool,
+    ri: int,
     density_scale: float,
     sh_deg: int = 0,
+    remat: bool = False,
 ):
+    """Slice-resample + front-to-back composite onto the intermediate plane.
+
+    Returns (C [ri,ri,3] premultiplied color, T [ri,ri] transmittance,
+    D [ri,ri] depth-along-z', (ymin, xmin, dy_i, dx_i) intermediate-grid
+    geometry). Split from the final warp so training can supervise in
+    intermediate space (the warp's backward is an H*W overlapping
+    scatter-add — see PERF.md voxel-backward bisect)."""
     R = rgba.shape[0]
     CH = rgba.shape[-1]  # payload channels + 1 (sigma last)
     b = bound
@@ -273,16 +357,7 @@ def _render_core(
     dz = 2.0 * b / R
 
     # --- intermediate grid on the z'=0 plane: the volume footprint seen from e
-    corners = jnp.array([-b, b], jnp.float32)
-    s_c = e_z / (e_z - corners)  # scale for the two extreme slices [2]
-    uy = e_y + (corners[None, :] - e_y) * s_c[:, None]  # [2 slices, 2 corners]
-    ux = e_x + (corners[None, :] - e_x) * s_c[:, None]
-    ymin, ymax = jnp.min(uy), jnp.max(uy)
-    xmin, xmax = jnp.min(ux), jnp.max(ux)
-    dy_i = (ymax - ymin) / ri
-    dx_i = (xmax - xmin) / ri
-    gy = ymin + (jnp.arange(ri, dtype=jnp.float32) + 0.5) * dy_i  # [Ri]
-    gx = xmin + (jnp.arange(ri, dtype=jnp.float32) + 0.5) * dx_i
+    gy, gx, ymin, xmin, dy_i, dx_i = _grid_geometry(e_z, e_y, e_x, b, ri)
 
     # per-intermediate-pixel ray obliquity: dt = dz * |d| / |d_z|, d through e
     ddy = gy[:, None] - e_y
@@ -334,7 +409,8 @@ def _render_core(
     T0 = jnp.ones((ri, ri), jnp.float32)
     C0 = jnp.zeros((ri, ri, CH - 1), jnp.float32)
     D0 = jnp.zeros((ri, ri), jnp.float32)
-    (T, C, D), _ = jax.lax.scan(block_body, (T0, C0, D0), (V_f2b, z_f2b))
+    body = jax.checkpoint(block_body) if remat else block_body
+    (T, C, D), _ = jax.lax.scan(body, (T0, C0, D0), (V_f2b, z_f2b))
 
     if sh_deg > 0:
         # each intermediate pixel is exactly one primary ray through the eye,
@@ -356,6 +432,38 @@ def _render_core(
         Y = sh_encode(d_world, sh_deg)  # [Ri, Ri, L]
         C = jnp.einsum("ijl,ijlc->ijc", Y, C.reshape(ri, ri, L, 3))
         C = jnp.clip(C, 0.0, 1.0)
+
+    return C, T, D, (ymin, xmin, dy_i, dx_i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "flip", "H", "W", "ri", "sh_deg", "remat")
+)
+def _render_core(
+    rgba,  # [R, R, R, 4] axes (x, y, z)
+    bound: float,
+    pose,  # [4, 4] c2w
+    intr,  # [4] fx, fy, cx, cy
+    *,
+    axis: int,
+    flip: bool,
+    H: int,
+    W: int,
+    ri: int,
+    bg_color: float,
+    density_scale: float,
+    sh_deg: int = 0,
+    remat: bool = False,
+):
+    C, T, D, (ymin, xmin, dy_i, dx_i) = _composite_core(
+        rgba, bound, pose, axis=axis, flip=flip, ri=ri,
+        density_scale=density_scale, sh_deg=sh_deg, remat=remat,
+    )
+    others = [a for a in range(3) if a != axis]
+    e = pose[:3, 3]
+    e_z, e_y, e_x = e[axis], e[others[0]], e[others[1]]
+    if flip:
+        e_z = -e_z
 
     # --- final warp: screen pixel -> plane z'=0 -> bilinear sample
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]

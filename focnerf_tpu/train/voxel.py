@@ -111,8 +111,22 @@ def fit_voxels(
     init_raw: Optional[jax.Array] = None,
     seed: int = 0,
     log_every: int = 0,
+    intermediate_scale: int = 2,
+    remat: bool = False,
+    supervise: str = "intermediate",
 ) -> Tuple[BakedVolume, Dict]:
     """Fit a dense voxel field to posed images by whole-image descent.
+
+    ``supervise`` picks where the photometric loss lives:
+      "intermediate" (default) — GT images are pre-warped once per view onto
+        the shear-warp intermediate plane (warp_gt_to_intermediate) and the
+        loss supervises the compositor output directly. The screen-space
+        warp never enters the train graph — its forward lowers to a
+        scalar-loop gather and its backward to an H*W overlapping
+        scatter-add, together ~99% of the step time (PERF.md voxel-backward
+        bisect: 3.4 s -> 9 ms/step at 128^3/800^2 on v5e).
+      "screen" — the exact end-to-end loss through the full render
+        (useful as the quality oracle; ~370x slower on TPU).
 
     Returns (volume, info) with info = {"psnr": train PSNR of the last
     step, "rays_per_sec": effective supervised rays/s over the run}.
@@ -123,6 +137,8 @@ def fit_voxels(
     V, H, W = images.shape[:3]
     poses = np.asarray(poses, np.float32)
     gts = jnp.asarray(images, jnp.float32)
+    assert supervise in ("intermediate", "screen"), supervise
+    ri_sup = resolution * intermediate_scale
 
     raw = (
         init_raw
@@ -136,30 +152,65 @@ def fit_voxels(
     step_cache: Dict[Tuple[int, bool], object] = {}
 
     def make_step(axis: int, flip: bool):
-        from focnerf_tpu.render.baked import _render_core
+        from focnerf_tpu.render.baked import _composite_core, _render_core
 
-        ri = resolution * 2
+        ri = resolution * intermediate_scale
 
-        def loss_fn(raw, pose_dev, gt):
-            vol = field_to_volume(raw, bound, sh_degree)
-            img, _, _ = _render_core(
-                vol.rgba, bound, pose_dev, jnp.asarray(intrinsics, jnp.float32),
-                axis=axis, flip=flip, H=H, W=W, ri=ri,
-                bg_color=bg_color, density_scale=density_scale,
-                sh_deg=sh_degree,
-            )
-            mse = jnp.mean((img - gt) ** 2)
-            return mse + tv_weight * tv_loss(raw), mse
+        if supervise == "intermediate":
+
+            def loss_fn(raw, pose_dev, wgt, mask):
+                vol = field_to_volume(raw, bound, sh_degree)
+                C, T, _, _ = _composite_core(
+                    vol.rgba, bound, pose_dev, axis=axis, flip=flip, ri=ri,
+                    density_scale=density_scale, sh_deg=sh_degree,
+                    remat=remat,
+                )
+                img_i = C + T[..., None] * bg_color
+                m = mask[..., None]
+                mse = jnp.sum(m * (img_i - wgt) ** 2) / (
+                    3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+                )
+                return mse + tv_weight * tv_loss(raw), mse
+
+        else:
+
+            def loss_fn(raw, pose_dev, gt, mask):
+                del mask
+                vol = field_to_volume(raw, bound, sh_degree)
+                img, _, _ = _render_core(
+                    vol.rgba, bound, pose_dev,
+                    jnp.asarray(intrinsics, jnp.float32),
+                    axis=axis, flip=flip, H=H, W=W, ri=ri,
+                    bg_color=bg_color, density_scale=density_scale,
+                    sh_deg=sh_degree, remat=remat,
+                )
+                mse = jnp.mean((img - gt) ** 2)
+                return mse + tv_weight * tv_loss(raw), mse
 
         @jax.jit
-        def step(raw, opt_state, pose_dev, gt):
+        def step(raw, opt_state, pose_dev, gt, mask):
             (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                raw, pose_dev, gt
+                raw, pose_dev, gt, mask
             )
             updates, opt_state = optimizer.update(g, opt_state)
             return optax.apply_updates(raw, updates), opt_state, mse
 
         return step
+
+    # pre-warped GT + valid-ray mask per view (intermediate supervision)
+    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+
+    def targets_for(v: int, key: Tuple[int, bool]):
+        if supervise == "screen":
+            return gts[v], jnp.ones((1, 1), jnp.float32)
+        if v not in warped:
+            from focnerf_tpu.render.baked import warp_gt_to_intermediate
+
+            warped[v] = warp_gt_to_intermediate(
+                gts[v], poses[v], jnp.asarray(intrinsics, jnp.float32),
+                bound, axis=key[0], flip=key[1], ri=ri_sup,
+            )
+        return warped[v]
 
     order = np.random.default_rng(seed).integers(0, V, iters)
     t0 = time.time()
@@ -169,15 +220,17 @@ def fit_voxels(
         key = _pose_variant(poses[v], bound)
         if key not in step_cache:
             step_cache[key] = make_step(*key)
+        gt_v, mask_v = targets_for(v, key)
         raw, opt_state, mse = step_cache[key](
-            raw, opt_state, jnp.asarray(poses[v]), gts[v]
+            raw, opt_state, jnp.asarray(poses[v]), gt_v, mask_v
         )
         if log_every and (it + 1) % log_every == 0:
             print(f"[voxel] iter {it+1}/{iters} mse {float(mse):.5f}", flush=True)
     jax.block_until_ready(mse)
     dt = time.time() - t0
     psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
-    info = {"psnr": psnr, "rays_per_sec": H * W * iters / dt, "seconds": dt}
+    n_sup = ri_sup * ri_sup if supervise == "intermediate" else H * W
+    info = {"psnr": psnr, "rays_per_sec": n_sup * iters / dt, "seconds": dt}
     return field_to_volume(raw, bound, sh_degree), info
 
 
@@ -197,50 +250,82 @@ def make_voxel_dp_step(
     bg_color: float = 1.0,
     density_scale: float = 1.0,
     axis: str = "data",
+    intermediate_scale: int = 2,
+    remat: bool = False,
+    supervise: str = "intermediate",
 ):
     """Pose-parallel voxel train step over a device mesh (SURVEY §2.3 DP).
 
     Each device renders + differentiates ONE pose of the batch against its
-    GT image; the raw field and optimizer state are replicated and the
-    gradient mean rides XLA's psum over the mesh axis. All poses in a batch
-    must share the renderer's (warp_axis, flip) variant — the principal
-    axis is a compile-time choice (group poses with _pose_variant, exactly
-    like fit_voxels' step cache).
+    GT; the raw field and optimizer state are replicated and the gradient
+    mean rides XLA's psum over the mesh axis. All poses in a batch must
+    share the renderer's (warp_axis, flip) variant — the principal axis is
+    a compile-time choice (group poses with _pose_variant, exactly like
+    fit_voxels' step cache).
+
+    ``supervise`` follows fit_voxels: "intermediate" (default) supervises
+    the compositor output against pre-warped GTs (gts must be
+    [D, ri, ri, 3] from warp_gt_to_intermediate with masks [D, ri, ri];
+    the screen warp never enters the train graph), "screen" runs the full
+    render against [D, H, W, 3] images (masks ignored).
 
     Returns (optimizer, step) with
-    step(raw, opt_state, poses [D,4,4], gts [D,H,W,3]) -> (raw, opt_state, mse).
+    step(raw, opt_state, poses [D,4,4], gts, masks) -> (raw, opt_state, mse).
     """
     import optax
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from focnerf_tpu.render.baked import _render_core
+    from focnerf_tpu.render.baked import _composite_core, _render_core
 
     optimizer = optax.adam(lr)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
     intr_dev = jnp.asarray(intrinsics, jnp.float32)
-    ri = resolution * 2
+    ri = resolution * intermediate_scale
+    assert supervise in ("intermediate", "screen"), supervise
 
-    def loss_one(raw, pose, gt):
-        vol = field_to_volume(raw, bound, sh_degree)
-        img, _, _ = _render_core(
-            vol.rgba, bound, pose, intr_dev, axis=warp_axis, flip=flip,
-            H=H, W=W, ri=ri, bg_color=bg_color, density_scale=density_scale,
-            sh_deg=sh_degree,
+    if supervise == "intermediate":
+
+        def loss_one(raw, pose, wgt, mask):
+            vol = field_to_volume(raw, bound, sh_degree)
+            C, T, _, _ = _composite_core(
+                vol.rgba, bound, pose, axis=warp_axis, flip=flip, ri=ri,
+                density_scale=density_scale, sh_deg=sh_degree, remat=remat,
+            )
+            img_i = C + T[..., None] * bg_color
+            m = mask[..., None]
+            return jnp.sum(m * (img_i - wgt) ** 2) / (
+                3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+            )
+
+    else:
+
+        def loss_one(raw, pose, gt, mask):
+            del mask
+            vol = field_to_volume(raw, bound, sh_degree)
+            img, _, _ = _render_core(
+                vol.rgba, bound, pose, intr_dev, axis=warp_axis, flip=flip,
+                H=H, W=W, ri=ri, bg_color=bg_color,
+                density_scale=density_scale, sh_deg=sh_degree, remat=remat,
+            )
+            return jnp.mean((img - gt) ** 2)
+
+    def loss_fn(raw, poses, gts, masks):
+        mse = jnp.mean(
+            jax.vmap(loss_one, in_axes=(None, 0, 0, 0))(raw, poses, gts, masks)
         )
-        return jnp.mean((img - gt) ** 2)
-
-    def loss_fn(raw, poses, gts):
-        mse = jnp.mean(jax.vmap(loss_one, in_axes=(None, 0, 0))(raw, poses, gts))
         return mse + tv_weight * tv_loss(raw), mse
 
     @jax.jit
-    def step(raw, opt_state, poses, gts):
+    def step(raw, opt_state, poses, gts, masks):
         raw = jax.lax.with_sharding_constraint(raw, repl)
         poses = jax.lax.with_sharding_constraint(poses, data)
         gts = jax.lax.with_sharding_constraint(gts, data)
-        (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(raw, poses, gts)
+        masks = jax.lax.with_sharding_constraint(masks, data)
+        (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            raw, poses, gts, masks
+        )
         updates, opt_state = optimizer.update(g, opt_state)
         return optax.apply_updates(raw, updates), opt_state, mse
 

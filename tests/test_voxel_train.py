@@ -84,6 +84,48 @@ class TestFitVoxels:
         assert info1["psnr"] > info0["psnr"] - 1.0  # longer run at least as good
 
 
+class TestBackwardSchedule:
+    def test_remat_grads_match(self):
+        """jax.checkpoint over the block fold recomputes the same math —
+        gradients must match the residual-saving schedule to float tolerance."""
+        from focnerf_tpu.render.baked import _render_core
+
+        gt_vol = _gt_volume(16)
+        H = W = 24
+        intr = (28.8, 28.8, 12.0, 12.0)
+        pose = np.asarray(rand_poses(np.random.default_rng(5), 1, radius=2.5))[0]
+        raw = init_voxel_field(16, rng=jax.random.key(2))
+        gt = render_baked(gt_vol, pose, intr, H, W)[0]
+
+        def loss(raw, remat):
+            vol = field_to_volume(raw, 1.0)
+            img, _, _ = _render_core(
+                vol.rgba, 1.0, jnp.asarray(pose), jnp.asarray(intr, jnp.float32),
+                axis=2, flip=bool(pose[2, 3] < 0), H=H, W=W, ri=16,
+                bg_color=1.0, density_scale=1.0, remat=remat,
+            )
+            return jnp.mean((img - gt) ** 2)
+
+        g0 = jax.grad(lambda r: loss(r, False))(raw)
+        g1 = jax.grad(lambda r: loss(r, True))(raw)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
+
+    def test_fit_converges_at_ri1(self):
+        """intermediate_scale=1 (the fast training schedule) still fits."""
+        gt_vol = _gt_volume()
+        H = W = 32
+        intr = (38.4, 38.4, 16.0, 16.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(6), 8, radius=2.5))
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, W)[0]) for p in poses]
+        )
+        _, info = fit_voxels(
+            poses, imgs, intr, resolution=32, iters=80, lr=0.1,
+            tv_weight=1e-5, intermediate_scale=1, remat=True,
+        )
+        assert info["psnr"] > 16.0, info
+
+
 class TestVoxelDP:
     def test_dp_matches_single_device(self):
         """8-way pose-parallel step == the same batch on one device."""
@@ -103,9 +145,19 @@ class TestVoxelDP:
             [p for p in all_poses if _pose_variant(p, 1.0) == key0]
         )[:8]
         assert len(poses) == 8
-        gts = jnp.stack(
-            [render_baked(gt_vol, p, intr, H, W)[0] for p in poses]
-        )
+        from focnerf_tpu.render.baked import warp_gt_to_intermediate
+
+        imgs = [render_baked(gt_vol, p, intr, H, W)[0] for p in poses]
+        ri = 16 * 2
+        warped = [
+            warp_gt_to_intermediate(
+                img, p, jnp.asarray(intr, jnp.float32), 1.0,
+                axis=key0[0], flip=key0[1], ri=ri,
+            )
+            for img, p in zip(imgs, poses)
+        ]
+        gts = jnp.stack([w for w, _ in warped])
+        masks = jnp.stack([m for _, m in warped])
         raw0 = init_voxel_field(16, rng=jax.random.key(0))
 
         mesh8 = make_mesh(8)
@@ -114,14 +166,16 @@ class TestVoxelDP:
             warp_axis=key0[0], flip=key0[1], tv_weight=1e-4,
         )
         opt_state = optimizer.init(raw0)
-        raw8, _, mse8 = step8(raw0, opt_state, jnp.asarray(poses), gts)
+        raw8, _, mse8 = step8(raw0, opt_state, jnp.asarray(poses), gts, masks)
 
         mesh1 = make_mesh(1)
         optimizer1, step1 = make_voxel_dp_step(
             mesh1, intr, H=H, W=W, resolution=16,
             warp_axis=key0[0], flip=key0[1], tv_weight=1e-4,
         )
-        raw1, _, mse1 = step1(raw0, optimizer1.init(raw0), jnp.asarray(poses), gts)
+        raw1, _, mse1 = step1(
+            raw0, optimizer1.init(raw0), jnp.asarray(poses), gts, masks
+        )
 
         np.testing.assert_allclose(float(mse8), float(mse1), rtol=1e-5)
         np.testing.assert_allclose(
