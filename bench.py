@@ -11,6 +11,17 @@ path). A python loop over jitted steps is used deliberately: wrapping the
 step in lax.fori_loop measured 10x SLOWER on v5e (the nested scan of the MXU
 hash-grid backward compiles pathologically inside an outer loop), while
 per-step dispatch overhead is only ~1.6 ms against a ~330 ms step.
+
+The default headline measures the flagship DENSE VOXEL family
+(train/voxel.py): a 128^3 RGBA field descended through the differentiable
+shear-warp compositor with intermediate-plane supervision of 800^2 views —
+the TPU-first training path with no per-sample random access (PERF.md
+"voxel backward bisect"). rays/s counts ri^2 supervised intermediate rays
+per step (each is one primary ray through the eye), measured as folded
+lax.fori_loop dispatches with a scalar fetch per dispatch (the voxel step
+has no nested-scan pathology, and at ~5 ms/step folding is the only
+relay-proof harness). `--hash` instead measures the hash-grid
+reference-parity family with the python-looped harness described above.
 """
 
 import json
@@ -145,6 +156,116 @@ def bench_dp(n_devices: int):
     )
 
 
+def bench_voxel():
+    """Headline: dense voxel family train step, folded-dispatch timing."""
+    import optax
+
+    from focnerf_tpu.core.camera import rand_poses
+    from focnerf_tpu.render.baked import (
+        BakedVolume,
+        _composite_core,
+        render_baked,
+        warp_gt_to_intermediate,
+    )
+    from focnerf_tpu.train.voxel import (
+        _pose_variant,
+        field_to_volume,
+        init_voxel_field,
+        tv_loss,
+    )
+
+    R = 128
+    H = W = 800
+    RI = 2 * R  # bandwidth-matched supervision (Nyquist of a 128^3 field)
+    FOLD = 16
+
+    # striped-sphere GT volume, views rendered on device (no d2h)
+    c = (jnp.arange(R) + 0.5) / R * 2 - 1
+    X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
+    d = jnp.sqrt(X**2 + Y**2 + Z**2)
+    sigma = jnp.where(d < 0.45, 30.0, 0.0)
+    stripes = 0.5 + 0.5 * jnp.sin(8 * jnp.arctan2(Y, X))
+    rgb = jnp.stack([stripes, jnp.clip(Z + 0.5, 0, 1), 1 - stripes], -1)
+    gt_vol = BakedVolume(rgba=jnp.concatenate([rgb, sigma[..., None]], -1), bound=1.0)
+
+    f = 1.25 * H
+    intr = (f, f, H / 2.0, W / 2.0)
+    intr_dev = jnp.asarray(intr, jnp.float32)
+    all_poses = np.asarray(rand_poses(np.random.default_rng(0), 40, radius=2.5))
+    key0 = _pose_variant(all_poses[0], 1.0)
+    axis, flip = key0
+    poses = np.stack([p for p in all_poses if _pose_variant(p, 1.0) == key0])[:8]
+    P = poses.shape[0]
+    poses_dev = jnp.asarray(poses)
+
+    warped = []
+    for p in poses:
+        img, _, _ = render_baked(gt_vol, p, intr, H, W)
+        warped.append(
+            warp_gt_to_intermediate(
+                img, p, intr_dev, 1.0, axis=axis, flip=flip, ri=RI
+            )
+        )
+    wgts = jnp.stack([w for w, _ in warped])
+    masks = jnp.stack([m for _, m in warped])
+    jax.block_until_ready(wgts)
+
+    optimizer = optax.adam(5e-2)
+
+    def loss_fn(raw, pose, wgt, mask):
+        vol = field_to_volume(raw, 1.0, 0)
+        C, T, _, _ = _composite_core(
+            vol.rgba, 1.0, pose, axis=axis, flip=flip, ri=RI, density_scale=1.0
+        )
+        img_i = C + T[..., None]  # white bg
+        m = mask[..., None]
+        mse = jnp.sum(m * (img_i - wgt) ** 2) / (
+            3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+        )
+        return mse + 1e-5 * tv_loss(raw), mse
+
+    @jax.jit
+    def fold(raw, opt_state, start):
+        def body(i, carry):
+            raw, opt_state, _ = carry
+            v = (start + i) % P
+            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                raw, poses_dev[v], wgts[v], masks[v]
+            )
+            updates, opt_state = optimizer.update(g, opt_state)
+            return optax.apply_updates(raw, updates), opt_state, mse
+
+        return jax.lax.fori_loop(0, FOLD, body, (raw, opt_state, jnp.float32(1.0)))
+
+    raw = init_voxel_field(R, rng=jax.random.key(0))
+    opt_state = optimizer.init(raw)
+    raw, opt_state, mse = fold(raw, opt_state, jnp.int32(0))
+    mse0 = float(mse)  # warmup/compile + sanity fetch
+    times = []
+    for rep in range(3):
+        t0 = time.time()
+        raw, opt_state, mse = fold(raw, opt_state, jnp.int32(rep + 1))
+        mse_last = float(mse)  # scalar fetch forces real sync
+        times.append(time.time() - t0)
+    per_step = min(times) / FOLD
+    rays_per_sec = RI * RI / per_step
+    assert np.isfinite(mse_last) and mse_last < mse0, (mse0, mse_last)
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+                "family": "dense_voxel_shearwarp",
+                "config": {"field": R, "image": H, "ri": RI, "fold": FOLD},
+                "step_ms": round(per_step * 1e3, 2),
+                "note": "hash-grid reference-parity family: bench.py --hash",
+            }
+        )
+    )
+
+
 def main():
     import optax
 
@@ -212,5 +333,7 @@ def main():
 if __name__ == "__main__":
     if "--dp" in sys.argv:
         bench_dp(int(sys.argv[sys.argv.index("--dp") + 1]))
-    else:
+    elif "--hash" in sys.argv:
         main()
+    else:
+        bench_voxel()

@@ -16,6 +16,8 @@ python sync is artifact-dominated through the relay — PERF.md pitfalls):
              overlapping bilinear scatter-add); constant target, timing-only
   int_real   the PRODUCT intermediate-supervision step (warped-GT targets +
              mask from warp_gt_to_intermediate — fit_voxels' default path)
+  int_real_bN  same, but N poses vmapped per step (amortizes adam + TV
+             over N renders; _bN must be the trailing suffix)
 
 For intermediate variants rays/s counts ri^2 supervised intermediate rays
 per step (NOT H*W — the screen image never enters the loss).
@@ -109,7 +111,7 @@ def main():
 
     optimizer = optax.adam(5e-2)
 
-    def make_fold(ri_mult: int, remat: bool, mode: str = "grad"):
+    def make_fold(ri_mult: int, remat: bool, mode: str = "grad", nbatch: int = 1):
         ri = R * ri_mult
 
         if mode == "int_real":
@@ -152,11 +154,35 @@ def main():
             mse = jnp.mean((img - gt) ** 2)
             return mse + 1e-5 * tv_loss(raw), mse
 
+        def batched_loss(raw, poses_b, wgts_b, masks_b):
+            vol = field_to_volume(raw, 1.0, 0)
+
+            def one(pose, wgt, mask):
+                C, T, _, _ = _composite_core(
+                    vol.rgba, 1.0, pose, axis=axis, flip=flip, ri=ri,
+                    density_scale=1.0, remat=remat,
+                )
+                img_i = C + T[..., None]
+                m = mask[..., None]
+                return jnp.sum(m * (img_i - wgt) ** 2) / (
+                    3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+                )
+
+            mse = jnp.mean(jax.vmap(one)(poses_b, wgts_b, masks_b))
+            return mse + 1e-5 * tv_loss(raw), mse
+
         @jax.jit
         def fold(raw, opt_state, start):
             def body(i, carry):
                 raw, opt_state, _ = carry
                 v = (start + i) % P
+                if nbatch > 1:
+                    sel = (v * nbatch + jnp.arange(nbatch)) % P
+                    (loss, mse), g = jax.value_and_grad(
+                        batched_loss, has_aux=True
+                    )(raw, poses_dev[sel], wgts[sel], masks[sel])
+                    updates, opt_state = optimizer.update(g, opt_state)
+                    return optax.apply_updates(raw, updates), opt_state, mse
                 tgt = wgts[v] if mode == "int_real" else gts[v]
                 msk = masks[v] if mode == "int_real" else jnp.ones((1, 1))
                 if mode == "fwd":
@@ -187,8 +213,14 @@ def main():
             else "int_real" if variant.startswith("int_real")
             else "grad"
         )
-        fold = make_fold(ri_mult, remat, mode)
-        n_sup = (R * ri_mult) ** 2 if mode in ("gradint", "int_real") else H * W
+        m_b = re.search(r"_b(\d+)$", variant)
+        nbatch = int(m_b.group(1)) if m_b and mode == "int_real" else 1
+        fold = make_fold(ri_mult, remat, mode, nbatch)
+        n_sup = (
+            (R * ri_mult) ** 2 * nbatch
+            if mode in ("gradint", "int_real")
+            else H * W
+        )
         raw = init_voxel_field(R, rng=jax.random.key(0))
         opt_state = optimizer.init(raw)
         t0 = time.time()
