@@ -33,7 +33,7 @@ def main(argv=None):
 
     from focnerf_tpu.data.provider import DatasetOptions, NeRFDataset
     from focnerf_tpu.render.baked import render_baked, save_volume
-    from focnerf_tpu.train.voxel import fit_voxels
+    from focnerf_tpu.train.voxel import fit_voxels, fit_voxels_c2f
 
     ds_opt = DatasetOptions(
         path=opt.path, scale=opt.scale, offset=tuple(opt.offset),
@@ -53,14 +53,21 @@ def main(argv=None):
         imgs = imgs[..., :3] * a + 1.0 * (1.0 - a)
 
     t0 = time.time()
-    vol, info = fit_voxels(
-        train_ds.poses, imgs, train_ds.intrinsics,
-        resolution=opt.bake_res, bound=opt.bound, sh_degree=opt.bake_sh,
-        iters=opt.iters, bg_color=1.0,
-        density_scale=1.0,
-        log_every=max(opt.iters // 10, 1),
-        supervise=opt.voxel_supervise,
+    common = dict(
+        bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,
+        bg_color=1.0, density_scale=1.0,
+        log_every=max(opt.iters // 10, 1), supervise=opt.voxel_supervise,
     )
+    if opt.voxel_c2f > 1:
+        vol, info = fit_voxels_c2f(
+            train_ds.poses, imgs, train_ds.intrinsics,
+            resolution=opt.bake_res, stages=opt.voxel_c2f, **common,
+        )
+    else:
+        vol, info = fit_voxels(
+            train_ds.poses, imgs, train_ds.intrinsics,
+            resolution=opt.bake_res, **common,
+        )
     print(
         f"[voxel] {opt.iters} iters in {time.time()-t0:.1f}s — "
         f"train PSNR {info['psnr']:.2f} dB, {info['rays_per_sec']:.0f} rays/s"

@@ -101,6 +101,9 @@ class Options:
     # "intermediate" pre-warps GTs onto the shear-warp plane (~370x faster
     # backward on TPU — PERF.md); "screen" is the exact end-to-end oracle.
     voxel_supervise: str = "intermediate"
+    # >1: coarse-to-fine stages (resolution doubles per stage up to
+    # bake_res, Plenoxels-style; iters split evenly across stages)
+    voxel_c2f: int = 1
 
     # dnerf
     dnerf_variant: str = "deform"

@@ -230,8 +230,86 @@ def fit_voxels(
     dt = time.time() - t0
     psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
     n_sup = ri_sup * ri_sup if supervise == "intermediate" else H * W
-    info = {"psnr": psnr, "rays_per_sec": n_sup * iters / dt, "seconds": dt}
+    info = {
+        "psnr": psnr,
+        "rays_per_sec": n_sup * iters / dt,
+        "seconds": dt,
+        "raw": raw,  # pre-activation field (coarse-to-fine staging)
+    }
     return field_to_volume(raw, bound, sh_degree), info
+
+
+def upsample_field(raw: jax.Array, new_res: int) -> jax.Array:
+    """Trilinearly upsample a raw field [R,R,R,C] -> [new_res]^3 x C.
+
+    Operates on RAW (pre-activation) values: softplus/sigmoid are monotone,
+    so interpolating raw parameters preserves the coarse solution as the
+    init of the finer stage (the Plenoxels coarse-to-fine step)."""
+    C = raw.shape[-1]
+    return jax.image.resize(
+        raw, (new_res, new_res, new_res, C), method="trilinear"
+    )
+
+
+def fit_voxels_c2f(
+    poses: np.ndarray,
+    images: np.ndarray,
+    intrinsics: Sequence[float],
+    *,
+    resolution: int = 128,
+    stages: int = 3,
+    iters: int = 500,
+    seed: int = 0,
+    log_every: int = 0,
+    **kw,
+) -> Tuple[BakedVolume, Dict]:
+    """Coarse-to-fine fit: resolution doubles each stage up to ``resolution``
+    (e.g. stages=3 -> R/4, R/2, R), splitting ``iters`` evenly and seeding
+    each stage with the trilinearly-upsampled previous field. Low frequencies
+    converge at the cheap coarse stages and the fine stage starts from a
+    good init — the Plenoxels schedule, here also a throughput win since
+    coarse-stage steps composite 4x/16x fewer intermediate pixels.
+
+    Accepts fit_voxels keyword args via **kw (sh_degree, lr, tv_weight,
+    supervise, ...). Returns (volume, info) of the final stage with
+    info["stage_psnrs"] recording each stage's closing train PSNR."""
+    assert stages >= 1
+    res_ladder = [max(resolution >> (stages - 1 - s), 16) for s in range(stages)]
+    res_ladder = sorted(set(min(r, resolution) for r in res_ladder))
+    if res_ladder[-1] != resolution:
+        res_ladder.append(resolution)
+    per = max(iters // len(res_ladder), 1)
+    raw = None
+    stage_psnrs = []
+    info: Dict = {}
+    for si, R in enumerate(res_ladder):
+        n_it = per if si < len(res_ladder) - 1 else iters - per * (len(res_ladder) - 1)
+        if raw is not None:
+            raw = upsample_field(raw, R)
+        vol, info = fit_voxels(
+            poses, images, intrinsics, resolution=R, iters=n_it,
+            init_raw=raw, seed=seed + si, log_every=log_every, **kw,
+        )
+        stage_psnrs.append(info["psnr"])
+        raw = info["raw"]
+    info["stage_psnrs"] = stage_psnrs
+    return vol, info
+
+
+def _volume_to_raw(vol: BakedVolume, sh_degree: int = 0) -> jax.Array:
+    """Invert field_to_volume (softplus/sigmoid are bijections on their
+    ranges; clamped away from the saturated ends for finite raws)."""
+    payload = vol.rgba[..., :-1]
+    sigma = vol.rgba[..., -1:]
+    if sh_degree > 0:
+        raw_payload = payload  # linear
+    else:
+        p = jnp.clip(payload, 1e-6, 1.0 - 1e-6)
+        raw_payload = jnp.log(p) - jnp.log1p(-p)  # logit
+    s = jnp.maximum(sigma, 1e-6)
+    # softplus^-1(y) = y + log(1 - exp(-y))
+    raw_sigma = s + jnp.log(-jnp.expm1(-s))
+    return jnp.concatenate([raw_payload, raw_sigma], -1)
 
 
 def make_voxel_dp_step(
