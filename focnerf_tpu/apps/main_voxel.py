@@ -7,8 +7,13 @@ workspace's baked-volume cache, so the rest of the product consumes it
 unchanged:
 
   python -m focnerf_tpu.apps.main_voxel data/scene --workspace ws_vox \
-      --bake_res 128 --iters 500 [--bake_sh 2]
+      --bake_res 128 --iters 500 [--bake_sh 2] [--voxel_c2f 3]
   python -m focnerf_tpu.apps.viewer_app data/scene --workspace ws_vox --baked
+
+`--voxel_dynamic` trains the DYNAMIC dense family instead (train/voxel_dynamic.py:
+low-rank time factorization over the dnerf provider's per-frame times),
+writing dynvoxel_*.npz; validation renders collapse the field at each
+view's own t.
 
 No reference equivalent (the reference trains only through its per-sample
 CUDA marcher); this is a new TPU-first family that shares the BakedVolume
@@ -39,9 +44,13 @@ def main(argv=None):
         path=opt.path, scale=opt.scale, offset=tuple(opt.offset),
         downscale=opt.downscale, num_rays=opt.num_rays,
     )
-    train_ds = NeRFDataset(ds_opt, split="train")
+    if opt.voxel_dynamic:
+        from focnerf_tpu.data.dnerf_provider import DNeRFDataset as _DS
+    else:
+        _DS = NeRFDataset
+    train_ds = _DS(ds_opt, split="train")
     try:
-        val_ds = NeRFDataset(ds_opt, split="val")
+        val_ds = _DS(ds_opt, split="val")
     except Exception:
         val_ds = None
 
@@ -53,6 +62,58 @@ def main(argv=None):
         imgs = imgs[..., :3] * a + 1.0 * (1.0 - a)
 
     t0 = time.time()
+    if opt.voxel_dynamic:
+        from focnerf_tpu.train.voxel_dynamic import (
+            dyn_field_to_volume,
+            fit_dyn_voxels,
+            save_dyn_field,
+        )
+
+        field, info = fit_dyn_voxels(
+            train_ds.poses, imgs, train_ds.times, train_ds.intrinsics,
+            resolution=opt.bake_res, rank=opt.voxel_rank,
+            time_slots=opt.voxel_time_slots, bound=opt.bound,
+            sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
+            log_every=max(opt.iters // 10, 1),
+        )
+        print(
+            f"[dynvoxel] {opt.iters} iters in {time.time()-t0:.1f}s — "
+            f"train PSNR {info['psnr']:.2f} dB, {info['rays_per_sec']:.0f} rays/s"
+        )
+        cache = os.path.join(
+            opt.workspace, f"dynvoxel_{opt.bake_res}_sh{opt.bake_sh}.npz"
+        )
+        save_dyn_field(cache, field, opt.bound, opt.bake_sh)
+        print(f"[dynvoxel] saved {cache}")
+        if val_ds is not None and val_ds.images is not None:
+            gts = np.asarray(val_ds.images, np.float32).reshape(
+                val_ds.n_views, val_ds.H, val_ds.W, -1
+            )
+            if gts.shape[-1] == 4:
+                a = gts[..., 3:]
+                gts = gts[..., :3] * a + 1.0 * (1.0 - a)
+            psnrs = []
+            for v in range(val_ds.n_views):
+                vol = dyn_field_to_volume(
+                    field, float(val_ds.times[v]), opt.bound, opt.bake_sh
+                )
+                img, _, _ = render_baked(
+                    vol, val_ds.poses[v], val_ds.intrinsics,
+                    val_ds.H, val_ds.W, bg_color=1.0,
+                )
+                mse = float(jnp.mean((img - gts[v]) ** 2))
+                psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+            print(
+                f"[dynvoxel] val PSNR: {np.mean(psnrs):.2f} dB over "
+                f"{len(psnrs)} views"
+            )
+            with open(os.path.join(opt.workspace, "log.txt"), "a") as f:
+                f.write(
+                    f"dynvoxel res={opt.bake_res} rank={opt.voxel_rank} "
+                    f"iters={opt.iters} val_psnr={np.mean(psnrs):.3f}\n"
+                )
+        return field
+
     common = dict(
         bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,
         bg_color=1.0, density_scale=1.0,

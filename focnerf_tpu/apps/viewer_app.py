@@ -38,6 +38,35 @@ def _view_only(opt):
     )
 
     ckpt_dir = os.path.join(opt.workspace, "checkpoints")
+    dyn_cache = os.path.join(
+        opt.workspace, f"dynvoxel_{opt.bake_res}_sh{opt.bake_sh}.npz"
+    )
+    if opt.baked and not os.path.isdir(ckpt_dir) and os.path.exists(dyn_cache):
+        # dynamic voxel workspace (main_voxel --voxel_dynamic): collapse the
+        # low-rank field at the slider's t, then shear-warp render — the
+        # collapse is one einsum, so scrubbing time stays interactive
+        from focnerf_tpu.render.baked import render_baked
+        from focnerf_tpu.train.voxel_dynamic import (
+            dyn_field_to_volume,
+            load_dyn_field,
+        )
+
+        field, bound_l, sh_l = load_dyn_field(dyn_cache)
+        print(f"[viewer] loaded dynamic voxel field {dyn_cache}")
+
+        def render_fn(pose, intrinsics, H, W, t):
+            try:
+                vol = dyn_field_to_volume(field, float(t), bound_l, sh_l)
+                img, _, _ = render_baked(
+                    vol, pose, intrinsics, H, W, bg_color=1.0,
+                    density_scale=1.0,
+                )
+            except ValueError:  # camera inside the volume
+                return np.ones((H, W, 3), np.float32)
+            return np.asarray(img)
+
+        return render_fn, None
+
     baked_cache = os.path.join(
         opt.workspace, f"baked_{opt.bake_res}_sh{opt.bake_sh}.npz"
     )

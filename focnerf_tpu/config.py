@@ -104,6 +104,11 @@ class Options:
     # >1: coarse-to-fine stages (resolution doubles per stage up to
     # bake_res, Plenoxels-style; iters split evenly across stages)
     voxel_c2f: int = 1
+    # main_voxel --voxel_dynamic: train the low-rank time-factorized dense
+    # family (train/voxel_dynamic.py) over the dnerf provider's times
+    voxel_dynamic: bool = False
+    voxel_rank: int = 4  # rank K of the time factorization
+    voxel_time_slots: int = 16  # time slots S of the interpolated basis
 
     # dnerf
     dnerf_variant: str = "deform"

@@ -254,6 +254,23 @@ class TestVoxelCLI:
         img = render_fn(pose, (38.4, 38.4, 16.0, 16.0), 32, 32, 0.0)
         assert img.shape == (32, 32, 3) and np.isfinite(img).all()
 
+    def test_voxel_dynamic_cli(self, scene, tmp_path):
+        """--voxel_dynamic trains the time-factorized dense family over the
+        dnerf provider's per-frame times and saves the dynamic field."""
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+        from focnerf_tpu.train.voxel_dynamic import load_dyn_field
+
+        ws = str(tmp_path / "dvxws")
+        voxel_main([
+            scene, "--workspace", ws, "--iters", "30", "--bake_res", "16",
+            "--voxel_dynamic", "--voxel_rank", "2", "--voxel_time_slots", "4",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        path = os.path.join(ws, "dynvoxel_16_sh0.npz")
+        assert os.path.exists(path)
+        field, bound, sh = load_dyn_field(path)
+        assert field.deltas.shape[0] == 2 and field.wslots.shape == (4, 2)
+
 
 @pytest.mark.slow
 class TestOccupancyTrainerCLI:
