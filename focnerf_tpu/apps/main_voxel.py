@@ -30,6 +30,27 @@ import numpy as np
 from focnerf_tpu.config import parse_options
 
 
+def _save_volume_mesh(vol, path, density_thresh, tag):
+    """Mesh the trained dense field (ref main_nerf.py:298 save_mesh).
+
+    The iso threshold adapts downward to half the field's peak sigma when
+    the configured --density_thresh would select nothing (dense-field sigma
+    scales with the training step size, unlike the hash family's).
+    """
+    try:
+        import numpy as _np
+
+        from focnerf_tpu.utils.mesh_extract import mesh_from_volume, save_obj
+
+        peak = float(_np.asarray(vol.rgba[..., -1]).max())
+        thr = min(density_thresh, 0.5 * peak) if peak > 0 else density_thresh
+        verts, faces = mesh_from_volume(vol, thr)
+        save_obj(path, verts, faces)
+        print(f"[{tag}] mesh: {len(verts)} verts / {len(faces)} faces -> {path}")
+    except Exception as e:  # mesh export must never kill a training run
+        print(f"[{tag}] WARN: mesh export failed: {e}")
+
+
 def main(argv=None):
     opt = parse_options(argv)
     os.makedirs(opt.workspace, exist_ok=True)
@@ -85,6 +106,15 @@ def main(argv=None):
         )
         save_dyn_field(cache, field, opt.bound, opt.bake_sh)
         print(f"[dynvoxel] saved {cache}")
+        # time-conditioned mesh export (ref dnerf/utils.py:221-243): at
+        # --mesh_t if given, else the t=0/1 motion brackets
+        ts = [float(opt.mesh_t)] if opt.mesh_t is not None else [0.0, 1.0]
+        for t in ts:
+            _save_volume_mesh(
+                dyn_field_to_volume(field, t, opt.bound, opt.bake_sh),
+                os.path.join(opt.workspace, f"mesh_t{t:.2f}.obj"),
+                opt.density_thresh, tag="dynvoxel",
+            )
         if val_ds is not None and val_ds.images is not None:
             gts = np.asarray(val_ds.images, np.float32).reshape(
                 val_ds.n_views, val_ds.H, val_ds.W, -1
@@ -139,6 +169,10 @@ def main(argv=None):
     )
     save_volume(cache, vol)
     print(f"[voxel] saved {cache}")
+    _save_volume_mesh(
+        vol, os.path.join(opt.workspace, "mesh.obj"), opt.density_thresh,
+        tag="voxel",
+    )
 
     if val_ds is not None and val_ds.images is not None:
         gts = np.asarray(val_ds.images, np.float32).reshape(

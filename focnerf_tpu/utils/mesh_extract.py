@@ -207,6 +207,23 @@ def extract_mesh(
     return verts, faces
 
 
+def mesh_from_volume(vol, threshold: float = 10.0):
+    """Mesh a BakedVolume / dense voxel field directly (no field queries).
+
+    The dense families store sigma as the last channel of ``vol.rgba``
+    (render/baked.py::BakedVolume), so this skips `extract_fields` and runs
+    marching tets straight over the stored grid — the voxel-family analogue
+    of the reference's `Trainer.save_mesh` (nerf/utils.py:971, :512-542).
+    Returns (verts, faces) in world coords [-bound, bound]^3.
+    """
+    grid = np.asarray(vol.rgba[..., -1], np.float32)
+    soup = marching_tets(grid, threshold)
+    verts, faces = weld_vertices(soup)
+    resolution = grid.shape[0]
+    verts = verts / (resolution - 1) * (2 * vol.bound) - vol.bound
+    return verts, faces
+
+
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray):
     with open(path, "w") as f:
         for v in verts:

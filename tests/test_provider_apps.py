@@ -244,6 +244,9 @@ class TestVoxelCLI:
             "--scale", "1.0", "--bound", "1.0",
         ])
         assert os.path.exists(os.path.join(ws, "baked_16_sh0.npz"))
+        # mesh export of the trained dense field (ref main_nerf.py:298)
+        mesh = os.path.join(ws, "mesh.obj")
+        assert os.path.exists(mesh) and os.path.getsize(mesh) > 0
         opt = parse_options([
             scene, "--workspace", ws, "--baked", "--bake_res", "16",
             "--scale", "1.0", "--bound", "1.0",
@@ -268,6 +271,9 @@ class TestVoxelCLI:
         ])
         path = os.path.join(ws, "dynvoxel_16_sh0.npz")
         assert os.path.exists(path)
+        # time-bracket meshes (ref dnerf/utils.py:221-243)
+        assert os.path.exists(os.path.join(ws, "mesh_t0.00.obj"))
+        assert os.path.exists(os.path.join(ws, "mesh_t1.00.obj"))
         field, bound, sh = load_dyn_field(path)
         assert field.deltas.shape[0] == 2 and field.wslots.shape == (4, 2)
 
