@@ -215,7 +215,8 @@ def bench_voxel():
     def loss_fn(raw, pose, wgt, mask):
         vol = field_to_volume(raw, 1.0, 0)
         C, T, _, _ = _composite_core(
-            vol.rgba, 1.0, pose, axis=axis, flip=flip, ri=RI, density_scale=1.0
+            vol.rgba, 1.0, pose, axis=axis, flip=flip, ri=RI, density_scale=1.0,
+            remat=True,
         )
         img_i = C + T[..., None]  # white bg
         m = mask[..., None]

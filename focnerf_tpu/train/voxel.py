@@ -8,13 +8,12 @@ entirely, Plenoxels-style: the scene is a dense RGBA(+SH) voxel grid
 shear-warp renderer — forward and backward are batched slice resamples,
 einsums and cumprods, all dense, all MXU/VPU-shaped.
 
-Measured reality (PERF.md round-2 "dense voxel training" entry): the
-0.45 ms forward does NOT translate into a 0.45 ms training step — naive
-reverse-mode AD through the R/32 sequential compositing folds costs
-~3.4 s/step at 128^3 / 800^2 on v5e (0.19M rays/s, slightly above the
-hash path's 0.165M). The headroom is in the backward's rematerialization
-schedule (jax.checkpoint over the fold, training-time ri=R, bf16
-residuals), not in the forward.
+Measured reality (PERF.md voxel entries): intermediate-plane supervision
+(default) keeps the screen warp out of the train graph (3.4 s -> 4.9 ms
+per step at 128^3 / 800^2 on v5e), and jax.checkpoint over the block fold
+(remat=True, default) drops the residual traffic of the compositing scan
+for another 22% (3.8 ms, 17.3M supervised rays/s — recompute is free, the
+step is bandwidth-bound).
 
 Relation to the reference: this is a new TPU-first training family, not a
 port — the reference's only training path is the per-sample CUDA marcher
@@ -112,7 +111,7 @@ def fit_voxels(
     seed: int = 0,
     log_every: int = 0,
     intermediate_scale: int = 2,
-    remat: bool = False,
+    remat: bool = True,
     supervise: str = "intermediate",
 ) -> Tuple[BakedVolume, Dict]:
     """Fit a dense voxel field to posed images by whole-image descent.
@@ -329,7 +328,7 @@ def make_voxel_dp_step(
     density_scale: float = 1.0,
     axis: str = "data",
     intermediate_scale: int = 2,
-    remat: bool = False,
+    remat: bool = True,
     supervise: str = "intermediate",
 ):
     """Pose-parallel voxel train step over a device mesh (SURVEY §2.3 DP).

@@ -130,6 +130,7 @@ def fit_dyn_voxels(
     density_scale: float = 1.0,
     seed: int = 0,
     log_every: int = 0,
+    remat: bool = True,
 ) -> Tuple[DynVoxelField, Dict]:
     """Fit the dynamic field to (pose, image, t) triples by whole-image
     descent with intermediate-plane supervision (train/voxel.py semantics).
@@ -164,7 +165,7 @@ def fit_dyn_voxels(
             vol = field_to_volume(raw, bound, sh_degree)
             C, T, _, _ = _composite_core(
                 vol.rgba, bound, pose_dev, axis=axis, flip=flip, ri=ri,
-                density_scale=density_scale, sh_deg=sh_degree,
+                density_scale=density_scale, sh_deg=sh_degree, remat=remat,
             )
             img_i = C + T[..., None] * bg_color
             m = mask[..., None]

@@ -212,6 +212,24 @@ class TestMeshExtract:
         # all vertices near the r=0.5 shell (grid resolution tolerance)
         assert abs(r.mean() - 0.5) < 0.08
 
+    def test_mesh_from_volume(self):
+        """Direct meshing of a dense BakedVolume sigma grid (voxel family)."""
+        from focnerf_tpu.render.baked import BakedVolume
+        from focnerf_tpu.utils.mesh_extract import mesh_from_volume
+
+        R = 32
+        c = (np.arange(R) + 0.5) / R * 2 - 1
+        X, Y, Z = np.meshgrid(c, c, c, indexing="ij")
+        sigma = np.where(np.sqrt(X**2 + Y**2 + Z**2) < 0.5, 100.0, 0.0)
+        rgba = np.concatenate(
+            [np.ones((R, R, R, 3), np.float32), sigma[..., None]], -1
+        )
+        vol = BakedVolume(rgba=jnp.asarray(rgba), bound=1.0)
+        verts, faces = mesh_from_volume(vol, threshold=10.0)
+        assert len(verts) > 50 and len(faces) > 50
+        r = np.linalg.norm(verts, axis=-1)
+        assert abs(r.mean() - 0.5) < 0.08
+
     def test_native_matches_numpy(self):
         from focnerf_tpu.utils.mesh_extract import (
             _marching_tets_numpy,

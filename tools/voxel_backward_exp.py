@@ -18,6 +18,9 @@ python sync is artifact-dominated through the relay — PERF.md pitfalls):
              mask from warp_gt_to_intermediate — fit_voxels' default path)
   int_real_bN  same, but N poses vmapped per step (amortizes adam + TV
              over N renders; _bN must be the trailing suffix)
+  dyn_real   the DYNAMIC family's product step (train/voxel_dynamic.py:
+             rank-4 collapse einsum + the int_real schedule); append
+             "remat" for jax.checkpoint over the fold
 
 For intermediate variants rays/s counts ri^2 supervised intermediate rays
 per step (NOT H*W — the screen image never enters the loss).
@@ -201,6 +204,54 @@ def main():
 
         return fold
 
+    def make_dyn_fold(ri_mult: int, remat: bool, rank: int = 4):
+        from focnerf_tpu.train.voxel_dynamic import collapse_field
+
+        ri = R * ri_mult
+        warped = [
+            warp_gt_to_intermediate(
+                gts[v], poses_dev[v], intr_dev, 1.0, axis=axis, flip=flip, ri=ri
+            )
+            for v in range(P)
+        ]
+        wgts = jnp.stack([w for w, _ in warped])
+        masks = jnp.stack([m for _, m in warped])
+        times_dev = jnp.linspace(0.0, 1.0, P)
+
+        def loss_fn(field, pose, t, wgt, mask):
+            raw = collapse_field(field, t)
+            vol = field_to_volume(raw, 1.0, 0)
+            C, T, _, _ = _composite_core(
+                vol.rgba, 1.0, pose, axis=axis, flip=flip, ri=ri,
+                density_scale=1.0, remat=remat,
+            )
+            img_i = C + T[..., None]
+            m = mask[..., None]
+            mse = jnp.sum(m * (img_i - wgt) ** 2) / (
+                3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+            )
+            reg = 1e-5 * (
+                tv_loss(field.base) + jnp.mean(jax.vmap(tv_loss)(field.deltas))
+            )
+            return mse + reg, mse
+
+        @jax.jit
+        def fold(field, opt_state, start):
+            def body(i, carry):
+                field, opt_state, _ = carry
+                v = (start + i) % P
+                (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    field, poses_dev[v], times_dev[v], wgts[v], masks[v]
+                )
+                updates, opt_state = optimizer.update(g, opt_state)
+                return optax.apply_updates(field, updates), opt_state, mse
+
+            return jax.lax.fori_loop(
+                0, args.fold, body, (field, opt_state, jnp.float32(1.0))
+            )
+
+        return fold
+
     import re
 
     for variant in args.variants.split(","):
@@ -215,13 +266,20 @@ def main():
         )
         m_b = re.search(r"_b(\d+)$", variant)
         nbatch = int(m_b.group(1)) if m_b and mode == "int_real" else 1
-        fold = make_fold(ri_mult, remat, mode, nbatch)
-        n_sup = (
-            (R * ri_mult) ** 2 * nbatch
-            if mode in ("gradint", "int_real")
-            else H * W
-        )
-        raw = init_voxel_field(R, rng=jax.random.key(0))
+        if variant.startswith("dyn_real"):
+            from focnerf_tpu.train.voxel_dynamic import init_dyn_voxel_field
+
+            fold = make_dyn_fold(ri_mult, remat)
+            n_sup = (R * ri_mult) ** 2
+            raw = init_dyn_voxel_field(R, rank=4, rng=jax.random.key(0))
+        else:
+            fold = make_fold(ri_mult, remat, mode, nbatch)
+            n_sup = (
+                (R * ri_mult) ** 2 * nbatch
+                if mode in ("gradint", "int_real")
+                else H * W
+            )
+            raw = init_voxel_field(R, rng=jax.random.key(0))
         opt_state = optimizer.init(raw)
         t0 = time.time()
         raw, opt_state, mse = fold(raw, opt_state, jnp.int32(0))

@@ -10,6 +10,7 @@ Usage:
   python tools/voxel_bench.py [--res 128] [--image 800] [--iters 60]
       [--sync-every 1]   # per-step scalar fetch (honest relay timing)
       [--all-variants]   # don't restrict poses to one (axis, flip) compile
+      [--dynamic]        # time-varying GT -> fit the low-rank dynamic family
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--sync-every", type=int, default=1)
     ap.add_argument("--all-variants", action="store_true")
+    ap.add_argument("--dynamic", action="store_true")
+    ap.add_argument("--rank", type=int, default=4)
     args = ap.parse_args()
 
     from focnerf_tpu.core.camera import rand_poses
@@ -42,13 +45,19 @@ def main():
     R = args.res
     c = (jnp.arange(R) + 0.5) / R * 2 - 1
     X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
-    d = jnp.sqrt(X**2 + Y**2 + Z**2)
-    sigma = jnp.where(d < 0.45, 30.0, 0.0)
-    stripes = 0.5 + 0.5 * jnp.sin(8 * jnp.arctan2(Y, X))
-    rgb = jnp.stack([stripes, jnp.clip(Z + 0.5, 0, 1), 1 - stripes], -1)
-    gt_vol = BakedVolume(
-        rgba=jnp.concatenate([rgb, sigma[..., None]], -1), bound=1.0
-    )
+
+    def gt_volume(t: float) -> BakedVolume:
+        """Striped sphere; with --dynamic its center slides along x with t."""
+        cx = (0.6 * t - 0.3) if args.dynamic else 0.0
+        d = jnp.sqrt((X - cx) ** 2 + Y**2 + Z**2)
+        sigma = jnp.where(d < 0.45, 30.0, 0.0)
+        stripes = 0.5 + 0.5 * jnp.sin(8 * jnp.arctan2(Y, X - cx))
+        rgb = jnp.stack([stripes, jnp.clip(Z + 0.5, 0, 1), 1 - stripes], -1)
+        return BakedVolume(
+            rgba=jnp.concatenate([rgb, sigma[..., None]], -1), bound=1.0
+        )
+
+    gt_vol = gt_volume(0.0)
 
     H = W = args.image
     f = 1.25 * H
@@ -62,24 +71,43 @@ def main():
             [p for p in all_poses if _pose_variant(p, 1.0) == key0]
         )[:14]
 
+    times = np.linspace(0.0, 1.0, len(poses)).astype(np.float32)
+    # hold-out (index 13) must sit inside the trained time range, not at the
+    # t=1 extrapolation edge — swap it with a mid-range slot
+    times[[7, 13]] = times[[13, 7]]
     gts = []
-    for p in poses:
-        img, _, _ = render_baked(gt_vol, p, intr, H, W)
+    for p, t in zip(poses, times):
+        img, _, _ = render_baked(
+            gt_volume(float(t)) if args.dynamic else gt_vol, p, intr, H, W
+        )
         gts.append(img)
     gts = jnp.stack(gts)
     jax.block_until_ready(gts)
 
     t0 = time.time()
-    vol, info = fit_voxels(
-        poses[:12], gts[:12], intr, resolution=R, iters=args.iters,
-        lr=0.08, tv_weight=1e-5, log_every=args.sync_every,
-    )
+    if args.dynamic:
+        from focnerf_tpu.train.voxel_dynamic import (
+            dyn_field_to_volume,
+            fit_dyn_voxels,
+        )
+
+        field, info = fit_dyn_voxels(
+            poses[:12], gts[:12], times[:12], intr, resolution=R,
+            rank=args.rank, iters=args.iters, lr=0.08, tv_weight=1e-5,
+            log_every=args.sync_every,
+        )
+        vol = dyn_field_to_volume(field, float(times[13]), 1.0)
+    else:
+        vol, info = fit_voxels(
+            poses[:12], gts[:12], intr, resolution=R, iters=args.iters,
+            lr=0.08, tv_weight=1e-5, log_every=args.sync_every,
+        )
     wall = time.time() - t0
 
     img, _, _ = render_baked(vol, poses[13], intr, H, W)
     mse = float(jnp.mean((img - gts[13]) ** 2))
     print(json.dumps({
-        "metric": "voxel_train_rays_per_sec",
+        "metric": ("dyn_" if args.dynamic else "") + "voxel_train_rays_per_sec",
         "value": round(info["rays_per_sec"], 1),
         "unit": "rays/s",
         "train_psnr": round(info["psnr"], 2),
