@@ -330,6 +330,7 @@ def _composite_core(
     density_scale: float,
     sh_deg: int = 0,
     remat: bool = False,
+    block: int = 32,
 ):
     """Slice-resample + front-to-back composite onto the intermediate plane.
 
@@ -373,7 +374,7 @@ def _composite_core(
     # MXU einsum, and compositing inside a block uses the exclusive-cumprod
     # form (alpha compositing is associative), leaving only R/K sequential
     # folds.
-    K = min(32, R)
+    K = min(block, R)
     assert R % K == 0
     n_blocks = R // K
     # front-to-back: nearest (+z') slice first
