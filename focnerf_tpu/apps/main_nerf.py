@@ -97,6 +97,8 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         tv_weight=opt.tv_weight,
         use_checkpoint=opt.ckpt,
         seed=opt.seed,
+        rand_pose=opt.rand_pose,
+        clip_text=opt.clip_text,
     )
     steps_per_epoch = max(train_ds.n_views, 1)
     max_epochs = max(1, int(np.ceil(opt.iters / steps_per_epoch)))

@@ -112,6 +112,52 @@ def make_train_step(
     return train_step
 
 
+def make_clip_step(
+    cfg: NeRFConfig,
+    optimizer: optax.GradientTransformation,
+    clip_loss,
+    *,
+    H: int,
+    W: int,
+    num_steps: int = 128,
+    min_near: float = 0.2,
+    ema_decay: float = 0.95,
+    clip_weight: float = 1.0,
+):
+    """CLIP-guided GT-free step on a random-pose batch (nerf/utils.py:796-838).
+
+    ``clip_loss`` is a differentiable function image [H, W, 3] in [0,1] ->
+    scalar (train/clip_guidance.py::make_jax_clip_loss, or any stand-in);
+    gradients flow through the rendered low-res image into the field, the
+    TPU-native form of the reference's rand-pose branch. Signature:
+    (state, rays_o [H*W,3], rays_d [H*W,3], rng) -> (state, metrics).
+    """
+
+    def loss_fn(params, rays_o, rays_d, rng):
+        out = render_rays(
+            params, cfg, rays_o, rays_d, num_steps=num_steps, rng=rng,
+            perturb=True, bg_color=1.0, min_near=min_near,
+        )
+        img = out["image"].reshape(H, W, 3)
+        return clip_weight * clip_loss(img)
+
+    def step_impl(state: TrainState, rays_o, rays_d, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rays_o, rays_d, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, state.ema_count, ema_decay)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            ema_count=state.ema_count + 1,
+        )
+        return new_state, {"loss": loss}
+
+    return jax.jit(step_impl)
+
+
 def make_train_step_occupancy(
     cfg: NeRFConfig,
     optimizer: optax.GradientTransformation,

@@ -65,6 +65,9 @@ class Trainer:
         use_checkpoint: str = "latest",
         seed: int = 0,
         use_tensorboard: bool = True,
+        rand_pose: int = -1,
+        clip_text: str = "",
+        clip_loss_fn=None,
     ):
         self.name = name
         self.cfg = cfg
@@ -100,6 +103,18 @@ class Trainer:
         self.eval_interval = eval_interval
         self.epoch = 0
         self.global_step = 0
+        # CLIP-guided rand-pose branch (ref nerf/utils.py:796-838):
+        # rand_pose == 0 -> every step is a GT-free random-pose step;
+        # rand_pose > 0 -> one rand-pose step per (rand_pose+1) steps.
+        # The differentiable loss comes from clip_loss_fn (tests inject a
+        # stand-in) or make_jax_clip_loss(clip_text) — which is None when
+        # CLIP weights are not in the local HF cache (no egress here).
+        self.rand_pose = rand_pose
+        self._clip_text = clip_text
+        self._clip_loss = clip_loss_fn
+        self._clip_step_fn = None
+        self._clip_warned = False
+        self._np_rng = np.random.default_rng(seed + 1)
 
         os.makedirs(workspace, exist_ok=True)
         self.log_path = os.path.join(workspace, f"log_{name}.txt")
@@ -306,10 +321,52 @@ class Trainer:
             )
             self.active_slab = new
 
+    def _maybe_clip_step(self, train_dataset) -> Optional[float]:
+        """Run a CLIP rand-pose step when scheduled; returns its loss or None."""
+        if self.rand_pose < 0:
+            return None
+        if self.rand_pose > 0 and (
+            self.global_step % (self.rand_pose + 1) != self.rand_pose
+        ):
+            return None
+        if self._clip_loss is None:
+            from focnerf_tpu.train.clip_guidance import make_jax_clip_loss
+
+            if self._clip_text:
+                self._clip_loss = make_jax_clip_loss(self._clip_text)
+            if self._clip_loss is None:
+                if not self._clip_warned:
+                    self.log(
+                        "[WARN] rand_pose >= 0 but no CLIP loss available "
+                        "(weights not cached / no clip_text); skipping the "
+                        "rand-pose branch"
+                    )
+                    self._clip_warned = True
+                self.rand_pose = -1
+                return None
+        batch = train_dataset.rand_pose_batch(self._next_rng(), self._np_rng)
+        if self._clip_step_fn is None:
+            from focnerf_tpu.train.steps import make_clip_step
+
+            self._clip_step_fn = make_clip_step(
+                self.cfg, self.optimizer, self._clip_loss,
+                H=int(batch["H"]), W=int(batch["W"]),
+                num_steps=min(self.num_steps, 128), min_near=self.min_near,
+                ema_decay=self._ema_decay,
+            )
+        self.state, metrics = self._clip_step_fn(
+            self.state, batch["rays_o"], batch["rays_d"], self._next_rng()
+        )
+        self.global_step += 1
+        return float(metrics["loss"])
+
     def train_step_once(self, train_dataset) -> float:
         """One training step, returning the (synced) loss — the unit of the
         GUI's train-while-viewing bursts (ref Trainer.train_gui,
         nerf/utils.py:1082-1141)."""
+        clip_loss = self._maybe_clip_step(train_dataset)
+        if clip_loss is not None:
+            return clip_loss
         self._maybe_update_occupancy()
         k_batch, k = jax.random.split(self._next_rng())
         batch = train_dataset.train_batch(k_batch)

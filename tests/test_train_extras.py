@@ -314,3 +314,49 @@ class TestBucketSlabs:
         assert tr._occ_step(32) is s32  # cached
         s16 = tr._occ_step(16)
         assert s16 is not s32
+
+
+class TestClipRandPose:
+    """CLIP-guided GT-free rand-pose branch (ref nerf/utils.py:796-838)."""
+
+    def _trainer(self, tmp_path, **kw):
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.trainer import Trainer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        return Trainer("t", cfg, workspace=str(tmp_path / "ws"), num_steps=16,
+                       use_tensorboard=False, use_checkpoint="scratch", **kw)
+
+    def _rand_pose_ds(self):
+        from focnerf_tpu.core.camera import rand_poses
+        from focnerf_tpu.core.rays import get_rays
+
+        class DS:
+            def rand_pose_batch(self, rng, rng_np):
+                pose = rand_poses(rng_np, 1, radius=2.5)[0]
+                rays = get_rays(jnp.asarray(pose), (9.6, 9.6, 4.0, 4.0), 8, 8)
+                return {"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
+                        "H": 8, "W": 8}
+
+        return DS()
+
+    def test_clip_branch_trains(self, tmp_path):
+        # stand-in differentiable "CLIP" objective: push renders toward grey
+        def stub_loss(img):
+            return jnp.mean((img - 0.5) ** 2)
+
+        tr = self._trainer(tmp_path, rand_pose=0, clip_loss_fn=stub_loss)
+        p0 = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
+        losses = [tr.train_step_once(self._rand_pose_ds()) for _ in range(3)]
+        assert all(np.isfinite(l) for l in losses)
+        assert tr.global_step == 3
+        p1 = jax.tree_util.tree_leaves(tr.state.params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+    def test_unavailable_clip_disables_branch(self, tmp_path):
+        tr = self._trainer(tmp_path, rand_pose=0, clip_text="")
+        assert tr._maybe_clip_step(self._rand_pose_ds()) is None
+        # branch disabled itself (no cached CLIP weights offline) + warned
+        assert tr.rand_pose == -1
+        assert "rand-pose branch" in open(tr.log_path).read()
