@@ -156,8 +156,13 @@ def bench_dp(n_devices: int):
     )
 
 
-def bench_voxel():
-    """Headline: dense voxel family train step, folded-dispatch timing."""
+def bench_voxel(dynamic: bool = False):
+    """Headline: dense voxel family train step, folded-dispatch timing.
+
+    ``dynamic=True`` (bench.py --dyn) measures the time-factorized family
+    (train/voxel_dynamic.py, rank 4): the GT sphere slides along x with t
+    and each pose supervises at its own time.
+    """
     import optax
 
     from focnerf_tpu.core.camera import rand_poses
@@ -182,11 +187,16 @@ def bench_voxel():
     # striped-sphere GT volume, views rendered on device (no d2h)
     c = (jnp.arange(R) + 0.5) / R * 2 - 1
     X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
-    d = jnp.sqrt(X**2 + Y**2 + Z**2)
-    sigma = jnp.where(d < 0.45, 30.0, 0.0)
-    stripes = 0.5 + 0.5 * jnp.sin(8 * jnp.arctan2(Y, X))
-    rgb = jnp.stack([stripes, jnp.clip(Z + 0.5, 0, 1), 1 - stripes], -1)
-    gt_vol = BakedVolume(rgba=jnp.concatenate([rgb, sigma[..., None]], -1), bound=1.0)
+
+    def gt_volume(t: float) -> BakedVolume:
+        cx = (0.6 * t - 0.3) if dynamic else 0.0
+        d = jnp.sqrt((X - cx) ** 2 + Y**2 + Z**2)
+        sigma = jnp.where(d < 0.45, 30.0, 0.0)
+        stripes = 0.5 + 0.5 * jnp.sin(8 * jnp.arctan2(Y, X - cx))
+        rgb = jnp.stack([stripes, jnp.clip(Z + 0.5, 0, 1), 1 - stripes], -1)
+        return BakedVolume(
+            rgba=jnp.concatenate([rgb, sigma[..., None]], -1), bound=1.0
+        )
 
     f = 1.25 * H
     intr = (f, f, H / 2.0, W / 2.0)
@@ -197,10 +207,12 @@ def bench_voxel():
     poses = np.stack([p for p in all_poses if _pose_variant(p, 1.0) == key0])[:8]
     P = poses.shape[0]
     poses_dev = jnp.asarray(poses)
+    times_np = np.linspace(0.0, 1.0, P).astype(np.float32)
+    times_dev = jnp.asarray(times_np)
 
     warped = []
-    for p in poses:
-        img, _, _ = render_baked(gt_vol, p, intr, H, W)
+    for p, t in zip(poses, times_np):
+        img, _, _ = render_baked(gt_volume(float(t)), p, intr, H, W)
         warped.append(
             warp_gt_to_intermediate(
                 img, p, intr_dev, 1.0, axis=axis, flip=flip, ri=RI
@@ -212,7 +224,21 @@ def bench_voxel():
 
     optimizer = optax.adam(5e-2)
 
-    def loss_fn(raw, pose, wgt, mask):
+    if dynamic:
+        from focnerf_tpu.train.voxel_dynamic import (
+            collapse_field,
+            init_dyn_voxel_field,
+        )
+
+    def loss_fn(params, pose, t, wgt, mask):
+        if dynamic:
+            raw = collapse_field(params, t)
+            reg = 1e-5 * (
+                tv_loss(params.base)
+                + jnp.mean(jax.vmap(tv_loss)(params.deltas))
+            )
+        else:
+            raw, reg = params, 1e-5 * tv_loss(params)
         vol = field_to_volume(raw, 1.0, 0)
         C, T, _, _ = _composite_core(
             vol.rgba, 1.0, pose, axis=axis, flip=flip, ri=RI, density_scale=1.0,
@@ -223,29 +249,32 @@ def bench_voxel():
         mse = jnp.sum(m * (img_i - wgt) ** 2) / (
             3.0 * jnp.maximum(jnp.sum(mask), 1.0)
         )
-        return mse + 1e-5 * tv_loss(raw), mse
+        return mse + reg, mse
 
     @jax.jit
-    def fold(raw, opt_state, start):
+    def fold(params, opt_state, start):
         def body(i, carry):
-            raw, opt_state, _ = carry
+            params, opt_state, _ = carry
             v = (start + i) % P
             (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                raw, poses_dev[v], wgts[v], masks[v]
+                params, poses_dev[v], times_dev[v], wgts[v], masks[v]
             )
             updates, opt_state = optimizer.update(g, opt_state)
-            return optax.apply_updates(raw, updates), opt_state, mse
+            return optax.apply_updates(params, updates), opt_state, mse
 
-        return jax.lax.fori_loop(0, FOLD, body, (raw, opt_state, jnp.float32(1.0)))
+        return jax.lax.fori_loop(0, FOLD, body, (params, opt_state, jnp.float32(1.0)))
 
-    raw = init_voxel_field(R, rng=jax.random.key(0))
-    opt_state = optimizer.init(raw)
-    raw, opt_state, mse = fold(raw, opt_state, jnp.int32(0))
+    if dynamic:
+        params = init_dyn_voxel_field(R, rank=4, rng=jax.random.key(0))
+    else:
+        params = init_voxel_field(R, rng=jax.random.key(0))
+    opt_state = optimizer.init(params)
+    params, opt_state, mse = fold(params, opt_state, jnp.int32(0))
     mse0 = float(mse)  # warmup/compile + sanity fetch
     times = []
     for rep in range(3):
         t0 = time.time()
-        raw, opt_state, mse = fold(raw, opt_state, jnp.int32(rep + 1))
+        params, opt_state, mse = fold(params, opt_state, jnp.int32(rep + 1))
         mse_last = float(mse)  # scalar fetch forces real sync
         times.append(time.time() - t0)
     per_step = min(times) / FOLD
@@ -258,7 +287,10 @@ def bench_voxel():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
-                "family": "dense_voxel_shearwarp",
+                "family": (
+                    "dyn_voxel_shearwarp_rank4" if dynamic
+                    else "dense_voxel_shearwarp"
+                ),
                 "config": {"field": R, "image": H, "ri": RI, "fold": FOLD},
                 "step_ms": round(per_step * 1e3, 2),
                 "note": "hash-grid reference-parity family: bench.py --hash",
@@ -336,5 +368,7 @@ if __name__ == "__main__":
         bench_dp(int(sys.argv[sys.argv.index("--dp") + 1]))
     elif "--hash" in sys.argv:
         main()
+    elif "--dyn" in sys.argv:
+        bench_voxel(dynamic=True)
     else:
         bench_voxel()
