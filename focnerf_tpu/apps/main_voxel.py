@@ -15,6 +15,10 @@ low-rank time factorization over the dnerf provider's per-frame times),
 writing dynvoxel_*.npz; validation renders collapse the field at each
 view's own t.
 
+`--voxel_vm K` trains the VM-FACTORIZED family (train/voxel_vm.py,
+TensoRF-style rank-K planes x vectors — ~R/(3K)x fewer parameters),
+writing vmfield_*.npz alongside the collapsed baked_*.npz.
+
 No reference equivalent (the reference trains only through its per-sample
 CUDA marcher); this is a new TPU-first family that shares the BakedVolume
 runtime with composition/editing/viewing.
@@ -144,26 +148,44 @@ def main(argv=None):
                 )
         return field
 
-    common = dict(
-        bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,
-        bg_color=1.0, density_scale=1.0,
-        log_every=max(opt.iters // 10, 1), supervise=opt.voxel_supervise,
-    )
-    if opt.voxel_c2f > 1:
-        vol, info = fit_voxels_c2f(
+    if opt.voxel_vm > 0:
+        from focnerf_tpu.train.voxel_vm import fit_vm_voxels, save_vm_field
+
+        vol, info = fit_vm_voxels(
             train_ds.poses, imgs, train_ds.intrinsics,
-            resolution=opt.bake_res, stages=opt.voxel_c2f, **common,
+            resolution=opt.bake_res, rank=opt.voxel_vm, bound=opt.bound,
+            sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
+            log_every=max(opt.iters // 10, 1),
+        )
+        save_vm_field(
+            os.path.join(
+                opt.workspace, f"vmfield_{opt.bake_res}_r{opt.voxel_vm}.npz"
+            ),
+            info["field"], opt.bound, opt.bake_sh,
         )
     else:
-        vol, info = fit_voxels(
-            train_ds.poses, imgs, train_ds.intrinsics,
-            resolution=opt.bake_res, **common,
+        common = dict(
+            bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,
+            bg_color=1.0, density_scale=1.0,
+            log_every=max(opt.iters // 10, 1), supervise=opt.voxel_supervise,
         )
+        if opt.voxel_c2f > 1:
+            vol, info = fit_voxels_c2f(
+                train_ds.poses, imgs, train_ds.intrinsics,
+                resolution=opt.bake_res, stages=opt.voxel_c2f, **common,
+            )
+        else:
+            vol, info = fit_voxels(
+                train_ds.poses, imgs, train_ds.intrinsics,
+                resolution=opt.bake_res, **common,
+            )
     print(
         f"[voxel] {opt.iters} iters in {time.time()-t0:.1f}s — "
         f"train PSNR {info['psnr']:.2f} dB, {info['rays_per_sec']:.0f} rays/s"
     )
 
+    # the collapsed/dense volume is the product-facing artifact either way:
+    # composition/editing/viewer consume it unchanged via --baked
     cache = os.path.join(
         opt.workspace, f"baked_{opt.bake_res}_sh{opt.bake_sh}.npz"
     )

@@ -109,6 +109,9 @@ class Options:
     voxel_dynamic: bool = False
     voxel_rank: int = 4  # rank K of the time factorization
     voxel_time_slots: int = 16  # time slots S of the interpolated basis
+    # main_voxel --voxel_vm K: train the TensoRF-style VM-factorized family
+    # (train/voxel_vm.py, rank K planes x vectors; 0 = dense field)
+    voxel_vm: int = 0
 
     # dnerf
     dnerf_variant: str = "deform"

@@ -1,0 +1,260 @@
+"""VM-factorized dense field: TensoRF-style planes x vectors, gather-free.
+
+The dense voxel family (train/voxel.py) reaches the throughput headline but
+its parameter count is the full R^3 grid — at the production bake scale
+(256^3) the adam/param HBM traffic becomes a visible share of the step
+(PERF.md 256^3 scale check), checkpoints are hundreds of MB, and 512^3 is
+out of reach. This module factorizes the RAW field TensoRF-style
+(vector-matrix decomposition):
+
+    raw[x, y, z, c] = bias[c]
+                    + sum_k P0[y, z, k, c] * V0[x, k, c]     (YZ plane x X vec)
+                    + sum_k P1[x, z, k, c] * V1[y, k, c]     (XZ plane x Y vec)
+                    + sum_k P2[x, y, k, c] * V2[z, k, c]     (XY plane x Z vec)
+
+Parameters shrink from R^3*C to 3*R^2*K*C + 3*R*K*C — a factor of R/(3K)
+(5.3x at R=256/K=16, 10.7x at R=512/K=16), which is where the dense
+family's 256^3 step spends its growing adam/param share. Collapsing to the dense grid is three dense einsums —
+MXU-shaped, gradients dense (contractions of the upstream R^3 gradient
+against the factors; no scatter) — after which training and rendering ride
+the static shear-warp machinery unchanged (field_to_volume ->
+_composite_core, intermediate-plane supervision, remat over the block
+fold). Same collapse-then-ride pattern as the dynamic family
+(train/voxel_dynamic.py), applied to space instead of time.
+
+Relation to the reference: no equivalent (the reference's only trainable
+scene representations are hash-grid/fourier MLP fields trained per sample,
+nerf/network*.py); this is a TPU-first family addition. The factorization
+follows Chen et al., TensoRF (ECCV 2022) — public method, original code.
+
+Regularization: 2D TV on planes + 1D TV on vectors (the factored analogue
+of train/voxel.py::tv_loss) and optional L1 on the density component
+(TensoRF's sparsity prior).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focnerf_tpu.render.baked import BakedVolume
+from focnerf_tpu.train.voxel import _pose_variant, field_to_volume
+
+
+class VMField(NamedTuple):
+    """Factorized raw field. ``planes`` [3, R, R, K, C], ``vectors``
+    [3, R, K, C], ``bias`` [C]; C = payload channels + 1 (sigma last,
+    pre-activation — field_to_volume applies sigmoid/softplus)."""
+
+    planes: jax.Array
+    vectors: jax.Array
+    bias: jax.Array
+
+
+def init_vm_field(
+    resolution: int,
+    *,
+    rank: int = 16,
+    sh_degree: int = 0,
+    raw_sigma0: float = -3.0,
+    init_scale: float = 0.1,
+    rng: Optional[jax.Array] = None,
+) -> VMField:
+    """Near-transparent start: factors ~ N(0, init_scale) (the component
+    products nearly cancel), sigma bias at raw_sigma0 (softplus(-3) ~ 0.05
+    — the dense family's empty init, train/voxel.py)."""
+    P = 3 * max(sh_degree, 1) ** 2 if sh_degree > 0 else 3
+    C = P + 1
+    rng = rng if rng is not None else jax.random.key(0)
+    kp, kv = jax.random.split(rng)
+    R = resolution
+    planes = init_scale * jax.random.normal(kp, (3, R, R, rank, C), jnp.float32)
+    vectors = init_scale * jax.random.normal(kv, (3, R, rank, C), jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32).at[-1].set(raw_sigma0)
+    return VMField(planes=planes, vectors=vectors, bias=bias)
+
+
+def collapse_vm(field: VMField) -> jax.Array:
+    """Factors -> dense raw grid [R, R, R, C]: three einsums (MXU work,
+    dense gradients)."""
+    P, V = field.planes, field.vectors
+    g = jnp.einsum("yzkc,xkc->xyzc", P[0], V[0])
+    g = g + jnp.einsum("xzkc,ykc->xyzc", P[1], V[1])
+    g = g + jnp.einsum("xykc,zkc->xyzc", P[2], V[2])
+    return g + field.bias
+
+
+def vm_field_to_volume(
+    field: VMField, bound: float, sh_degree: int = 0
+) -> BakedVolume:
+    """Renderable BakedVolume (feeds render_baked / the product unchanged)."""
+    return field_to_volume(collapse_vm(field), bound, sh_degree)
+
+
+def vm_tv_loss(field: VMField) -> jax.Array:
+    """Factored total variation: 2D TV on each plane stack, 1D on vectors."""
+    tv = 0.0
+    for ax in (1, 2):  # the two spatial axes of [3, R, R, K, C]
+        d = jnp.diff(field.planes, axis=ax)
+        tv = tv + jnp.mean(d * d)
+    dv = jnp.diff(field.vectors, axis=1)
+    return tv + jnp.mean(dv * dv)
+
+
+def vm_density_l1(field: VMField) -> jax.Array:
+    """L1 sparsity on the density component's factors (TensoRF prior)."""
+    return jnp.mean(jnp.abs(field.planes[..., -1])) + jnp.mean(
+        jnp.abs(field.vectors[..., -1])
+    )
+
+
+def upsample_vm(field: VMField, new_res: int) -> VMField:
+    """Bilinearly upsample factors to a finer resolution (coarse-to-fine;
+    operates on raw factors like train/voxel.py::upsample_field)."""
+    _, R, _, K, C = field.planes.shape
+    planes = jax.image.resize(
+        field.planes, (3, new_res, new_res, K, C), method="bilinear"
+    )
+    vectors = jax.image.resize(
+        field.vectors, (3, new_res, K, C), method="linear"
+    )
+    return VMField(planes=planes, vectors=vectors, bias=field.bias)
+
+
+def save_vm_field(path: str, field: VMField, bound: float, sh_degree: int) -> None:
+    np.savez_compressed(
+        path,
+        planes=np.asarray(field.planes, np.float16),
+        vectors=np.asarray(field.vectors, np.float16),
+        bias=np.asarray(field.bias, np.float32),
+        bound=np.float32(bound),
+        sh_deg=np.int32(sh_degree),
+    )
+
+
+def load_vm_field(path: str) -> Tuple[VMField, float, int]:
+    with np.load(path) as z:
+        return (
+            VMField(
+                planes=jnp.asarray(z["planes"].astype(np.float32)),
+                vectors=jnp.asarray(z["vectors"].astype(np.float32)),
+                bias=jnp.asarray(z["bias"]),
+            ),
+            float(z["bound"]),
+            int(z["sh_deg"]),
+        )
+
+
+def fit_vm_voxels(
+    poses: np.ndarray,  # [V, 4, 4] c2w
+    images: np.ndarray,  # [V, H, W, 3] in [0, 1]
+    intrinsics: Sequence[float],  # fx, fy, cx, cy
+    *,
+    resolution: int = 128,
+    rank: int = 16,
+    bound: float = 1.0,
+    sh_degree: int = 0,
+    iters: int = 500,
+    lr: float = 2e-2,
+    tv_weight: float = 1e-4,
+    l1_weight: float = 0.0,
+    bg_color: float = 1.0,
+    density_scale: float = 1.0,
+    init_field: Optional[VMField] = None,
+    seed: int = 0,
+    log_every: int = 0,
+    intermediate_scale: int = 2,
+    remat: bool = True,
+) -> Tuple[BakedVolume, Dict]:
+    """Fit the VM-factorized field by whole-image descent with
+    intermediate-plane supervision (train/voxel.py semantics: GTs are
+    pre-warped once per view, the screen warp never enters the step).
+
+    Returns (volume, info); info["field"] carries the factors for
+    save_vm_field / coarse-to-fine staging.
+    """
+    import optax
+    import time
+
+    from focnerf_tpu.render.baked import _composite_core, warp_gt_to_intermediate
+
+    V, H, W = images.shape[:3]
+    poses = np.asarray(poses, np.float32)
+    gts = jnp.asarray(images, jnp.float32)
+    intr_dev = jnp.asarray(intrinsics, jnp.float32)
+    ri = resolution * intermediate_scale
+
+    field = (
+        init_field
+        if init_field is not None
+        else init_vm_field(
+            resolution, rank=rank, sh_degree=sh_degree, rng=jax.random.key(seed)
+        )
+    )
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(field)
+
+    step_cache: Dict[Tuple[int, bool], object] = {}
+    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+
+    def make_step(axis: int, flip: bool):
+        def loss_fn(field, pose_dev, wgt, mask):
+            vol = vm_field_to_volume(field, bound, sh_degree)
+            C, T, _, _ = _composite_core(
+                vol.rgba, bound, pose_dev, axis=axis, flip=flip, ri=ri,
+                density_scale=density_scale, sh_deg=sh_degree, remat=remat,
+            )
+            img_i = C + T[..., None] * bg_color
+            m = mask[..., None]
+            mse = jnp.sum(m * (img_i - wgt) ** 2) / (
+                3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+            )
+            reg = tv_weight * vm_tv_loss(field)
+            if l1_weight > 0.0:
+                reg = reg + l1_weight * vm_density_l1(field)
+            return mse + reg, mse
+
+        @jax.jit
+        def step(field, opt_state, pose_dev, wgt, mask):
+            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                field, pose_dev, wgt, mask
+            )
+            updates, opt_state = optimizer.update(g, opt_state)
+            return optax.apply_updates(field, updates), opt_state, mse
+
+        return step
+
+    def targets_for(v: int, key: Tuple[int, bool]):
+        if v not in warped:
+            warped[v] = warp_gt_to_intermediate(
+                gts[v], poses[v], intr_dev, bound, axis=key[0], flip=key[1], ri=ri
+            )
+        return warped[v]
+
+    order = np.random.default_rng(seed).integers(0, V, iters)
+    t0 = time.time()
+    mse = jnp.float32(1.0)
+    for it in range(iters):
+        v = int(order[it])
+        key = _pose_variant(poses[v], bound)
+        if key not in step_cache:
+            step_cache[key] = make_step(*key)
+        wgt, mask = targets_for(v, key)
+        field, opt_state, mse = step_cache[key](
+            field, opt_state, jnp.asarray(poses[v]), wgt, mask
+        )
+        if log_every and (it + 1) % log_every == 0:
+            print(f"[vmvoxel] iter {it+1}/{iters} mse {float(mse):.5f}", flush=True)
+    jax.block_until_ready(mse)
+    dt = time.time() - t0
+    psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
+    info = {
+        "psnr": psnr,
+        "rays_per_sec": ri * ri * iters / dt,
+        "seconds": dt,
+        "field": field,
+    }
+    return vm_field_to_volume(field, bound, sh_degree), info
