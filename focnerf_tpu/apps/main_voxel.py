@@ -149,20 +149,38 @@ def main(argv=None):
         return field
 
     if opt.voxel_vm > 0:
-        from focnerf_tpu.train.voxel_vm import fit_vm_voxels, save_vm_field
+        from focnerf_tpu.train.voxel_vm import (
+            fit_vm_c2f,
+            fit_vm_voxels,
+            load_vm_field,
+            save_vm_field,
+        )
 
-        vol, info = fit_vm_voxels(
-            train_ds.poses, imgs, train_ds.intrinsics,
+        vm_path = os.path.join(
+            opt.workspace, f"vmfield_{opt.bake_res}_r{opt.voxel_vm}.npz"
+        )
+        vm_common = dict(
             resolution=opt.bake_res, rank=opt.voxel_vm, bound=opt.bound,
             sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
             log_every=max(opt.iters // 10, 1),
         )
-        save_vm_field(
-            os.path.join(
-                opt.workspace, f"vmfield_{opt.bake_res}_r{opt.voxel_vm}.npz"
-            ),
-            info["field"], opt.bound, opt.bake_sh,
-        )
+        if os.path.exists(vm_path):  # warm-start (--ckpt latest semantics)
+            prev, _, _ = load_vm_field(vm_path)
+            print(f"[vmvoxel] resuming factors from {vm_path}")
+            vol, info = fit_vm_voxels(
+                train_ds.poses, imgs, train_ds.intrinsics,
+                init_field=prev, **vm_common,
+            )
+        elif opt.voxel_c2f > 1:
+            vol, info = fit_vm_c2f(
+                train_ds.poses, imgs, train_ds.intrinsics,
+                stages=opt.voxel_c2f, **vm_common,
+            )
+        else:
+            vol, info = fit_vm_voxels(
+                train_ds.poses, imgs, train_ds.intrinsics, **vm_common,
+            )
+        save_vm_field(vm_path, info["field"], opt.bound, opt.bake_sh)
     else:
         common = dict(
             bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,

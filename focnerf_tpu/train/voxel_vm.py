@@ -258,3 +258,43 @@ def fit_vm_voxels(
         "field": field,
     }
     return vm_field_to_volume(field, bound, sh_degree), info
+
+
+def fit_vm_c2f(
+    poses: np.ndarray,
+    images: np.ndarray,
+    intrinsics: Sequence[float],
+    *,
+    resolution: int = 128,
+    stages: int = 3,
+    iters: int = 500,
+    seed: int = 0,
+    log_every: int = 0,
+    **kw,
+) -> Tuple[BakedVolume, Dict]:
+    """Coarse-to-fine VM fit: factor resolution doubles each stage up to
+    ``resolution`` (the Plenoxels/TensoRF upsampling schedule; see
+    train/voxel.py::fit_voxels_c2f), seeding each stage with upsample_vm of
+    the previous factors. Coarse stages composite 4x/16x fewer intermediate
+    pixels, so they are also a throughput win."""
+    assert stages >= 1
+    res_ladder = [max(resolution >> (stages - 1 - s), 16) for s in range(stages)]
+    res_ladder = sorted(set(min(r, resolution) for r in res_ladder))
+    if res_ladder[-1] != resolution:
+        res_ladder.append(resolution)
+    per = max(iters // len(res_ladder), 1)
+    field = None
+    stage_psnrs = []
+    info: Dict = {}
+    for si, R in enumerate(res_ladder):
+        n_it = per if si < len(res_ladder) - 1 else iters - per * (len(res_ladder) - 1)
+        if field is not None:
+            field = upsample_vm(field, R)
+        vol, info = fit_vm_voxels(
+            poses, images, intrinsics, resolution=R, iters=n_it,
+            init_field=field, seed=seed + si, log_every=log_every, **kw,
+        )
+        stage_psnrs.append(info["psnr"])
+        field = info["field"]
+    info["stage_psnrs"] = stage_psnrs
+    return vol, info

@@ -133,6 +133,28 @@ class TestFitVM:
         assert n_prod < 0.2 * (256**3 * 4), n_prod
 
 
+class TestVMC2F:
+    def test_c2f_stages_improve(self):
+        """The coarse-to-fine ladder must end at the full resolution and
+        produce a usable reconstruction."""
+        from focnerf_tpu.train.voxel_vm import fit_vm_c2f
+
+        gt_vol = _gt_volume()
+        H = W = 32
+        intr = (38.4, 38.4, 16.0, 16.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(1), 8, radius=2.5))
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, W)[0]) for p in poses]
+        )
+        vol, info = fit_vm_c2f(
+            poses, imgs, intr, resolution=32, stages=2, rank=8, iters=80,
+            lr=5e-2, tv_weight=1e-5,
+        )
+        assert vol.rgba.shape[0] == 32
+        assert len(info["stage_psnrs"]) == 2
+        assert info["psnr"] > 14.0, info
+
+
 class TestVMCli:
     def test_main_voxel_vm_e2e(self, tmp_path):
         from helpers import make_synthetic_scene
@@ -158,3 +180,16 @@ class TestVMCli:
 
         assert os.path.exists(os.path.join(ws, "baked_16_sh0.npz"))
         assert os.path.exists(os.path.join(ws, "vmfield_16_r4.npz"))
+
+        # second invocation warm-starts from the saved factors (resume flow)
+        main_voxel.main(
+            [
+                synthetic_scene,
+                "--workspace", ws,
+                "--iters", "4",
+                "--bake_res", "16",
+                "--voxel_vm", "4",
+                "--scale", "1.0",
+                "--bound", "1.0",
+            ]
+        )

@@ -21,6 +21,9 @@ python sync is artifact-dominated through the relay — PERF.md pitfalls):
   dyn_real   the DYNAMIC family's product step (train/voxel_dynamic.py:
              rank-4 collapse einsum + the int_real schedule); append
              "remat" for jax.checkpoint over the fold
+  vm_real    the VM-FACTORIZED family's product step (train/voxel_vm.py:
+             rank --rank planes x vectors collapse + the int_real
+             schedule); append "remat" likewise
 
 For intermediate variants rays/s counts ri^2 supervised intermediate rays
 per step (NOT H*W — the screen image never enters the loss).
@@ -66,6 +69,7 @@ def main():
     ap.add_argument(
         "--variants", type=str, default="base,ri1,remat,ri1_remat"
     )
+    ap.add_argument("--rank", type=int, default=16, help="vm_real rank K")
     args = ap.parse_args()
 
     import optax
@@ -204,6 +208,49 @@ def main():
 
         return fold
 
+    def make_vm_fold(ri_mult: int, remat: bool, rank: int):
+        from focnerf_tpu.train.voxel_vm import vm_field_to_volume, vm_tv_loss
+
+        ri = R * ri_mult
+        warped = [
+            warp_gt_to_intermediate(
+                gts[v], poses_dev[v], intr_dev, 1.0, axis=axis, flip=flip, ri=ri
+            )
+            for v in range(P)
+        ]
+        wgts = jnp.stack([w for w, _ in warped])
+        masks = jnp.stack([m for _, m in warped])
+
+        def loss_fn(field, pose, wgt, mask):
+            vol = vm_field_to_volume(field, 1.0, 0)
+            C, T, _, _ = _composite_core(
+                vol.rgba, 1.0, pose, axis=axis, flip=flip, ri=ri,
+                density_scale=1.0, remat=remat,
+            )
+            img_i = C + T[..., None]
+            m = mask[..., None]
+            mse = jnp.sum(m * (img_i - wgt) ** 2) / (
+                3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+            )
+            return mse + 1e-5 * vm_tv_loss(field), mse
+
+        @jax.jit
+        def fold(field, opt_state, start):
+            def body(i, carry):
+                field, opt_state, _ = carry
+                v = (start + i) % P
+                (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    field, poses_dev[v], wgts[v], masks[v]
+                )
+                updates, opt_state = optimizer.update(g, opt_state)
+                return optax.apply_updates(field, updates), opt_state, mse
+
+            return jax.lax.fori_loop(
+                0, args.fold, body, (field, opt_state, jnp.float32(1.0))
+            )
+
+        return fold
+
     def make_dyn_fold(ri_mult: int, remat: bool, rank: int = 4):
         from focnerf_tpu.train.voxel_dynamic import collapse_field
 
@@ -272,6 +319,12 @@ def main():
             fold = make_dyn_fold(ri_mult, remat)
             n_sup = (R * ri_mult) ** 2
             raw = init_dyn_voxel_field(R, rank=4, rng=jax.random.key(0))
+        elif variant.startswith("vm_real"):
+            from focnerf_tpu.train.voxel_vm import init_vm_field
+
+            fold = make_vm_fold(ri_mult, remat, args.rank)
+            n_sup = (R * ri_mult) ** 2
+            raw = init_vm_field(R, rank=args.rank, rng=jax.random.key(0))
         else:
             fold = make_fold(ri_mult, remat, mode, nbatch)
             n_sup = (
