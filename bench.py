@@ -156,12 +156,13 @@ def bench_dp(n_devices: int):
     )
 
 
-def bench_voxel(dynamic: bool = False):
+def bench_voxel(dynamic: bool = False, vm: bool = False):
     """Headline: dense voxel family train step, folded-dispatch timing.
 
     ``dynamic=True`` (bench.py --dyn) measures the time-factorized family
     (train/voxel_dynamic.py, rank 4): the GT sphere slides along x with t
-    and each pose supervises at its own time.
+    and each pose supervises at its own time. ``vm=True`` (bench.py --vm)
+    measures the VM-factorized family (train/voxel_vm.py, rank 16).
     """
     import optax
 
@@ -229,6 +230,12 @@ def bench_voxel(dynamic: bool = False):
             collapse_field,
             init_dyn_voxel_field,
         )
+    if vm:
+        from focnerf_tpu.train.voxel_vm import (
+            collapse_vm,
+            init_vm_field,
+            vm_tv_loss,
+        )
 
     def loss_fn(params, pose, t, wgt, mask):
         if dynamic:
@@ -237,6 +244,8 @@ def bench_voxel(dynamic: bool = False):
                 tv_loss(params.base)
                 + jnp.mean(jax.vmap(tv_loss)(params.deltas))
             )
+        elif vm:
+            raw, reg = collapse_vm(params), 1e-5 * vm_tv_loss(params)
         else:
             raw, reg = params, 1e-5 * tv_loss(params)
         vol = field_to_volume(raw, 1.0, 0)
@@ -266,6 +275,8 @@ def bench_voxel(dynamic: bool = False):
 
     if dynamic:
         params = init_dyn_voxel_field(R, rank=4, rng=jax.random.key(0))
+    elif vm:
+        params = init_vm_field(R, rank=16, rng=jax.random.key(0))
     else:
         params = init_voxel_field(R, rng=jax.random.key(0))
     opt_state = optimizer.init(params)
@@ -289,6 +300,7 @@ def bench_voxel(dynamic: bool = False):
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
                 "family": (
                     "dyn_voxel_shearwarp_rank4" if dynamic
+                    else "vm_voxel_shearwarp_rank16" if vm
                     else "dense_voxel_shearwarp"
                 ),
                 "config": {"field": R, "image": H, "ri": RI, "fold": FOLD},
@@ -370,5 +382,7 @@ if __name__ == "__main__":
         main()
     elif "--dyn" in sys.argv:
         bench_voxel(dynamic=True)
+    elif "--vm" in sys.argv:
+        bench_voxel(vm=True)
     else:
         bench_voxel()

@@ -4,6 +4,7 @@ convergence through the shear-warp renderer, c2f upsample, CLI e2e."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from focnerf_tpu.core.camera import rand_poses
 from focnerf_tpu.render.baked import BakedVolume, render_baked
@@ -134,6 +135,7 @@ class TestFitVM:
 
 
 class TestVMC2F:
+    @pytest.mark.slow
     def test_c2f_stages_improve(self):
         """The coarse-to-fine ladder must end at the full resolution and
         produce a usable reconstruction."""
@@ -156,6 +158,7 @@ class TestVMC2F:
 
 
 class TestVMCli:
+    @pytest.mark.slow
     def test_main_voxel_vm_e2e(self, tmp_path):
         from helpers import make_synthetic_scene
 
