@@ -330,6 +330,8 @@ def make_voxel_dp_step(
     intermediate_scale: int = 2,
     remat: bool = True,
     supervise: str = "intermediate",
+    collapse_fn=None,
+    reg_fn=None,
 ):
     """Pose-parallel voxel train step over a device mesh (SURVEY §2.3 DP).
 
@@ -346,14 +348,25 @@ def make_voxel_dp_step(
     the screen warp never enters the train graph), "screen" runs the full
     render against [D, H, W, 3] images (masks ignored).
 
+    ``collapse_fn``/``reg_fn`` generalize the step to factorized families:
+    params -> raw grid and params -> regularizer (defaults: identity +
+    tv_weight * tv_loss — the dense field). The VM family passes
+    collapse_vm / vm_tv_loss (train/voxel_vm.py::make_vm_dp_step).
+
     Returns (optimizer, step) with
-    step(raw, opt_state, poses [D,4,4], gts, masks) -> (raw, opt_state, mse).
+    step(params, opt_state, poses [D,4,4], gts, masks) ->
+    (params, opt_state, mse).
     """
     import optax
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from focnerf_tpu.render.baked import _composite_core, _render_core
+
+    if collapse_fn is None:
+        collapse_fn = lambda p: p  # noqa: E731 — dense field IS the raw grid
+    if reg_fn is None:
+        reg_fn = lambda p: tv_weight * tv_loss(p)  # noqa: E731
 
     optimizer = optax.adam(lr)
     repl = NamedSharding(mesh, P())
@@ -388,22 +401,25 @@ def make_voxel_dp_step(
             )
             return jnp.mean((img - gt) ** 2)
 
-    def loss_fn(raw, poses, gts, masks):
+    def loss_fn(params, poses, gts, masks):
+        raw = collapse_fn(params)
         mse = jnp.mean(
             jax.vmap(loss_one, in_axes=(None, 0, 0, 0))(raw, poses, gts, masks)
         )
-        return mse + tv_weight * tv_loss(raw), mse
+        return mse + reg_fn(params), mse
 
     @jax.jit
-    def step(raw, opt_state, poses, gts, masks):
-        raw = jax.lax.with_sharding_constraint(raw, repl)
+    def step(params, opt_state, poses, gts, masks):
+        params = jax.lax.with_sharding_constraint(
+            params, jax.tree.map(lambda _: repl, params)
+        )
         poses = jax.lax.with_sharding_constraint(poses, data)
         gts = jax.lax.with_sharding_constraint(gts, data)
         masks = jax.lax.with_sharding_constraint(masks, data)
         (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            raw, poses, gts, masks
+            params, poses, gts, masks
         )
         updates, opt_state = optimizer.update(g, opt_state)
-        return optax.apply_updates(raw, updates), opt_state, mse
+        return optax.apply_updates(params, updates), opt_state, mse
 
     return optimizer, step

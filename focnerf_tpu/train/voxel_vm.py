@@ -260,6 +260,37 @@ def fit_vm_voxels(
     return vm_field_to_volume(field, bound, sh_degree), info
 
 
+def make_vm_dp_step(
+    mesh,
+    intrinsics: Sequence[float],
+    *,
+    H: int,
+    W: int,
+    resolution: int,
+    warp_axis: int,
+    flip: bool,
+    tv_weight: float = 1e-4,
+    l1_weight: float = 0.0,
+    **kw,
+):
+    """Pose-parallel DP step for the VM family: train/voxel.py's
+    make_voxel_dp_step with the factors replicated and the collapse einsums
+    inside the per-device loss (gradient mean rides XLA's psum)."""
+    from focnerf_tpu.train.voxel import make_voxel_dp_step
+
+    def reg(field):
+        r = tv_weight * vm_tv_loss(field)
+        if l1_weight > 0.0:
+            r = r + l1_weight * vm_density_l1(field)
+        return r
+
+    return make_voxel_dp_step(
+        mesh, intrinsics, H=H, W=W, resolution=resolution,
+        warp_axis=warp_axis, flip=flip, collapse_fn=collapse_vm, reg_fn=reg,
+        **kw,
+    )
+
+
 def fit_vm_c2f(
     poses: np.ndarray,
     images: np.ndarray,

@@ -157,6 +157,56 @@ class TestVMC2F:
         assert info["psnr"] > 14.0, info
 
 
+class TestVMDP:
+    def test_dp_matches_single_device(self):
+        """8-way pose-parallel VM step == the same batch on one device
+        (mirrors tests/test_voxel_train.py::TestVoxelDP for the factors)."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from focnerf_tpu.parallel.mesh import make_mesh
+        from focnerf_tpu.render.baked import warp_gt_to_intermediate, render_baked
+        from focnerf_tpu.train.voxel import _pose_variant
+        from focnerf_tpu.train.voxel_vm import make_vm_dp_step
+
+        gt_vol = _gt_volume()
+        H = W = 32
+        intr = (38.4, 38.4, 16.0, 16.0)
+        all_poses = np.asarray(rand_poses(np.random.default_rng(3), 64, radius=2.5))
+        key0 = _pose_variant(all_poses[0], 1.0)
+        poses = np.stack(
+            [p for p in all_poses if _pose_variant(p, 1.0) == key0]
+        )[:8]
+        assert len(poses) == 8
+        imgs = [render_baked(gt_vol, p, intr, H, W)[0] for p in poses]
+        ri = 16 * 2
+        warped = [
+            warp_gt_to_intermediate(
+                img, p, jnp.asarray(intr, jnp.float32), 1.0,
+                axis=key0[0], flip=key0[1], ri=ri,
+            )
+            for img, p in zip(imgs, poses)
+        ]
+        gts = jnp.stack([w for w, _ in warped])
+        masks = jnp.stack([m for _, m in warped])
+        field0 = init_vm_field(16, rank=4, rng=jax.random.key(0))
+
+        def run(n):
+            optimizer, step = make_vm_dp_step(
+                make_mesh(n), intr, H=H, W=W, resolution=16,
+                warp_axis=key0[0], flip=key0[1], tv_weight=1e-4,
+            )
+            return step(
+                field0, optimizer.init(field0), jnp.asarray(poses), gts, masks
+            )
+
+        f8, _, mse8 = run(8)
+        f1, _, mse1 = run(1)
+        np.testing.assert_allclose(float(mse8), float(mse1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(f8.planes), np.asarray(f1.planes), atol=1e-5
+        )
+
+
 class TestVMCli:
     @pytest.mark.slow
     def test_main_voxel_vm_e2e(self, tmp_path):

@@ -203,11 +203,33 @@ def main():
         "gather_vjp": lambda v: resample_gather_cvjp(v, py, px, T),
     }
 
+    # folded harness: FOLD applications inside ONE dispatch (per-dispatch
+    # relay overhead is ~tens of ms — it buried the first, unfolded version
+    # of this experiment; PERF.md pitfalls). The carry perturbs the input
+    # each iteration so nothing dedups or hoists.
+    FOLD = 16
     for name in args.variants.split(","):
         f = fns[name]
-        fwd = jax.jit(lambda v: jnp.sum(f(v)))
-        bwd = jax.jit(jax.grad(lambda v: jnp.sum(f(v) ** 2)))
-        for tag, fn in (("fwd", fwd), ("grad", bwd)):
+
+        def fwd_fold(v):
+            def body(i, carry):
+                v, acc = carry
+                out = f(v * (1.0 + 1e-6 * i))
+                # consume the FULL output — reducing a slice lets XLA slice
+                # the gather itself (measured 0.01 ms "wins" that were DCE)
+                return (v, acc + jnp.sum(out))
+
+            return jax.lax.fori_loop(0, FOLD, body, (v, jnp.float32(0.0)))[1]
+
+        def grad_fold(v):
+            g = jax.grad(lambda x: jnp.sum(f(x) ** 2))
+
+            def body(i, v):
+                return v - (1e-12 * (i + 1)) * g(v).astype(v.dtype)
+
+            return jnp.sum(jax.lax.fori_loop(0, FOLD, body, v)[0, 0])
+
+        for tag, fn in (("fwd", jax.jit(fwd_fold)), ("grad", jax.jit(grad_fold))):
             try:
                 ts = []
                 for r in range(args.reps):
@@ -216,16 +238,13 @@ def main():
                     )
                     jax.block_until_ready(v)
                     t0 = time.time()
-                    out = fn(v)
-                    _ = float(
-                        out if out.ndim == 0 else jnp.sum(out[0, 0])
-                    )  # scalar fetch
+                    _ = float(fn(v))  # scalar fetch forces completion
                     ts.append(time.time() - t0)
-                ms = min(ts[1:]) * 1e3 if len(ts) > 1 else ts[0] * 1e3
+                ms = (min(ts[1:]) if len(ts) > 1 else ts[0]) * 1e3 / FOLD
                 print(
                     json.dumps(
                         {"variant": f"{name}_{tag}", "ms": round(ms, 2),
-                         "res": R, "ri": ri, "K": K, "T": T,
+                         "res": R, "ri": ri, "K": K, "T": T, "fold": FOLD,
                          "compile_s": round(ts[0], 1)}
                     ),
                     flush=True,
