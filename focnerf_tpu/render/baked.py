@@ -319,6 +319,71 @@ def warp_gt_to_intermediate(
     return wgt, mask.astype(jnp.float32)
 
 
+def _fold_blocks(
+    V_f2b,  # [n_blocks, K, Ry, Rx, CH] slice blocks, front-to-back
+    z_f2b,  # [n_blocks, K] slice z' coordinates (same order)
+    e_z,
+    e_y,
+    e_x,
+    gy,  # [ri] intermediate-grid y centers
+    gx,  # [ri]
+    dt,  # [ri, ri] per-pixel step length
+    b: float,
+    R: int,  # full spatial resolution of the slices (y/x extents)
+    ri: int,
+    *,
+    density_scale: float,
+    remat: bool,
+    carry=None,  # optional (T, C, D) to continue from (identity if None)
+):
+    """Resample + front-to-back composite a sequence of slice blocks.
+
+    The core fold shared by _composite_core (whole volume on one device)
+    and parallel/voxel_sp.py (each device folds its own slab of a
+    slice-sharded field; alpha compositing is associative, so per-device
+    partials starting from the identity carry combine exactly).
+    Returns (T [ri,ri], C [ri,ri,CH-1] premultiplied, D [ri,ri])."""
+    CH = V_f2b.shape[-1]
+    dtype = V_f2b.dtype
+    iota = jnp.arange(R, dtype=jnp.float32)
+
+    def block_body(carry, xs):
+        T, C, D = carry  # [Ri,Ri], [Ri,Ri,CH-1], [Ri,Ri]
+        Vb, zb = xs  # [K, Ry, Rx, CH], [K]
+        s_k = e_z / (e_z - zb)  # [K]
+        # source world coords feeding intermediate pixels (inverse projection)
+        ys = e_y + (gy[None, :] - e_y) / s_k[:, None]  # [K, Ri]
+        xs_ = e_x + (gx[None, :] - e_x) / s_k[:, None]
+        py = (ys + b) / (2 * b) * R - 0.5  # voxel coords
+        px = (xs_ + b) / (2 * b) * R - 0.5
+        My = _hat(py[:, None, :] - iota[None, :, None]).astype(dtype)  # [K, R, Ri]
+        Mx = _hat(px[:, None, :] - iota[None, :, None]).astype(dtype)
+        tmp = jnp.einsum("kyxc,kyY->kYxc", Vb, My,
+                         preferred_element_type=jnp.float32)
+        sl = jnp.einsum("kYxc,kxX->kYXc", tmp.astype(dtype), Mx,
+                        preferred_element_type=jnp.float32)  # [K, Ri, Ri, CH]
+        sigma = jnp.maximum(sl[..., -1], 0.0) * density_scale
+        alpha = 1.0 - jnp.exp(-sigma * dt[None])  # [K, Ri, Ri]
+        # exclusive within-block transmittance, then fold into the carry
+        Tw = jnp.cumprod(1.0 - alpha, axis=0)
+        Tw_excl = jnp.concatenate([jnp.ones_like(Tw[:1]), Tw[:-1]], axis=0)
+        w = Tw_excl * alpha  # [K, Ri, Ri]
+        C = C + T[..., None] * jnp.einsum("kij,kijc->ijc", w, sl[..., :-1])
+        D = D + T * jnp.einsum("kij,k->ij", w, e_z - zb)
+        T = T * Tw[-1]
+        return (T, C, D), None
+
+    if carry is None:
+        carry = (
+            jnp.ones((ri, ri), jnp.float32),
+            jnp.zeros((ri, ri, CH - 1), jnp.float32),
+            jnp.zeros((ri, ri), jnp.float32),
+        )
+    body = jax.checkpoint(block_body) if remat else block_body
+    (T, C, D), _ = jax.lax.scan(body, carry, (V_f2b, z_f2b))
+    return T, C, D
+
+
 def _composite_core(
     rgba,  # [R, R, R, 4] axes (x, y, z)
     bound: float,
@@ -366,8 +431,6 @@ def _composite_core(
     dlen = jnp.sqrt(ddy**2 + ddx**2 + e_z**2)
     dt = dz * dlen / jnp.maximum(jnp.abs(e_z), 1e-6)  # [Ri, Ri]
 
-    iota = jnp.arange(R, dtype=jnp.float32)
-
     # ---- block-batched resample + composite. A slice-at-a-time scan is
     # overhead-bound on TPU (256 sequential tiny matmuls measured 1.3 s per
     # 800^2 frame); instead slices are resampled K at a time as one batched
@@ -381,37 +444,10 @@ def _composite_core(
     V_f2b = jnp.flip(V, 0).reshape(n_blocks, K, R, R, CH)
     z_f2b = jnp.flip(centers, 0).reshape(n_blocks, K)
 
-    def block_body(carry, xs):
-        T, C, D = carry  # [Ri,Ri], [Ri,Ri,3], [Ri,Ri]
-        Vb, zb = xs  # [K, Ry, Rx, 4], [K]
-        s_k = e_z / (e_z - zb)  # [K]
-        # source world coords feeding intermediate pixels (inverse projection)
-        ys = e_y + (gy[None, :] - e_y) / s_k[:, None]  # [K, Ri]
-        xs_ = e_x + (gx[None, :] - e_x) / s_k[:, None]
-        py = (ys + b) / (2 * b) * R - 0.5  # voxel coords
-        px = (xs_ + b) / (2 * b) * R - 0.5
-        My = _hat(py[:, None, :] - iota[None, :, None]).astype(V.dtype)  # [K, R, Ri]
-        Mx = _hat(px[:, None, :] - iota[None, :, None]).astype(V.dtype)
-        tmp = jnp.einsum("kyxc,kyY->kYxc", Vb, My,
-                         preferred_element_type=jnp.float32)
-        sl = jnp.einsum("kYxc,kxX->kYXc", tmp.astype(V.dtype), Mx,
-                        preferred_element_type=jnp.float32)  # [K, Ri, Ri, CH]
-        sigma = jnp.maximum(sl[..., -1], 0.0) * density_scale
-        alpha = 1.0 - jnp.exp(-sigma * dt[None])  # [K, Ri, Ri]
-        # exclusive within-block transmittance, then fold into the carry
-        Tw = jnp.cumprod(1.0 - alpha, axis=0)
-        Tw_excl = jnp.concatenate([jnp.ones_like(Tw[:1]), Tw[:-1]], axis=0)
-        w = Tw_excl * alpha  # [K, Ri, Ri]
-        C = C + T[..., None] * jnp.einsum("kij,kijc->ijc", w, sl[..., :-1])
-        D = D + T * jnp.einsum("kij,k->ij", w, e_z - zb)
-        T = T * Tw[-1]
-        return (T, C, D), None
-
-    T0 = jnp.ones((ri, ri), jnp.float32)
-    C0 = jnp.zeros((ri, ri, CH - 1), jnp.float32)
-    D0 = jnp.zeros((ri, ri), jnp.float32)
-    body = jax.checkpoint(block_body) if remat else block_body
-    (T, C, D), _ = jax.lax.scan(body, (T0, C0, D0), (V_f2b, z_f2b))
+    T, C, D = _fold_blocks(
+        V_f2b, z_f2b, e_z, e_y, e_x, gy, gx, dt, b, R, ri,
+        density_scale=density_scale, remat=remat,
+    )
 
     if sh_deg > 0:
         # each intermediate pixel is exactly one primary ray through the eye,
