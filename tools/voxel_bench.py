@@ -11,6 +11,7 @@ Usage:
       [--sync-every 1]   # per-step scalar fetch (honest relay timing)
       [--all-variants]   # don't restrict poses to one (axis, flip) compile
       [--dynamic]        # time-varying GT -> fit the low-rank dynamic family
+      [--vm]             # fit the VM-factorized family (rank --rank)
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ def main():
     ap.add_argument("--sync-every", type=int, default=1)
     ap.add_argument("--all-variants", action="store_true")
     ap.add_argument("--dynamic", action="store_true")
+    ap.add_argument("--vm", action="store_true")
     ap.add_argument("--rank", type=int, default=4)
     args = ap.parse_args()
 
@@ -97,6 +99,14 @@ def main():
             log_every=args.sync_every,
         )
         vol = dyn_field_to_volume(field, float(times[13]), 1.0)
+    elif args.vm:
+        from focnerf_tpu.train.voxel_vm import fit_vm_voxels
+
+        vol, info = fit_vm_voxels(
+            poses[:12], gts[:12], intr, resolution=R, rank=args.rank,
+            iters=args.iters, lr=0.05, tv_weight=1e-5,
+            log_every=args.sync_every,
+        )
     else:
         vol, info = fit_voxels(
             poses[:12], gts[:12], intr, resolution=R, iters=args.iters,
@@ -107,7 +117,9 @@ def main():
     img, _, _ = render_baked(vol, poses[13], intr, H, W)
     mse = float(jnp.mean((img - gts[13]) ** 2))
     print(json.dumps({
-        "metric": ("dyn_" if args.dynamic else "") + "voxel_train_rays_per_sec",
+        "metric": (
+            "dyn_" if args.dynamic else "vm_" if args.vm else ""
+        ) + "voxel_train_rays_per_sec",
         "value": round(info["rays_per_sec"], 1),
         "unit": "rays/s",
         "train_psnr": round(info["psnr"], 2),
