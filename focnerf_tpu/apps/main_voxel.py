@@ -57,6 +57,23 @@ def _save_volume_mesh(vol, path, density_thresh, tag):
 
 def main(argv=None):
     opt = parse_options(argv)
+    if opt.voxel_sp:
+        if opt.voxel_vm > 0 or opt.voxel_dynamic:
+            raise ValueError(
+                "--voxel_sp shards the DENSE family only; drop --voxel_vm/"
+                "--voxel_dynamic (factorized params replicate — use the DP "
+                "step)"
+            )
+        if (
+            opt.bake_sh > 0
+            or opt.voxel_supervise != "intermediate"
+            or opt.voxel_c2f > 1
+        ):
+            raise ValueError(
+                "--voxel_sp trains the dense diffuse family with "
+                "intermediate-plane supervision only (no --bake_sh/"
+                "--voxel_c2f; parallel/voxel_sp.py)"
+            )
     os.makedirs(opt.workspace, exist_ok=True)
 
     import jax.numpy as jnp
@@ -88,6 +105,11 @@ def main(argv=None):
 
     t0 = time.time()
     if opt.voxel_dynamic:
+        if opt.voxel_supervise != "intermediate":
+            raise ValueError(
+                "--voxel_supervise is only implemented for the dense family; "
+                "the dynamic family trains with intermediate-plane supervision"
+            )
         from focnerf_tpu.train.voxel_dynamic import (
             dyn_field_to_volume,
             fit_dyn_voxels,
@@ -149,6 +171,11 @@ def main(argv=None):
         return field
 
     if opt.voxel_vm > 0:
+        if opt.voxel_supervise != "intermediate":
+            raise ValueError(
+                "--voxel_supervise is only implemented for the dense family; "
+                "the VM family trains with intermediate-plane supervision"
+            )
         from focnerf_tpu.train.voxel_vm import (
             fit_vm_c2f,
             fit_vm_voxels,
@@ -165,7 +192,15 @@ def main(argv=None):
             log_every=max(opt.iters // 10, 1),
         )
         if os.path.exists(vm_path):  # warm-start (--ckpt latest semantics)
-            prev, _, _ = load_vm_field(vm_path)
+            prev, prev_bound, prev_sh = load_vm_field(vm_path)
+            if prev_sh != opt.bake_sh or abs(prev_bound - opt.bound) > 1e-6:
+                raise ValueError(
+                    f"{vm_path} was trained with sh_degree={prev_sh} "
+                    f"bound={prev_bound}; requested --bake_sh {opt.bake_sh} "
+                    f"--bound {opt.bound}. The payload layout/geometry would "
+                    "be misinterpreted — delete the checkpoint or match the "
+                    "flags to warm-start."
+                )
             print(f"[vmvoxel] resuming factors from {vm_path}")
             vol, info = fit_vm_voxels(
                 train_ds.poses, imgs, train_ds.intrinsics,
@@ -181,6 +216,23 @@ def main(argv=None):
                 train_ds.poses, imgs, train_ds.intrinsics, **vm_common,
             )
         save_vm_field(vm_path, info["field"], opt.bound, opt.bake_sh)
+    elif opt.voxel_sp:
+        import jax
+
+        from focnerf_tpu.parallel.voxel_sp import fit_voxels_sp
+
+        n_dev = len(jax.devices())
+        if opt.bake_res % n_dev != 0:
+            raise ValueError(
+                f"--bake_res {opt.bake_res} must divide evenly over the "
+                f"{n_dev} local devices for slice sharding"
+            )
+        vol, info = fit_voxels_sp(
+            train_ds.poses, imgs, train_ds.intrinsics,
+            resolution=opt.bake_res, bound=opt.bound, iters=opt.iters,
+            bg_color=1.0, log_every=max(opt.iters // 10, 1),
+        )
+        print(f"[spvoxel] trained sharded over {info['n_devices']} devices")
     else:
         common = dict(
             bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,

@@ -112,6 +112,11 @@ class Options:
     # main_voxel --voxel_vm K: train the TensoRF-style VM-factorized family
     # (train/voxel_vm.py, rank K planes x vectors; 0 = dense field)
     voxel_vm: int = 0
+    # main_voxel --voxel_sp: shard the dense field/grad/adam state over all
+    # local devices along the shear-warp slice axis (parallel/voxel_sp.py)
+    # — the trainable resolution scales with device count instead of one
+    # chip's HBM. Dense diffuse family only.
+    voxel_sp: bool = False
 
     # dnerf
     dnerf_variant: str = "deform"

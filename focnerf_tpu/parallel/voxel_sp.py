@@ -14,7 +14,7 @@ carry) and the per-device partial images combine with one small
 Everything heavy stays sharded end-to-end: the field, its gradient, and
 the adam moments (grads w.r.t. a device's slab depend only on its own
 partial, so shard_map's transpose keeps them local); the only
-communication per step is the [D, ri, ri, C+2] partial gather (a few MB),
+communication per step is the [D, ri, ri, C+1] partial gather (a few MB),
 one boundary-slice ``ppermute`` halo for the sharded-axis TV term, and the
 scalar loss ``psum``. The photometric loss is computed as per-device row
 strips of the composed image psum'd together, so AD through the gather is
@@ -35,10 +35,11 @@ the cross-device state.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
@@ -148,24 +149,25 @@ def make_voxel_sp_step(
         assert R_loc % K == 0
         Vb = V_f2b_loc.reshape(R_loc // K, K, R, R, 4)
         zb = z_f2b_loc.reshape(R_loc // K, K)
-        T_d, C_d, D_d = _fold_blocks(
+        T_d, C_d, _ = _fold_blocks(
             Vb, zb, e_z, e_y, e_x, gy, gx, dt, b, R, ri,
-            density_scale=density_scale, remat=remat,
+            density_scale=density_scale, remat=remat, with_depth=False,
         )
 
         # ---- combine partials across devices (front-to-back device order:
-        # ascending device index when flip, else descending)
-        part = jnp.concatenate([C_d, T_d[..., None], D_d[..., None]], -1)
-        parts = jax.lax.all_gather(part, axis_name)  # [D, ri, ri, 5]
+        # ascending device index when flip, else descending); depth is never
+        # folded here — the loss doesn't read it, and carrying it through the
+        # remat'd scan + gather would cost real fwd/bwd work (it can't be
+        # DCE'd out of a scan carry)
+        part = jnp.concatenate([C_d, T_d[..., None]], -1)
+        parts = jax.lax.all_gather(part, axis_name)  # [D, ri, ri, 4]
         if not flip:
             parts = jnp.flip(parts, 0)
-        Cs, Ts, Ds = parts[..., :3], parts[..., 3], parts[..., 4]
+        Cs, Ts = parts[..., :3], parts[..., 3]
         T_cum = jnp.cumprod(Ts, axis=0)
         T_excl = jnp.concatenate([jnp.ones_like(T_cum[:1]), T_cum[:-1]], 0)
         C = jnp.einsum("dij,dijc->ijc", T_excl, Cs)
-        Dep = jnp.sum(T_excl * Ds, 0)
         T = T_cum[-1]
-        del Dep  # depth not needed for the loss; composed for parity/debug
 
         img_i = C + T[..., None] * bg_color
 
@@ -244,3 +246,148 @@ def make_voxel_sp_step(
         return optax.apply_updates(raw, updates), opt_state, mse
 
     return optimizer, step, shard_fn
+
+
+def fit_voxels_sp(
+    poses: np.ndarray,  # [V, 4, 4] c2w
+    images: np.ndarray,  # [V, H, W, 3] in [0, 1]
+    intrinsics: Sequence[float],
+    *,
+    resolution: int = 128,
+    mesh=None,  # default: all local devices on one "slice" axis
+    bound: float = 1.0,
+    iters: int = 500,
+    lr: float = 5e-2,
+    tv_weight: float = 1e-4,
+    bg_color: float = 1.0,
+    density_scale: float = 1.0,
+    seed: int = 0,
+    log_every: int = 0,
+    intermediate_scale: int = 2,
+    remat: bool = True,
+    block: int = 32,
+    group_chunk: int = 25,
+):
+    """Slice-sharded dense-voxel fit: the product entry for SP training
+    (main_voxel --voxel_sp). Field, gradient, and adam state stay sharded
+    over the mesh for the whole run, so the trainable resolution scales
+    with the number of devices instead of one chip's HBM.
+
+    The shard axis must equal the shear-warp axis (a compile-time choice,
+    see make_voxel_sp_step), so views are grouped by their (axis, flip)
+    pose variant and trained in round-robin chunks of ``group_chunk``
+    iterations per group — within a chunk everything stays on one compiled
+    step; switching to a different warp AXIS re-shards field + adam state
+    (one all-to-all-shaped device_put per switch, bounded by
+    iters/group_chunk, not per step). Iterations are apportioned to groups
+    by view count, matching fit_voxels' uniform view sampling in
+    expectation.
+
+    Returns (volume, info) like train/voxel.py::fit_voxels (info["raw"]
+    carries the final pre-activation field, host-gathered).
+    """
+    import time
+
+    from jax.sharding import Mesh
+
+    from focnerf_tpu.render.baked import warp_gt_to_intermediate
+    from focnerf_tpu.train.voxel import (
+        _pose_variant,
+        field_to_volume,
+        init_voxel_field,
+    )
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("slice",))
+
+    V = images.shape[0]
+    poses = np.asarray(poses, np.float32)
+    gts = jnp.asarray(images, jnp.float32)
+    intr_dev = jnp.asarray(intrinsics, jnp.float32)
+    ri = resolution * intermediate_scale
+
+    # group views by pose variant; apportion iterations by group size
+    groups: Dict[Tuple[int, bool], list] = {}
+    for v in range(V):
+        groups.setdefault(_pose_variant(poses[v], bound), []).append(v)
+    keys = sorted(groups)
+    remaining = {}
+    acc = 0
+    for i, k in enumerate(keys):
+        n = (
+            iters - acc
+            if i == len(keys) - 1
+            else int(round(iters * len(groups[k]) / V))
+        )
+        remaining[k] = max(n, 0)
+        acc += remaining[k]
+
+    steps = {}  # (axis, flip) -> (step, shard_fn)
+    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+
+    def get_step(key):
+        if key not in steps:
+            _, step, shard_fn = make_voxel_sp_step(
+                mesh, intrinsics, resolution=resolution, warp_axis=key[0],
+                flip=key[1], bound=bound, lr=lr, tv_weight=tv_weight,
+                bg_color=bg_color, density_scale=density_scale,
+                intermediate_scale=intermediate_scale, remat=remat,
+                block=block,
+            )
+            steps[key] = (step, shard_fn)
+        return steps[key]
+
+    def targets_for(v: int, key):
+        if v not in warped:
+            warped[v] = warp_gt_to_intermediate(
+                gts[v], poses[v], intr_dev, bound,
+                axis=key[0], flip=key[1], ri=ri,
+            )
+        return warped[v]
+
+    import optax
+
+    raw = init_voxel_field(resolution, rng=jax.random.key(seed))
+    opt_state = optax.adam(lr).init(raw)
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    mse = jnp.float32(1.0)
+    done = 0
+    cur_axis = None
+    while any(n > 0 for n in remaining.values()):
+        for key in keys:
+            take = min(group_chunk, remaining[key])
+            if take == 0:
+                continue
+            remaining[key] -= take
+            step, shard_fn = get_step(key)
+            if key[0] != cur_axis:  # flip shares the axis -> no re-shard
+                raw = shard_fn(raw)
+                opt_state = shard_fn(opt_state)
+                cur_axis = key[0]
+            views = rng.choice(groups[key], size=take)
+            for v in views:
+                wgt, mask = targets_for(int(v), key)
+                raw, opt_state, mse = step(
+                    raw, opt_state, jnp.asarray(poses[int(v)]), wgt, mask
+                )
+                done += 1
+                if log_every and done % log_every == 0:
+                    print(
+                        f"[spvoxel] iter {done}/{iters} mse {float(mse):.5f}",
+                        flush=True,
+                    )
+    jax.block_until_ready(mse)
+    dt = time.time() - t0
+    psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
+    raw = jax.device_get(raw)  # host-gather the sharded field
+    raw = jnp.asarray(raw)
+    info = {
+        "psnr": psnr,
+        "rays_per_sec": ri * ri * iters / dt,
+        "seconds": dt,
+        "raw": raw,
+        "n_devices": int(np.prod(list(mesh.shape.values()))),
+    }
+    return field_to_volume(raw, bound), info

@@ -335,6 +335,9 @@ def _fold_blocks(
     density_scale: float,
     remat: bool,
     carry=None,  # optional (T, C, D) to continue from (identity if None)
+    with_depth: bool = True,  # False drops the depth accumulator from the
+    # scan carry entirely (the carry blocks DCE) — used by the SP train
+    # step, whose loss never reads depth
 ):
     """Resample + front-to-back composite a sequence of slice blocks.
 
@@ -342,13 +345,17 @@ def _fold_blocks(
     and parallel/voxel_sp.py (each device folds its own slab of a
     slice-sharded field; alpha compositing is associative, so per-device
     partials starting from the identity carry combine exactly).
-    Returns (T [ri,ri], C [ri,ri,CH-1] premultiplied, D [ri,ri])."""
+    Returns (T [ri,ri], C [ri,ri,CH-1] premultiplied, D [ri,ri];
+    D is None when with_depth=False)."""
     CH = V_f2b.shape[-1]
     dtype = V_f2b.dtype
     iota = jnp.arange(R, dtype=jnp.float32)
 
     def block_body(carry, xs):
-        T, C, D = carry  # [Ri,Ri], [Ri,Ri,CH-1], [Ri,Ri]
+        if with_depth:
+            T, C, D = carry  # [Ri,Ri], [Ri,Ri,CH-1], [Ri,Ri]
+        else:
+            T, C = carry
         Vb, zb = xs  # [K, Ry, Rx, CH], [K]
         s_k = e_z / (e_z - zb)  # [K]
         # source world coords feeding intermediate pixels (inverse projection)
@@ -369,19 +376,23 @@ def _fold_blocks(
         Tw_excl = jnp.concatenate([jnp.ones_like(Tw[:1]), Tw[:-1]], axis=0)
         w = Tw_excl * alpha  # [K, Ri, Ri]
         C = C + T[..., None] * jnp.einsum("kij,kijc->ijc", w, sl[..., :-1])
-        D = D + T * jnp.einsum("kij,k->ij", w, e_z - zb)
+        if with_depth:
+            D = D + T * jnp.einsum("kij,k->ij", w, e_z - zb)
+            T = T * Tw[-1]
+            return (T, C, D), None
         T = T * Tw[-1]
-        return (T, C, D), None
+        return (T, C), None
 
     if carry is None:
         carry = (
             jnp.ones((ri, ri), jnp.float32),
             jnp.zeros((ri, ri, CH - 1), jnp.float32),
-            jnp.zeros((ri, ri), jnp.float32),
-        )
+        ) + ((jnp.zeros((ri, ri), jnp.float32),) if with_depth else ())
     body = jax.checkpoint(block_body) if remat else block_body
-    (T, C, D), _ = jax.lax.scan(body, carry, (V_f2b, z_f2b))
-    return T, C, D
+    out, _ = jax.lax.scan(body, carry, (V_f2b, z_f2b))
+    if with_depth:
+        return out
+    return out[0], out[1], None
 
 
 def _composite_core(

@@ -94,6 +94,170 @@ def _pose_variant(pose: np.ndarray, bound: float) -> Tuple[int, bool]:
     return axis, bool(pose[axis, 3] < 0)
 
 
+def _fit_field_loop(
+    poses: np.ndarray,  # [V, 4, 4] c2w
+    images: np.ndarray,  # [V, H, W, 3] in [0, 1]
+    intrinsics: Sequence[float],  # fx, fy, cx, cy
+    *,
+    params,  # initial parameter pytree of the family
+    raw_fn,  # (params, t) -> raw grid [R, R, R, C] (t ignored when static)
+    reg_fn,  # params -> scalar regularizer
+    resolution: int,
+    bound: float = 1.0,
+    sh_degree: int = 0,
+    iters: int = 500,
+    lr: float = 5e-2,
+    bg_color: float = 1.0,
+    density_scale: float = 1.0,
+    seed: int = 0,
+    log_every: int = 0,
+    intermediate_scale: int = 2,
+    remat: bool = True,
+    supervise: str = "intermediate",
+    times: Optional[np.ndarray] = None,  # [V] per-view scalars fed to raw_fn
+    tag: str = "voxel",
+) -> Tuple[object, Dict]:
+    """Shared whole-image descent engine for all voxel field families.
+
+    The dense, dynamic (train/voxel_dynamic.py) and VM-factorized
+    (train/voxel_vm.py) families differ only in their parameterization —
+    ``raw_fn`` collapses the family's parameters (at the view's ``times``
+    entry, for time-conditioned families) to the dense raw grid that the
+    shear-warp compositor consumes, and ``reg_fn`` is the family's
+    regularizer. Everything else is identical and lives here once: one
+    compiled step per (axis, flip) pose variant, GTs pre-warped once per
+    view for intermediate-plane supervision (or the exact screen-space
+    loss for ``supervise="screen"``), the shuffled view order, and the
+    throughput/psnr bookkeeping.
+
+    Returns (params, info) with info = {"psnr", "rays_per_sec", "seconds"}.
+    """
+    import optax
+    import time
+
+    from focnerf_tpu.render.baked import (
+        _composite_core,
+        _render_core,
+        warp_gt_to_intermediate,
+    )
+
+    V, H, W = images.shape[:3]
+    poses = np.asarray(poses, np.float32)
+    gts = jnp.asarray(images, jnp.float32)
+    intr_dev = jnp.asarray(intrinsics, jnp.float32)
+    assert supervise in ("intermediate", "screen"), supervise
+    ri = resolution * intermediate_scale
+    t_arr = (
+        np.zeros(V, np.float32) if times is None
+        else np.asarray(times, np.float32)
+    )
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    # one compiled step per (axis, flip) variant; pose/t/gt are traced args
+    step_cache: Dict[Tuple[int, bool], object] = {}
+    # pre-warped GT + valid-ray mask per view (intermediate supervision)
+    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+
+    def make_step(axis: int, flip: bool):
+        if supervise == "intermediate":
+
+            def loss_fn(params, pose_dev, t, wgt, mask):
+                vol = field_to_volume(raw_fn(params, t), bound, sh_degree)
+                C, T, _, _ = _composite_core(
+                    vol.rgba, bound, pose_dev, axis=axis, flip=flip, ri=ri,
+                    density_scale=density_scale, sh_deg=sh_degree,
+                    remat=remat,
+                )
+                img_i = C + T[..., None] * bg_color
+                m = mask[..., None]
+                mse = jnp.sum(m * (img_i - wgt) ** 2) / (
+                    3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+                )
+                return mse + reg_fn(params), mse
+
+        else:
+
+            def loss_fn(params, pose_dev, t, gt, mask):
+                del mask
+                vol = field_to_volume(raw_fn(params, t), bound, sh_degree)
+                img, _, _ = _render_core(
+                    vol.rgba, bound, pose_dev, intr_dev,
+                    axis=axis, flip=flip, H=H, W=W, ri=ri,
+                    bg_color=bg_color, density_scale=density_scale,
+                    sh_deg=sh_degree, remat=remat,
+                )
+                mse = jnp.mean((img - gt) ** 2)
+                return mse + reg_fn(params), mse
+
+        @jax.jit
+        def step(params, opt_state, pose_dev, t, target, mask):
+            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, pose_dev, t, target, mask
+            )
+            updates, opt_state = optimizer.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, mse
+
+        return step
+
+    def targets_for(v: int, key: Tuple[int, bool]):
+        if supervise == "screen":
+            return gts[v], jnp.ones((1, 1), jnp.float32)
+        if v not in warped:
+            warped[v] = warp_gt_to_intermediate(
+                gts[v], poses[v], intr_dev, bound,
+                axis=key[0], flip=key[1], ri=ri,
+            )
+        return warped[v]
+
+    order = np.random.default_rng(seed).integers(0, V, iters)
+    t0 = time.time()
+    mse = jnp.float32(1.0)
+    for it in range(iters):
+        v = int(order[it])
+        key = _pose_variant(poses[v], bound)
+        if key not in step_cache:
+            step_cache[key] = make_step(*key)
+        target_v, mask_v = targets_for(v, key)
+        params, opt_state, mse = step_cache[key](
+            params, opt_state, jnp.asarray(poses[v]),
+            jnp.float32(t_arr[v]), target_v, mask_v,
+        )
+        if log_every and (it + 1) % log_every == 0:
+            print(f"[{tag}] iter {it+1}/{iters} mse {float(mse):.5f}", flush=True)
+    jax.block_until_ready(mse)
+    dt = time.time() - t0
+    psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
+    n_sup = ri * ri if supervise == "intermediate" else H * W
+    info = {
+        "psnr": psnr,
+        "rays_per_sec": n_sup * iters / dt,
+        "seconds": dt,
+    }
+    return params, info
+
+
+def _c2f_stage_plan(resolution: int, stages: int, iters: int):
+    """Coarse-to-fine ladder shared by the dense/VM families: resolution
+    doubles each stage up to ``resolution`` (floored at 16), ``iters``
+    split evenly with the final stage taking the remainder — floored at 1
+    so tiny iteration budgets still train every stage instead of crashing
+    on a negative count or silently skipping full resolution.
+
+    Returns [(stage_resolution, stage_iters), ...]."""
+    assert stages >= 1
+    ladder = [max(resolution >> (stages - 1 - s), 16) for s in range(stages)]
+    ladder = sorted(set(min(r, resolution) for r in ladder))
+    if ladder[-1] != resolution:
+        ladder.append(resolution)
+    per = max(iters // len(ladder), 1)
+    counts = [per] * (len(ladder) - 1) + [
+        max(iters - per * (len(ladder) - 1), 1)
+    ]
+    return list(zip(ladder, counts))
+
+
 def fit_voxels(
     poses: np.ndarray,  # [V, 4, 4] c2w
     images: np.ndarray,  # [V, H, W, 3] in [0, 1]
@@ -130,111 +294,23 @@ def fit_voxels(
     Returns (volume, info) with info = {"psnr": train PSNR of the last
     step, "rays_per_sec": effective supervised rays/s over the run}.
     """
-    import optax
-    import time
-
-    V, H, W = images.shape[:3]
-    poses = np.asarray(poses, np.float32)
-    gts = jnp.asarray(images, jnp.float32)
-    assert supervise in ("intermediate", "screen"), supervise
-    ri_sup = resolution * intermediate_scale
-
     raw = (
         init_raw
         if init_raw is not None
         else init_voxel_field(resolution, sh_degree, rng=jax.random.key(seed))
     )
-    optimizer = optax.adam(lr)
-    opt_state = optimizer.init(raw)
-
-    # one compiled step per (axis, flip) variant; pose/gt are traced args
-    step_cache: Dict[Tuple[int, bool], object] = {}
-
-    def make_step(axis: int, flip: bool):
-        from focnerf_tpu.render.baked import _composite_core, _render_core
-
-        ri = resolution * intermediate_scale
-
-        if supervise == "intermediate":
-
-            def loss_fn(raw, pose_dev, wgt, mask):
-                vol = field_to_volume(raw, bound, sh_degree)
-                C, T, _, _ = _composite_core(
-                    vol.rgba, bound, pose_dev, axis=axis, flip=flip, ri=ri,
-                    density_scale=density_scale, sh_deg=sh_degree,
-                    remat=remat,
-                )
-                img_i = C + T[..., None] * bg_color
-                m = mask[..., None]
-                mse = jnp.sum(m * (img_i - wgt) ** 2) / (
-                    3.0 * jnp.maximum(jnp.sum(mask), 1.0)
-                )
-                return mse + tv_weight * tv_loss(raw), mse
-
-        else:
-
-            def loss_fn(raw, pose_dev, gt, mask):
-                del mask
-                vol = field_to_volume(raw, bound, sh_degree)
-                img, _, _ = _render_core(
-                    vol.rgba, bound, pose_dev,
-                    jnp.asarray(intrinsics, jnp.float32),
-                    axis=axis, flip=flip, H=H, W=W, ri=ri,
-                    bg_color=bg_color, density_scale=density_scale,
-                    sh_deg=sh_degree, remat=remat,
-                )
-                mse = jnp.mean((img - gt) ** 2)
-                return mse + tv_weight * tv_loss(raw), mse
-
-        @jax.jit
-        def step(raw, opt_state, pose_dev, gt, mask):
-            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                raw, pose_dev, gt, mask
-            )
-            updates, opt_state = optimizer.update(g, opt_state)
-            return optax.apply_updates(raw, updates), opt_state, mse
-
-        return step
-
-    # pre-warped GT + valid-ray mask per view (intermediate supervision)
-    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
-
-    def targets_for(v: int, key: Tuple[int, bool]):
-        if supervise == "screen":
-            return gts[v], jnp.ones((1, 1), jnp.float32)
-        if v not in warped:
-            from focnerf_tpu.render.baked import warp_gt_to_intermediate
-
-            warped[v] = warp_gt_to_intermediate(
-                gts[v], poses[v], jnp.asarray(intrinsics, jnp.float32),
-                bound, axis=key[0], flip=key[1], ri=ri_sup,
-            )
-        return warped[v]
-
-    order = np.random.default_rng(seed).integers(0, V, iters)
-    t0 = time.time()
-    mse = jnp.float32(1.0)
-    for it in range(iters):
-        v = int(order[it])
-        key = _pose_variant(poses[v], bound)
-        if key not in step_cache:
-            step_cache[key] = make_step(*key)
-        gt_v, mask_v = targets_for(v, key)
-        raw, opt_state, mse = step_cache[key](
-            raw, opt_state, jnp.asarray(poses[v]), gt_v, mask_v
-        )
-        if log_every and (it + 1) % log_every == 0:
-            print(f"[voxel] iter {it+1}/{iters} mse {float(mse):.5f}", flush=True)
-    jax.block_until_ready(mse)
-    dt = time.time() - t0
-    psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
-    n_sup = ri_sup * ri_sup if supervise == "intermediate" else H * W
-    info = {
-        "psnr": psnr,
-        "rays_per_sec": n_sup * iters / dt,
-        "seconds": dt,
-        "raw": raw,  # pre-activation field (coarse-to-fine staging)
-    }
+    raw, info = _fit_field_loop(
+        poses, images, intrinsics,
+        params=raw,
+        raw_fn=lambda raw, t: raw,  # the dense field IS the raw grid
+        reg_fn=lambda raw: tv_weight * tv_loss(raw),
+        resolution=resolution, bound=bound, sh_degree=sh_degree,
+        iters=iters, lr=lr, bg_color=bg_color, density_scale=density_scale,
+        seed=seed, log_every=log_every,
+        intermediate_scale=intermediate_scale, remat=remat,
+        supervise=supervise, tag="voxel",
+    )
+    info["raw"] = raw  # pre-activation field (coarse-to-fine staging)
     return field_to_volume(raw, bound, sh_degree), info
 
 
@@ -272,17 +348,10 @@ def fit_voxels_c2f(
     Accepts fit_voxels keyword args via **kw (sh_degree, lr, tv_weight,
     supervise, ...). Returns (volume, info) of the final stage with
     info["stage_psnrs"] recording each stage's closing train PSNR."""
-    assert stages >= 1
-    res_ladder = [max(resolution >> (stages - 1 - s), 16) for s in range(stages)]
-    res_ladder = sorted(set(min(r, resolution) for r in res_ladder))
-    if res_ladder[-1] != resolution:
-        res_ladder.append(resolution)
-    per = max(iters // len(res_ladder), 1)
     raw = None
     stage_psnrs = []
     info: Dict = {}
-    for si, R in enumerate(res_ladder):
-        n_it = per if si < len(res_ladder) - 1 else iters - per * (len(res_ladder) - 1)
+    for si, (R, n_it) in enumerate(_c2f_stage_plan(resolution, stages, iters)):
         if raw is not None:
             raw = upsample_field(raw, R)
         vol, info = fit_voxels(

@@ -32,7 +32,6 @@ import numpy as np
 
 from focnerf_tpu.render.baked import BakedVolume
 from focnerf_tpu.train.voxel import (
-    _pose_variant,
     field_to_volume,
     init_voxel_field,
     tv_loss,
@@ -137,88 +136,27 @@ def fit_dyn_voxels(
 
     Returns (field, info) with info = {"psnr", "rays_per_sec", "seconds"}.
     """
-    import optax
-    import time
-
-    from focnerf_tpu.render.baked import _composite_core, warp_gt_to_intermediate
-
-    V, H, W = images.shape[:3]
-    poses = np.asarray(poses, np.float32)
-    times = np.asarray(times, np.float32)
-    gts = jnp.asarray(images, jnp.float32)
-    intr_dev = jnp.asarray(intrinsics, jnp.float32)
-    ri = resolution * 2
+    from focnerf_tpu.train.voxel import _fit_field_loop
 
     field = init_dyn_voxel_field(
         resolution, rank=rank, time_slots=time_slots, sh_degree=sh_degree,
         rng=jax.random.key(seed),
     )
-    optimizer = optax.adam(lr)
-    opt_state = optimizer.init(field)
 
-    step_cache: Dict[Tuple[int, bool], object] = {}
-    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
-
-    def make_step(axis: int, flip: bool):
-        def loss_fn(field, pose_dev, t, wgt, mask):
-            raw = collapse_field(field, t)
-            vol = field_to_volume(raw, bound, sh_degree)
-            C, T, _, _ = _composite_core(
-                vol.rgba, bound, pose_dev, axis=axis, flip=flip, ri=ri,
-                density_scale=density_scale, sh_deg=sh_degree, remat=remat,
-            )
-            img_i = C + T[..., None] * bg_color
-            m = mask[..., None]
-            mse = jnp.sum(m * (img_i - wgt) ** 2) / (
-                3.0 * jnp.maximum(jnp.sum(mask), 1.0)
-            )
-            reg = tv_weight * (
-                tv_loss(field.base)
-                + jnp.mean(jax.vmap(tv_loss)(field.deltas))
-            )
-            dw = jnp.diff(field.wslots, axis=0)
-            reg = reg + time_smooth_weight * jnp.mean(dw * dw)
-            return mse + reg, mse
-
-        @jax.jit
-        def step(field, opt_state, pose_dev, t, wgt, mask):
-            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                field, pose_dev, t, wgt, mask
-            )
-            updates, opt_state = optimizer.update(g, opt_state)
-            return optax.apply_updates(field, updates), opt_state, mse
-
-        return step
-
-    def targets_for(v: int, key: Tuple[int, bool]):
-        if v not in warped:
-            warped[v] = warp_gt_to_intermediate(
-                gts[v], poses[v], intr_dev, bound,
-                axis=key[0], flip=key[1], ri=ri,
-            )
-        return warped[v]
-
-    order = np.random.default_rng(seed).integers(0, V, iters)
-    t0 = time.time()
-    mse = jnp.float32(1.0)
-    for it in range(iters):
-        v = int(order[it])
-        key = _pose_variant(poses[v], bound)
-        if key not in step_cache:
-            step_cache[key] = make_step(*key)
-        wgt, mask = targets_for(v, key)
-        field, opt_state, mse = step_cache[key](
-            field, opt_state, jnp.asarray(poses[v]), jnp.float32(times[v]),
-            wgt, mask,
+    def reg(field):
+        r = tv_weight * (
+            tv_loss(field.base) + jnp.mean(jax.vmap(tv_loss)(field.deltas))
         )
-        if log_every and (it + 1) % log_every == 0:
-            print(f"[dynvoxel] iter {it+1}/{iters} mse {float(mse):.5f}", flush=True)
-    jax.block_until_ready(mse)
-    dt = time.time() - t0
-    psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
-    info = {
-        "psnr": psnr,
-        "rays_per_sec": ri * ri * iters / dt,
-        "seconds": dt,
-    }
-    return field, info
+        dw = jnp.diff(field.wslots, axis=0)
+        return r + time_smooth_weight * jnp.mean(dw * dw)
+
+    return _fit_field_loop(
+        poses, images, intrinsics,
+        params=field,
+        raw_fn=collapse_field,  # collapse at the view's own t
+        reg_fn=reg,
+        resolution=resolution, bound=bound, sh_degree=sh_degree,
+        iters=iters, lr=lr, bg_color=bg_color, density_scale=density_scale,
+        seed=seed, log_every=log_every, remat=remat,
+        times=times, tag="dynvoxel",
+    )

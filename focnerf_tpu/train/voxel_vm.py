@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from focnerf_tpu.render.baked import BakedVolume
-from focnerf_tpu.train.voxel import _pose_variant, field_to_volume
+from focnerf_tpu.train.voxel import field_to_volume
 
 
 class VMField(NamedTuple):
@@ -176,16 +176,7 @@ def fit_vm_voxels(
     Returns (volume, info); info["field"] carries the factors for
     save_vm_field / coarse-to-fine staging.
     """
-    import optax
-    import time
-
-    from focnerf_tpu.render.baked import _composite_core, warp_gt_to_intermediate
-
-    V, H, W = images.shape[:3]
-    poses = np.asarray(poses, np.float32)
-    gts = jnp.asarray(images, jnp.float32)
-    intr_dev = jnp.asarray(intrinsics, jnp.float32)
-    ri = resolution * intermediate_scale
+    from focnerf_tpu.train.voxel import _fit_field_loop
 
     field = (
         init_field
@@ -194,69 +185,24 @@ def fit_vm_voxels(
             resolution, rank=rank, sh_degree=sh_degree, rng=jax.random.key(seed)
         )
     )
-    optimizer = optax.adam(lr)
-    opt_state = optimizer.init(field)
 
-    step_cache: Dict[Tuple[int, bool], object] = {}
-    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+    def reg(field):
+        r = tv_weight * vm_tv_loss(field)
+        if l1_weight > 0.0:
+            r = r + l1_weight * vm_density_l1(field)
+        return r
 
-    def make_step(axis: int, flip: bool):
-        def loss_fn(field, pose_dev, wgt, mask):
-            vol = vm_field_to_volume(field, bound, sh_degree)
-            C, T, _, _ = _composite_core(
-                vol.rgba, bound, pose_dev, axis=axis, flip=flip, ri=ri,
-                density_scale=density_scale, sh_deg=sh_degree, remat=remat,
-            )
-            img_i = C + T[..., None] * bg_color
-            m = mask[..., None]
-            mse = jnp.sum(m * (img_i - wgt) ** 2) / (
-                3.0 * jnp.maximum(jnp.sum(mask), 1.0)
-            )
-            reg = tv_weight * vm_tv_loss(field)
-            if l1_weight > 0.0:
-                reg = reg + l1_weight * vm_density_l1(field)
-            return mse + reg, mse
-
-        @jax.jit
-        def step(field, opt_state, pose_dev, wgt, mask):
-            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                field, pose_dev, wgt, mask
-            )
-            updates, opt_state = optimizer.update(g, opt_state)
-            return optax.apply_updates(field, updates), opt_state, mse
-
-        return step
-
-    def targets_for(v: int, key: Tuple[int, bool]):
-        if v not in warped:
-            warped[v] = warp_gt_to_intermediate(
-                gts[v], poses[v], intr_dev, bound, axis=key[0], flip=key[1], ri=ri
-            )
-        return warped[v]
-
-    order = np.random.default_rng(seed).integers(0, V, iters)
-    t0 = time.time()
-    mse = jnp.float32(1.0)
-    for it in range(iters):
-        v = int(order[it])
-        key = _pose_variant(poses[v], bound)
-        if key not in step_cache:
-            step_cache[key] = make_step(*key)
-        wgt, mask = targets_for(v, key)
-        field, opt_state, mse = step_cache[key](
-            field, opt_state, jnp.asarray(poses[v]), wgt, mask
-        )
-        if log_every and (it + 1) % log_every == 0:
-            print(f"[vmvoxel] iter {it+1}/{iters} mse {float(mse):.5f}", flush=True)
-    jax.block_until_ready(mse)
-    dt = time.time() - t0
-    psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
-    info = {
-        "psnr": psnr,
-        "rays_per_sec": ri * ri * iters / dt,
-        "seconds": dt,
-        "field": field,
-    }
+    field, info = _fit_field_loop(
+        poses, images, intrinsics,
+        params=field,
+        raw_fn=lambda f, t: collapse_vm(f),
+        reg_fn=reg,
+        resolution=resolution, bound=bound, sh_degree=sh_degree,
+        iters=iters, lr=lr, bg_color=bg_color, density_scale=density_scale,
+        seed=seed, log_every=log_every,
+        intermediate_scale=intermediate_scale, remat=remat, tag="vmvoxel",
+    )
+    info["field"] = field
     return vm_field_to_volume(field, bound, sh_degree), info
 
 
@@ -308,17 +254,12 @@ def fit_vm_c2f(
     train/voxel.py::fit_voxels_c2f), seeding each stage with upsample_vm of
     the previous factors. Coarse stages composite 4x/16x fewer intermediate
     pixels, so they are also a throughput win."""
-    assert stages >= 1
-    res_ladder = [max(resolution >> (stages - 1 - s), 16) for s in range(stages)]
-    res_ladder = sorted(set(min(r, resolution) for r in res_ladder))
-    if res_ladder[-1] != resolution:
-        res_ladder.append(resolution)
-    per = max(iters // len(res_ladder), 1)
+    from focnerf_tpu.train.voxel import _c2f_stage_plan
+
     field = None
     stage_psnrs = []
     info: Dict = {}
-    for si, R in enumerate(res_ladder):
-        n_it = per if si < len(res_ladder) - 1 else iters - per * (len(res_ladder) - 1)
+    for si, (R, n_it) in enumerate(_c2f_stage_plan(resolution, stages, iters)):
         if field is not None:
             field = upsample_vm(field, R)
         vol, info = fit_vm_voxels(

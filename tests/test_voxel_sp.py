@@ -140,3 +140,48 @@ class TestVoxelSP:
                 first = float(mse)
             last = float(mse)
         assert last < 0.5 * first, (first, last)
+
+
+class TestFitVoxelsSP:
+    def test_fit_handles_mixed_variants(self):
+        """The product entry (fit_voxels_sp) must train across pose-variant
+        groups — re-sharding the field/adam state when the warp axis
+        changes — and reconstruct the scene on a held-out view."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from focnerf_tpu.parallel.voxel_sp import fit_voxels_sp
+
+        gt_vol = _gt_volume()
+        H = 32
+        intr = (1.2 * H, 1.2 * H, H / 2.0, H / 2.0)
+        # unrestricted poses -> multiple (axis, flip) variants
+        poses = np.asarray(rand_poses(np.random.default_rng(0), 14, radius=2.5))
+        variants = {_pose_variant(p, 1.0) for p in poses[:12]}
+        assert len(variants) > 1, "scene must exercise >1 variant group"
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, H)[0]) for p in poses]
+        )
+        vol, info = fit_voxels_sp(
+            poses[:12], imgs[:12], intr, resolution=16, iters=120,
+            lr=0.1, tv_weight=1e-5, block=2, group_chunk=20,
+        )
+        assert info["n_devices"] == 8
+        assert info["psnr"] > 16.0, info
+        held = np.asarray(render_baked(vol, poses[13], intr, H, H)[0])
+        mse = float(np.mean((held - imgs[13]) ** 2))
+        psnr = -10 * np.log10(mse)
+        assert psnr > 16.0, f"held-out {psnr:.2f} dB"
+
+    def test_cli_rejects_incompatible_flags(self, tmp_path):
+        from focnerf_tpu.apps import main_voxel
+
+        with pytest.raises(ValueError, match="DENSE"):
+            main_voxel.main(
+                ["scene", "--workspace", str(tmp_path / "w"),
+                 "--voxel_sp", "--voxel_vm", "4"]
+            )
+        with pytest.raises(ValueError, match="intermediate"):
+            main_voxel.main(
+                ["scene", "--workspace", str(tmp_path / "w"),
+                 "--voxel_sp", "--bake_sh", "2"]
+            )

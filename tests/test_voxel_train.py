@@ -170,6 +170,19 @@ class TestCoarseToFine:
             np.asarray(vol2.rgba), np.asarray(vol.rgba), atol=1e-4
         )
 
+    def test_stage_plan_tiny_iters(self):
+        """Budgets smaller than the stage count still train every stage
+        (regression: the final stage used to get a NEGATIVE count)."""
+        from focnerf_tpu.train.voxel import _c2f_stage_plan
+
+        plan = _c2f_stage_plan(64, 3, 1)
+        assert [r for r, _ in plan] == [16, 32, 64]
+        assert all(n >= 1 for _, n in plan)
+        # normal budgets split exactly with the remainder on the last stage
+        plan = _c2f_stage_plan(64, 3, 301)
+        assert sum(n for _, n in plan) == 301
+        assert plan[-1][0] == 64
+
     def test_c2f_fit(self):
         from focnerf_tpu.train.voxel import fit_voxels_c2f
 

@@ -246,3 +246,34 @@ class TestVMCli:
                 "--bound", "1.0",
             ]
         )
+
+        # warm-starting with a different payload layout must be refused, not
+        # silently misinterpreted (saved sh0 checkpoint vs --bake_sh 1)
+        with pytest.raises(ValueError, match="sh_degree"):
+            main_voxel.main(
+                [
+                    synthetic_scene,
+                    "--workspace", ws,
+                    "--iters", "4",
+                    "--bake_res", "16",
+                    "--voxel_vm", "4",
+                    "--bake_sh", "1",
+                    "--scale", "1.0",
+                    "--bound", "1.0",
+                ]
+            )
+
+        # --voxel_supervise screen is dense-family-only: refuse, don't ignore
+        with pytest.raises(ValueError, match="voxel_supervise"):
+            main_voxel.main(
+                [
+                    synthetic_scene,
+                    "--workspace", str(tmp_path / "ws_vm2"),
+                    "--iters", "4",
+                    "--bake_res", "16",
+                    "--voxel_vm", "4",
+                    "--voxel_supervise", "screen",
+                    "--scale", "1.0",
+                    "--bound", "1.0",
+                ]
+            )

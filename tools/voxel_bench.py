@@ -31,6 +31,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=128)
+    ap.add_argument(
+        "--gt_res", type=int, default=0,
+        help="GT volume resolution (default: --res; smaller keeps 512^3 "
+        "field runs from spending HBM on the synthetic GT)",
+    )
     ap.add_argument("--image", type=int, default=800)
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--sync-every", type=int, default=1)
@@ -45,7 +50,8 @@ def main():
     from focnerf_tpu.train.voxel import _pose_variant, fit_voxels
 
     R = args.res
-    c = (jnp.arange(R) + 0.5) / R * 2 - 1
+    Rg = args.gt_res or R
+    c = (jnp.arange(Rg) + 0.5) / Rg * 2 - 1
     X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
 
     def gt_volume(t: float) -> BakedVolume:
