@@ -57,22 +57,26 @@ def _save_volume_mesh(vol, path, density_thresh, tag):
 
 def main(argv=None):
     opt = parse_options(argv)
+    n_fam = (
+        int(opt.voxel_dynamic) + int(opt.voxel_vm > 0)
+        + int(opt.voxel_kplanes > 0)
+    )
+    if n_fam > 1:
+        raise ValueError(
+            "pick ONE family: --voxel_dynamic | --voxel_vm K | "
+            "--voxel_kplanes K (or none for the dense field)"
+        )
     if opt.voxel_sp:
-        if opt.voxel_vm > 0 or opt.voxel_dynamic:
+        if n_fam > 0:
             raise ValueError(
                 "--voxel_sp shards the DENSE family only; drop --voxel_vm/"
-                "--voxel_dynamic (factorized params replicate — use the DP "
-                "step)"
+                "--voxel_dynamic/--voxel_kplanes (factorized params "
+                "replicate — use the DP step)"
             )
-        if (
-            opt.bake_sh > 0
-            or opt.voxel_supervise != "intermediate"
-            or opt.voxel_c2f > 1
-        ):
+        if opt.voxel_supervise != "intermediate" or opt.voxel_c2f > 1:
             raise ValueError(
-                "--voxel_sp trains the dense diffuse family with "
-                "intermediate-plane supervision only (no --bake_sh/"
-                "--voxel_c2f; parallel/voxel_sp.py)"
+                "--voxel_sp trains the dense family with intermediate-plane "
+                "supervision only (no --voxel_c2f; parallel/voxel_sp.py)"
             )
     os.makedirs(opt.workspace, exist_ok=True)
 
@@ -86,7 +90,7 @@ def main(argv=None):
         path=opt.path, scale=opt.scale, offset=tuple(opt.offset),
         downscale=opt.downscale, num_rays=opt.num_rays,
     )
-    if opt.voxel_dynamic:
+    if opt.voxel_dynamic or opt.voxel_kplanes > 0:
         from focnerf_tpu.data.dnerf_provider import DNeRFDataset as _DS
     else:
         _DS = NeRFDataset
@@ -104,34 +108,60 @@ def main(argv=None):
         imgs = imgs[..., :3] * a + 1.0 * (1.0 - a)
 
     t0 = time.time()
-    if opt.voxel_dynamic:
+    if opt.voxel_dynamic or opt.voxel_kplanes > 0:
         if opt.voxel_supervise != "intermediate":
             raise ValueError(
                 "--voxel_supervise is only implemented for the dense family; "
-                "the dynamic family trains with intermediate-plane supervision"
+                "the dynamic families train with intermediate-plane "
+                "supervision"
             )
-        from focnerf_tpu.train.voxel_dynamic import (
-            dyn_field_to_volume,
-            fit_dyn_voxels,
-            save_dyn_field,
-        )
+        if opt.voxel_kplanes > 0:
+            from focnerf_tpu.train.voxel_kplanes import (
+                fit_kplanes,
+                kplanes_field_to_volume,
+                save_kplanes_field,
+            )
 
-        field, info = fit_dyn_voxels(
-            train_ds.poses, imgs, train_ds.times, train_ds.intrinsics,
-            resolution=opt.bake_res, rank=opt.voxel_rank,
-            time_slots=opt.voxel_time_slots, bound=opt.bound,
-            sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
-            log_every=max(opt.iters // 10, 1),
-        )
+            tag = "kplanes"
+            field, info = fit_kplanes(
+                train_ds.poses, imgs, train_ds.times, train_ds.intrinsics,
+                resolution=opt.bake_res, rank=opt.voxel_kplanes,
+                time_res=opt.voxel_time_slots, bound=opt.bound,
+                sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
+                log_every=max(opt.iters // 10, 1),
+            )
+            cache = os.path.join(
+                opt.workspace, f"kplanes_{opt.bake_res}_sh{opt.bake_sh}.npz"
+            )
+            save_kplanes_field(cache, field, opt.bound, opt.bake_sh)
+
+            def dyn_field_to_volume(field, t, bound, sh):
+                return kplanes_field_to_volume(field, t, bound, sh)
+
+        else:
+            from focnerf_tpu.train.voxel_dynamic import (
+                dyn_field_to_volume,
+                fit_dyn_voxels,
+                save_dyn_field,
+            )
+
+            tag = "dynvoxel"
+            field, info = fit_dyn_voxels(
+                train_ds.poses, imgs, train_ds.times, train_ds.intrinsics,
+                resolution=opt.bake_res, rank=opt.voxel_rank,
+                time_slots=opt.voxel_time_slots, bound=opt.bound,
+                sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
+                log_every=max(opt.iters // 10, 1),
+            )
+            cache = os.path.join(
+                opt.workspace, f"dynvoxel_{opt.bake_res}_sh{opt.bake_sh}.npz"
+            )
+            save_dyn_field(cache, field, opt.bound, opt.bake_sh)
         print(
-            f"[dynvoxel] {opt.iters} iters in {time.time()-t0:.1f}s — "
+            f"[{tag}] {opt.iters} iters in {time.time()-t0:.1f}s — "
             f"train PSNR {info['psnr']:.2f} dB, {info['rays_per_sec']:.0f} rays/s"
         )
-        cache = os.path.join(
-            opt.workspace, f"dynvoxel_{opt.bake_res}_sh{opt.bake_sh}.npz"
-        )
-        save_dyn_field(cache, field, opt.bound, opt.bake_sh)
-        print(f"[dynvoxel] saved {cache}")
+        print(f"[{tag}] saved {cache}")
         # time-conditioned mesh export (ref dnerf/utils.py:221-243): at
         # --mesh_t if given, else the t=0/1 motion brackets
         ts = [float(opt.mesh_t)] if opt.mesh_t is not None else [0.0, 1.0]
@@ -139,7 +169,7 @@ def main(argv=None):
             _save_volume_mesh(
                 dyn_field_to_volume(field, t, opt.bound, opt.bake_sh),
                 os.path.join(opt.workspace, f"mesh_t{t:.2f}.obj"),
-                opt.density_thresh, tag="dynvoxel",
+                opt.density_thresh, tag=tag,
             )
         if val_ds is not None and val_ds.images is not None:
             gts = np.asarray(val_ds.images, np.float32).reshape(
@@ -160,12 +190,13 @@ def main(argv=None):
                 mse = float(jnp.mean((img - gts[v]) ** 2))
                 psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
             print(
-                f"[dynvoxel] val PSNR: {np.mean(psnrs):.2f} dB over "
+                f"[{tag}] val PSNR: {np.mean(psnrs):.2f} dB over "
                 f"{len(psnrs)} views"
             )
+            rank = opt.voxel_kplanes if tag == "kplanes" else opt.voxel_rank
             with open(os.path.join(opt.workspace, "log.txt"), "a") as f:
                 f.write(
-                    f"dynvoxel res={opt.bake_res} rank={opt.voxel_rank} "
+                    f"{tag} res={opt.bake_res} rank={rank} "
                     f"iters={opt.iters} val_psnr={np.mean(psnrs):.3f}\n"
                 )
         return field
@@ -229,7 +260,8 @@ def main(argv=None):
             )
         vol, info = fit_voxels_sp(
             train_ds.poses, imgs, train_ds.intrinsics,
-            resolution=opt.bake_res, bound=opt.bound, iters=opt.iters,
+            resolution=opt.bake_res, bound=opt.bound,
+            sh_degree=opt.bake_sh, iters=opt.iters,
             bg_color=1.0, log_every=max(opt.iters // 10, 1),
         )
         print(f"[spvoxel] trained sharded over {info['n_devices']} devices")

@@ -41,17 +41,32 @@ def _view_only(opt):
     dyn_cache = os.path.join(
         opt.workspace, f"dynvoxel_{opt.bake_res}_sh{opt.bake_sh}.npz"
     )
-    if opt.baked and not os.path.isdir(ckpt_dir) and os.path.exists(dyn_cache):
-        # dynamic voxel workspace (main_voxel --voxel_dynamic): collapse the
-        # low-rank field at the slider's t, then shear-warp render — the
-        # collapse is one einsum, so scrubbing time stays interactive
+    kp_cache = os.path.join(
+        opt.workspace, f"kplanes_{opt.bake_res}_sh{opt.bake_sh}.npz"
+    )
+    if opt.baked and not os.path.isdir(ckpt_dir) and (
+        os.path.exists(dyn_cache) or os.path.exists(kp_cache)
+    ):
+        # dynamic voxel workspace (main_voxel --voxel_dynamic / --voxel_kplanes):
+        # collapse the factorized field at the slider's t, then shear-warp
+        # render — collapse is dense einsums, so time-scrubbing stays
+        # interactive
         from focnerf_tpu.render.baked import render_baked
-        from focnerf_tpu.train.voxel_dynamic import (
-            dyn_field_to_volume,
-            load_dyn_field,
-        )
 
-        field, bound_l, sh_l = load_dyn_field(dyn_cache)
+        if os.path.exists(kp_cache):
+            from focnerf_tpu.train.voxel_kplanes import (
+                kplanes_field_to_volume as dyn_field_to_volume,
+                load_kplanes_field as _load,
+            )
+
+            dyn_cache = kp_cache
+        else:
+            from focnerf_tpu.train.voxel_dynamic import (
+                dyn_field_to_volume,
+                load_dyn_field as _load,
+            )
+
+        field, bound_l, sh_l = _load(dyn_cache)
         print(f"[viewer] loaded dynamic voxel field {dyn_cache}")
 
         def render_fn(pose, intrinsics, H, W, t):

@@ -112,6 +112,11 @@ class Options:
     # main_voxel --voxel_vm K: train the TensoRF-style VM-factorized family
     # (train/voxel_vm.py, rank K planes x vectors; 0 = dense field)
     voxel_vm: int = 0
+    # main_voxel --voxel_kplanes K: train the K-planes dynamic family
+    # (train/voxel_kplanes.py, six rank-K space-time planes; time resolution
+    # = --voxel_time_slots). Dynamic scenes at production resolution — the
+    # low-rank --voxel_dynamic family stores K dense R^3 deltas instead.
+    voxel_kplanes: int = 0
     # main_voxel --voxel_sp: shard the dense field/grad/adam state over all
     # local devices along the shear-warp slice axis (parallel/voxel_sp.py)
     # — the trainable resolution scales with device count instead of one

@@ -51,6 +51,7 @@ def make_voxel_sp_step(
     warp_axis: int,
     flip: bool,
     bound: float = 1.0,
+    sh_degree: int = 0,
     lr: float = 5e-2,
     tv_weight: float = 1e-4,
     bg_color: float = 1.0,
@@ -66,7 +67,9 @@ def make_voxel_sp_step(
         -> (raw, opt_state, mse)
     and shard_fn(tree) device_puts a raw-field-shaped tree with the warp
     axis sharded over the mesh (use it on the init field and opt state).
-    sh_degree > 0 payloads are not supported here yet (diffuse rgb only).
+    sh_degree > 0 composites the SH payload sharded and contracts it with
+    the per-pixel basis AFTER the cross-device combine (one basis per
+    intermediate pixel, same as _composite_core).
     """
     import optax
 
@@ -109,9 +112,13 @@ def make_voxel_sp_step(
         d_idx = jax.lax.axis_index(axis_name)
 
         # ---- activation (elementwise, local): field_to_volume semantics
-        rgb = jax.nn.sigmoid(raw_loc[..., :-1])
+        if sh_degree > 0:
+            payload = raw_loc[..., :-1]  # SH coefficients ride linearly
+        else:
+            payload = jax.nn.sigmoid(raw_loc[..., :-1])
         sigma = jax.nn.softplus(raw_loc[..., -1:])
-        V = jnp.concatenate([rgb, sigma], -1)
+        V = jnp.concatenate([payload, sigma], -1)
+        CH = V.shape[-1]
 
         # ---- permute the slab so the (sharded) warp axis leads
         V = jnp.transpose(V, (warp_axis, others[0], others[1], 3))
@@ -147,7 +154,7 @@ def make_voxel_sp_step(
 
         K = min(block, R_loc)
         assert R_loc % K == 0
-        Vb = V_f2b_loc.reshape(R_loc // K, K, R, R, 4)
+        Vb = V_f2b_loc.reshape(R_loc // K, K, R, R, CH)
         zb = z_f2b_loc.reshape(R_loc // K, K)
         T_d, C_d, _ = _fold_blocks(
             Vb, zb, e_z, e_y, e_x, gy, gx, dt, b, R, ri,
@@ -160,14 +167,37 @@ def make_voxel_sp_step(
         # remat'd scan + gather would cost real fwd/bwd work (it can't be
         # DCE'd out of a scan carry)
         part = jnp.concatenate([C_d, T_d[..., None]], -1)
-        parts = jax.lax.all_gather(part, axis_name)  # [D, ri, ri, 4]
+        parts = jax.lax.all_gather(part, axis_name)  # [D, ri, ri, CH]
         if not flip:
             parts = jnp.flip(parts, 0)
-        Cs, Ts = parts[..., :3], parts[..., 3]
+        Cs, Ts = parts[..., :-1], parts[..., -1]
         T_cum = jnp.cumprod(Ts, axis=0)
         T_excl = jnp.concatenate([jnp.ones_like(T_cum[:1]), T_cum[:-1]], 0)
         C = jnp.einsum("dij,dijc->ijc", T_excl, Cs)
         T = T_cum[-1]
+
+        if sh_degree > 0:
+            # contract the composited SH payload with one basis per pixel
+            # AFTER the cross-device combine (_composite_core semantics:
+            # each intermediate pixel is one primary ray through the eye)
+            from focnerf_tpu.ops.sh import sh_encode
+
+            dz_p = jnp.broadcast_to(-e_z, (ri, ri))
+            dy_p = jnp.broadcast_to((gy - e_y)[:, None], (ri, ri))
+            dx_p = jnp.broadcast_to((gx - e_x)[None, :], (ri, ri))
+            d_world = jnp.zeros((ri, ri, 3), jnp.float32)
+            d_world = d_world.at[..., warp_axis].set(
+                dz_p * (-1.0 if flip else 1.0)
+            )
+            d_world = d_world.at[..., others[0]].set(dy_p)
+            d_world = d_world.at[..., others[1]].set(dx_p)
+            d_world = d_world / jnp.maximum(
+                jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-9
+            )
+            L = sh_degree * sh_degree
+            Y = sh_encode(d_world, sh_degree)  # [ri, ri, L]
+            C = jnp.einsum("ijl,ijlc->ijc", Y, C.reshape(ri, ri, L, 3))
+            C = jnp.clip(C, 0.0, 1.0)
 
         img_i = C + T[..., None] * bg_color
 
@@ -256,6 +286,7 @@ def fit_voxels_sp(
     resolution: int = 128,
     mesh=None,  # default: all local devices on one "slice" axis
     bound: float = 1.0,
+    sh_degree: int = 0,
     iters: int = 500,
     lr: float = 5e-2,
     tv_weight: float = 1e-4,
@@ -329,8 +360,9 @@ def fit_voxels_sp(
         if key not in steps:
             _, step, shard_fn = make_voxel_sp_step(
                 mesh, intrinsics, resolution=resolution, warp_axis=key[0],
-                flip=key[1], bound=bound, lr=lr, tv_weight=tv_weight,
-                bg_color=bg_color, density_scale=density_scale,
+                flip=key[1], bound=bound, sh_degree=sh_degree, lr=lr,
+                tv_weight=tv_weight, bg_color=bg_color,
+                density_scale=density_scale,
                 intermediate_scale=intermediate_scale, remat=remat,
                 block=block,
             )
@@ -347,7 +379,7 @@ def fit_voxels_sp(
 
     import optax
 
-    raw = init_voxel_field(resolution, rng=jax.random.key(seed))
+    raw = init_voxel_field(resolution, sh_degree, rng=jax.random.key(seed))
     opt_state = optax.adam(lr).init(raw)
 
     rng = np.random.default_rng(seed)
@@ -390,4 +422,4 @@ def fit_voxels_sp(
         "raw": raw,
         "n_devices": int(np.prod(list(mesh.shape.values()))),
     }
-    return field_to_volume(raw, bound), info
+    return field_to_volume(raw, bound, sh_degree), info

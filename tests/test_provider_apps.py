@@ -277,6 +277,39 @@ class TestVoxelCLI:
         field, bound, sh = load_dyn_field(path)
         assert field.deltas.shape[0] == 2 and field.wslots.shape == (4, 2)
 
+    def test_voxel_kplanes_cli(self, scene, tmp_path):
+        """--voxel_kplanes trains the six-plane space-time family and the
+        viewer serves it with the time slider (kplanes_*.npz path)."""
+        import numpy as np
+
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+        from focnerf_tpu.apps.viewer_app import _view_only
+        from focnerf_tpu.config import parse_options
+        from focnerf_tpu.train.voxel_kplanes import load_kplanes_field
+
+        ws = str(tmp_path / "kpws")
+        voxel_main([
+            scene, "--workspace", ws, "--iters", "30", "--bake_res", "16",
+            "--voxel_kplanes", "2", "--voxel_time_slots", "4",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        path = os.path.join(ws, "kplanes_16_sh0.npz")
+        assert os.path.exists(path)
+        assert os.path.exists(os.path.join(ws, "mesh_t0.00.obj"))
+        field, bound, sh = load_kplanes_field(path)
+        assert field.space.shape == (3, 16, 16, 2, 4)
+        assert field.time.shape == (3, 16, 4, 2, 4)
+
+        opt = parse_options([
+            scene, "--workspace", ws, "--baked", "--bake_res", "16",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        render_fn, _ = _view_only(opt)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 2.5
+        img = render_fn(pose, (38.4, 38.4, 16.0, 16.0), 32, 32, 0.5)
+        assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
 
 @pytest.mark.slow
 class TestOccupancyTrainerCLI:

@@ -142,6 +142,49 @@ class TestVoxelSP:
         assert last < 0.5 * first, (first, last)
 
 
+class TestVoxelSPSH:
+    def test_sp_sh_matches_unsharded(self):
+        """SH payload: sharded composite + post-combine basis contraction
+        must match the unsharded step (which contracts inside
+        _composite_core) exactly."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from focnerf_tpu.parallel.mesh import make_mesh
+        from focnerf_tpu.parallel.voxel_sp import make_voxel_sp_step
+
+        R, sh = 16, 2
+        key0, poses, gts, masks, intr, H = _setup(R=R)
+        (axis, flip) = key0
+        raw0 = init_voxel_field(R, sh_degree=sh, rng=jax.random.key(0))
+        # non-trivial SH coefficients so the contraction actually matters
+        raw0 = raw0 + 0.05 * jax.random.normal(jax.random.key(1), raw0.shape)
+
+        mesh8 = make_mesh(8)
+        opt_sp, step_sp, shard_fn = make_voxel_sp_step(
+            mesh8, intr, resolution=R, warp_axis=axis, flip=flip,
+            sh_degree=sh, tv_weight=1e-4, block=2,
+        )
+        raw_sp = shard_fn(raw0)
+        st_sp = shard_fn(opt_sp.init(raw_sp))
+        raw_sp, st_sp, mse_sp = step_sp(
+            raw_sp, st_sp, jnp.asarray(poses[0]), gts[0], masks[0]
+        )
+
+        mesh1 = make_mesh(1)
+        opt_dp, step_dp = make_voxel_dp_step(
+            mesh1, intr, H=H, W=H, resolution=R, warp_axis=axis, flip=flip,
+            sh_degree=sh, tv_weight=1e-4,
+        )
+        raw_dp, _, mse_dp = step_dp(
+            raw0, opt_dp.init(raw0), jnp.asarray(poses[:1]), gts[:1],
+            masks[:1],
+        )
+        np.testing.assert_allclose(float(mse_sp), float(mse_dp), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(raw_sp), np.asarray(raw_dp), atol=2e-5
+        )
+
+
 class TestFitVoxelsSP:
     def test_fit_handles_mixed_variants(self):
         """The product entry (fit_voxels_sp) must train across pose-variant
@@ -183,5 +226,5 @@ class TestFitVoxelsSP:
         with pytest.raises(ValueError, match="intermediate"):
             main_voxel.main(
                 ["scene", "--workspace", str(tmp_path / "w"),
-                 "--voxel_sp", "--bake_sh", "2"]
+                 "--voxel_sp", "--voxel_c2f", "3"]
             )

@@ -11,6 +11,7 @@ Usage:
       [--sync-every 1]   # per-step scalar fetch (honest relay timing)
       [--all-variants]   # don't restrict poses to one (axis, flip) compile
       [--dynamic]        # time-varying GT -> fit the low-rank dynamic family
+      [--kplanes]        # time-varying GT -> fit the K-planes family
       [--vm]             # fit the VM-factorized family (rank --rank)
 """
 
@@ -41,9 +42,12 @@ def main():
     ap.add_argument("--sync-every", type=int, default=1)
     ap.add_argument("--all-variants", action="store_true")
     ap.add_argument("--dynamic", action="store_true")
+    ap.add_argument("--kplanes", action="store_true")
     ap.add_argument("--vm", action="store_true")
     ap.add_argument("--rank", type=int, default=4)
     args = ap.parse_args()
+    if args.kplanes:
+        args.dynamic = True  # time-varying GT + per-view times
 
     from focnerf_tpu.core.camera import rand_poses
     from focnerf_tpu.render.baked import BakedVolume, render_baked
@@ -93,7 +97,19 @@ def main():
     jax.block_until_ready(gts)
 
     t0 = time.time()
-    if args.dynamic:
+    if args.kplanes:
+        from focnerf_tpu.train.voxel_kplanes import (
+            fit_kplanes,
+            kplanes_field_to_volume,
+        )
+
+        field, info = fit_kplanes(
+            poses[:12], gts[:12], times[:12], intr, resolution=R,
+            rank=args.rank, iters=args.iters, lr=0.03, tv_weight=1e-5,
+            log_every=args.sync_every,
+        )
+        vol = kplanes_field_to_volume(field, float(times[13]), 1.0)
+    elif args.dynamic:
         from focnerf_tpu.train.voxel_dynamic import (
             dyn_field_to_volume,
             fit_dyn_voxels,
@@ -124,7 +140,9 @@ def main():
     mse = float(jnp.mean((img - gts[13]) ** 2))
     print(json.dumps({
         "metric": (
-            "dyn_" if args.dynamic else "vm_" if args.vm else ""
+            "kplanes_" if args.kplanes
+            else "dyn_" if args.dynamic
+            else "vm_" if args.vm else ""
         ) + "voxel_train_rays_per_sec",
         "value": round(info["rays_per_sec"], 1),
         "unit": "rays/s",
