@@ -27,18 +27,36 @@ import numpy as np
 from focnerf_tpu.config import Options, parse_options
 
 
+def _baked_cache_name(opt: Options) -> str:
+    return f"baked_{opt.bake_res}_sh{opt.bake_sh}.npz"
+
+
+def _object_kind(ws_dir: str, opt: Options) -> str:
+    """"ckpt" (network checkpoint), "volume" (voxel-trained, main_voxel),
+    or "" (not an object workspace)."""
+    ckpt = os.path.join(ws_dir, "checkpoints")
+    # a real object workspace carries the self-describing model config
+    # (written at train time); bare orbax-created dirs are skipped
+    if os.path.isdir(ckpt) and os.path.exists(
+        os.path.join(ckpt, "model_config.json")
+    ):
+        return "ckpt"
+    if os.path.exists(os.path.join(ws_dir, _baked_cache_name(opt))):
+        return "volume"
+    return ""
+
+
 def discover_objects(opt: Options) -> List[str]:
-    """Find workspace_<obj> directories with checkpoints (gather_checkpoints)."""
+    """Find workspace_<obj> directories holding either network checkpoints
+    (main_nerf flow, gather_checkpoints parity) or a trained voxel volume
+    (main_voxel flow — composable via --baked)."""
     root = opt.ckpt_dir or "."
     objs = []
     for name in sorted(os.listdir(root)):
         if "_" not in name:
             continue
         obj = name.rsplit("_", 1)[-1]
-        ckpt = os.path.join(root, name, "checkpoints")
-        # a real object workspace carries the self-describing model config
-        # (written at train time); bare orbax-created dirs are skipped
-        if os.path.isdir(ckpt) and os.path.exists(os.path.join(ckpt, "model_config.json")):
+        if _object_kind(os.path.join(root, name), opt):
             if not opt.objects_of_interest or obj in opt.objects_of_interest:
                 objs.append(obj)
     return objs
@@ -64,20 +82,32 @@ def load_composition(opt: Options, feats_mode: str = "avg", test_poses=None):
     objs = discover_objects(opt)
     if not objs:
         raise SystemExit(f"no object checkpoints found under {opt.ckpt_dir!r}")
+    root = opt.ckpt_dir or "."
+    prefix = _ws_prefix(opt)
     cfg = None
     params_list = []
     occ_list = []
+    # voxel-trained objects (main_voxel workspaces) carry no network — they
+    # join the composition as pre-baked volumes (obj -> npz path), --baked only
+    vol_paths: Dict[str, str] = {}
     for obj in objs:
-        ckpt_dir = os.path.join(opt.ckpt_dir or ".", f"{_ws_prefix(opt)}_{obj}", "checkpoints")
+        ws_dir = os.path.join(root, f"{prefix}_{obj}")
+        if _object_kind(ws_dir, opt) == "volume":
+            vol_paths[obj] = os.path.join(ws_dir, _baked_cache_name(opt))
+            print(f"[combined] {obj}: voxel volume {vol_paths[obj]}")
+            continue
+        ckpt_dir = os.path.join(ws_dir, "checkpoints")
         params, cfg = load_object_params(ckpt_dir, cfg or opt.nerf_config())
         params_list.append(params)
         occ_list.append(load_object_occupancy(ckpt_dir, cfg))
         print(f"[combined] loaded {obj}")
-    stacked = stack_object_params(params_list)
+    if cfg is None:
+        cfg = opt.nerf_config()
+    stacked = stack_object_params(params_list) if params_list else None
     # per-object occupancy grids -> stacked bitfields (None if any object
     # trained without a grid; the compositor then uses uniform sampling)
     stacked_occ = None
-    if all(o is not None for o in occ_list):
+    if params_list and all(o is not None for o in occ_list):
         import jax.numpy as jnp
 
         from focnerf_tpu.ops.occupancy import occupancy_bitfield
@@ -87,15 +117,15 @@ def load_composition(opt: Options, feats_mode: str = "avg", test_poses=None):
         )
 
     obj_feats = None
-    if cfg.use_objfeat:
+    if cfg.use_objfeat and params_list:
         obj_feats = composition_feats(
             objs,
-            gather_obj_feats(opt.ckpt_dir or "."),
+            gather_obj_feats(root),
             cfg.yolo_feats_dim,
             feats_mode=feats_mode,
             test_poses=test_poses,
         )
-    return objs, cfg, stacked, obj_feats, stacked_occ
+    return objs, cfg, stacked, obj_feats, stacked_occ, vol_paths
 
 
 def composition_feats(
@@ -137,10 +167,7 @@ def _ws_prefix(opt: Options) -> str:
     candidates = [
         n.rsplit("_", 1)[0]
         for n in os.listdir(opt.ckpt_dir or ".")
-        if "_" in n
-        and os.path.exists(
-            os.path.join(opt.ckpt_dir or ".", n, "checkpoints", "model_config.json")
-        )
+        if "_" in n and _object_kind(os.path.join(opt.ckpt_dir or ".", n), opt)
     ]
     return candidates[0] if candidates else "workspace"
 
@@ -158,39 +185,70 @@ def evaluate_composition(
     from focnerf_tpu.render.compose import union_occupancy_bits
 
     dataset = NeRFDataset(opt.dataset_options(), split="val")
-    objs, cfg, stacked, obj_feats, stacked_occ = load_composition(
+    objs, cfg, stacked, obj_feats, stacked_occ, vol_paths = load_composition(
         opt, feats_mode=feats_mode, test_poses=dataset.poses
     )
+    if vol_paths and not opt.baked:
+        raise SystemExit(
+            f"voxel-trained objects {sorted(vol_paths)} have no network to "
+            "march per sample — compose them with --baked"
+        )
 
     baked_vol = None
     if opt.baked:
         # bake once, merge by max density, render every view in real time
-        # (render/baked.py; replaces the per-sample path below)
-        from focnerf_tpu.render.baked import bake_field, merge_volumes, shift_volume
+        # (render/baked.py; replaces the per-sample path below). Voxel-trained
+        # objects load their trained volume directly instead of baking.
+        from focnerf_tpu.render.baked import (
+            BakedVolume,
+            bake_field,
+            load_volume,
+            merge_volumes,
+            shift_volume,
+        )
 
         avg_feats = obj_feats if (obj_feats is None or obj_feats.ndim == 2) else jnp.mean(obj_feats, 0)
         t0 = time.time()
         vols = []
-        for k in range(len(objs)):
-            pk = jax.tree.map(lambda a: a[k], stacked)
-            vols.append(
-                bake_field(
+        ki = 0  # position in the ckpt-object stack (volume objs excluded)
+        for k, obj in enumerate(objs):
+            if obj in vol_paths:
+                vol = load_volume(vol_paths[obj])
+                if vol.sh_deg != opt.bake_sh or vol.rgba.shape[0] != opt.bake_res:
+                    raise SystemExit(
+                        f"{vol_paths[obj]} is {vol.rgba.shape[0]}^3/sh{vol.sh_deg}"
+                        f" but the composition is {opt.bake_res}^3/sh"
+                        f"{opt.bake_sh} — retrain or match --bake_res/--bake_sh"
+                    )
+                if cfg.density_scale != 1.0:
+                    # voxel fields train at density_scale 1; the composed
+                    # render multiplies by cfg.density_scale — neutralize
+                    vol = BakedVolume(
+                        rgba=vol.rgba.at[..., -1].divide(cfg.density_scale),
+                        bound=vol.bound, sh_deg=vol.sh_deg,
+                    )
+            else:
+                pk = jax.tree.map(lambda a: a[ki], stacked)
+                vol = bake_field(
                     pk, cfg, resolution=opt.bake_res,
                     obj_feat=None if avg_feats is None else avg_feats[k],
-                    occ_bits=None if stacked_occ is None else stacked_occ[k],
+                    occ_bits=None if stacked_occ is None else stacked_occ[ki],
                     sh_degree=opt.bake_sh,
                 )
-            )
+                ki += 1
             if offsets is not None:
                 # compose offsets query the field at x+off -> scene pos -off
-                vols[-1] = shift_volume(vols[-1], -np.asarray(offsets[k]))
+                vol = shift_volume(vol, -np.asarray(offsets[k]))
+            vols.append(vol)
         baked_vol = merge_volumes(vols)
         jax.block_until_ready(baked_vol.rgba)
         msg = f"[baked] {len(objs)} objects baked+merged at {opt.bake_res}^3 in {time.time()-t0:.1f}s"
         print(msg)
     # march on the union of object occupancies (occ-accelerated composition)
     occ_kwargs = {}
-    if stacked_occ is not None:
+    if stacked_occ is not None and baked_vol is None:
+        # per-sample path only (and then objs == ckpt objs, so the offset
+        # alignment with the stacked bitfields is exact)
         occ_kwargs = dict(
             occ_bits=union_occupancy_bits(stacked_occ, offsets, cfg.bound),
             dt_gamma=opt.dt_gamma,

@@ -277,6 +277,49 @@ class TestVoxelCLI:
         field, bound, sh = load_dyn_field(path)
         assert field.deltas.shape[0] == 2 and field.wslots.shape == (4, 2)
 
+    def test_voxel_workspace_composes(self, scene, tmp_path):
+        """Voxel-trained workspaces (no network checkpoint) are first-class
+        composition citizens under --baked: combined discovers the
+        `<prefix>_<obj>` dir by its baked_*.npz, loads the trained volume
+        directly, and renders/edits it like any checkpointed object."""
+        import numpy as np
+
+        from focnerf_tpu.apps import combined, editable
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+
+        root = str(tmp_path / "objs")
+        os.makedirs(root, exist_ok=True)
+        voxel_main([
+            scene, "--workspace", os.path.join(root, "ws_background"),
+            "--iters", "40", "--bake_res", "16",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        comb_ws = str(tmp_path / "comb")
+        combined.main([
+            scene, "--ckpt_dir", root, "--workspace", comb_ws, "--baked",
+            "--bake_res", "16", "--scale", "1.0", "--bound", "1.0",
+        ])
+        out = os.path.join(comb_ws, "rgbs_w", "0000.png")
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+        assert os.path.exists(os.path.join(comb_ws, "log.txt"))
+
+        # the per-sample path has no network to march -> clear refusal
+        with pytest.raises(SystemExit, match="baked"):
+            combined.main([
+                scene, "--ckpt_dir", root,
+                "--workspace", str(tmp_path / "comb2"),
+                "--bake_res", "16", "--scale", "1.0", "--bound", "1.0",
+            ])
+
+        # editing translates the voxel object through the same flow
+        edit_ws = str(tmp_path / "edit")
+        editable.main([
+            scene, "--ckpt_dir", root, "--workspace", edit_ws, "--baked",
+            "--bake_res", "16", "--edit_object", "background",
+            "--offset_x", "0.25", "--scale", "1.0", "--bound", "1.0",
+        ])
+        assert os.path.exists(os.path.join(edit_ws, "rgbs_w", "0000.png"))
+
     def test_voxel_kplanes_cli(self, scene, tmp_path):
         """--voxel_kplanes trains the six-plane space-time family and the
         viewer serves it with the time slider (kplanes_*.npz path)."""
