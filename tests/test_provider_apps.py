@@ -320,6 +320,39 @@ class TestVoxelCLI:
         ])
         assert os.path.exists(os.path.join(edit_ws, "rgbs_w", "0000.png"))
 
+    def test_mixed_ckpt_and_voxel_composition(self, scene, tmp_path):
+        """A checkpointed object and a voxel-trained object merge in ONE
+        --baked composition (exercises the ckpt-stack reindexing when
+        volume objects are interleaved)."""
+        from focnerf_tpu.apps import combined
+        from focnerf_tpu.apps.main_nerf import main as nerf_main
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+
+        root = str(tmp_path / "objs")
+        os.makedirs(root, exist_ok=True)
+        # checkpointed object: 'background' via the hash-grid trainer
+        nerf_main([
+            scene, "--workspace", os.path.join(root, "ws"),
+            "--iters", "20", "--num_steps", "16", "--disable_yolo",
+            "--scale", "1.0", "--num_rays", "64", "--bound", "1.0",
+            "--max_ray_batch", "128",
+        ])
+        # voxel object: 'sphere' (any name) trained by main_voxel
+        voxel_main([
+            scene, "--workspace", os.path.join(root, "ws_sphere"),
+            "--iters", "30", "--bake_res", "16",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        comb_ws = str(tmp_path / "compmix")
+        combined.main([
+            scene, "--ckpt_dir", root, "--workspace", comb_ws, "--baked",
+            "--bake_res", "16", "--scale", "1.0", "--bound", "1.0",
+        ])
+        out = os.path.join(comb_ws, "rgbs_w", "0000.png")
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+        log = open(os.path.join(comb_ws, "log.txt")).read()
+        assert "background" in log and "sphere" in log
+
     def test_voxel_kplanes_cli(self, scene, tmp_path):
         """--voxel_kplanes trains the six-plane space-time family and the
         viewer serves it with the time slider (kplanes_*.npz path)."""
