@@ -401,6 +401,7 @@ def make_voxel_dp_step(
     supervise: str = "intermediate",
     collapse_fn=None,
     reg_fn=None,
+    time_conditioned: bool = False,
 ):
     """Pose-parallel voxel train step over a device mesh (SURVEY §2.3 DP).
 
@@ -422,8 +423,13 @@ def make_voxel_dp_step(
     tv_weight * tv_loss — the dense field). The VM family passes
     collapse_vm / vm_tv_loss (train/voxel_vm.py::make_vm_dp_step).
 
+    ``time_conditioned=True`` serves the dynamic families: collapse_fn then
+    takes (params, t) and runs INSIDE the per-device vmap (each device
+    collapses the field at its own view's time), and the step gains a
+    ``times [D]`` argument after ``poses``.
+
     Returns (optimizer, step) with
-    step(params, opt_state, poses [D,4,4], gts, masks) ->
+    step(params, opt_state, poses [D,4,4][, times [D]], gts, masks) ->
     (params, opt_state, mse).
     """
     import optax
@@ -469,6 +475,38 @@ def make_voxel_dp_step(
                 density_scale=density_scale, sh_deg=sh_degree, remat=remat,
             )
             return jnp.mean((img - gt) ** 2)
+
+    if time_conditioned:
+        # each device collapses the field at its own view's t: the collapse
+        # moves inside the vmap (its flops replicate per device, but the
+        # factorized params are tiny — that is the point of these families)
+        def loss_one_t(params, pose, t, target, mask):
+            return loss_one(collapse_fn(params, t), pose, target, mask)
+
+        def loss_fn(params, poses, times, gts, masks):
+            mse = jnp.mean(
+                jax.vmap(loss_one_t, in_axes=(None, 0, 0, 0, 0))(
+                    params, poses, times, gts, masks
+                )
+            )
+            return mse + reg_fn(params), mse
+
+        @jax.jit
+        def step(params, opt_state, poses, times, gts, masks):
+            params = jax.lax.with_sharding_constraint(
+                params, jax.tree.map(lambda _: repl, params)
+            )
+            poses = jax.lax.with_sharding_constraint(poses, data)
+            times = jax.lax.with_sharding_constraint(times, data)
+            gts = jax.lax.with_sharding_constraint(gts, data)
+            masks = jax.lax.with_sharding_constraint(masks, data)
+            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, poses, times, gts, masks
+            )
+            updates, opt_state = optimizer.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, mse
+
+        return optimizer, step
 
     def loss_fn(params, poses, gts, masks):
         raw = collapse_fn(params)

@@ -110,6 +110,40 @@ def load_dyn_field(path: str) -> Tuple[DynVoxelField, float, int]:
         )
 
 
+def make_dyn_dp_step(
+    mesh,
+    intrinsics: Sequence[float],
+    *,
+    H: int,
+    W: int,
+    resolution: int,
+    warp_axis: int,
+    flip: bool,
+    tv_weight: float = 1e-4,
+    time_smooth_weight: float = 1e-3,
+    **kw,
+):
+    """Pose-parallel DP step for the low-rank dynamic family (each device
+    collapses at its own view's t; the time_conditioned variant of
+    train/voxel.py::make_voxel_dp_step).
+
+    step(field, opt_state, poses [D,4,4], times [D], wgts, masks)."""
+    from focnerf_tpu.train.voxel import make_voxel_dp_step
+
+    def reg(field):
+        r = tv_weight * (
+            tv_loss(field.base) + jnp.mean(jax.vmap(tv_loss)(field.deltas))
+        )
+        dw = jnp.diff(field.wslots, axis=0)
+        return r + time_smooth_weight * jnp.mean(dw * dw)
+
+    return make_voxel_dp_step(
+        mesh, intrinsics, H=H, W=W, resolution=resolution,
+        warp_axis=warp_axis, flip=flip, collapse_fn=collapse_field,
+        reg_fn=reg, time_conditioned=True, **kw,
+    )
+
+
 def fit_dyn_voxels(
     poses: np.ndarray,  # [V, 4, 4] c2w
     images: np.ndarray,  # [V, H, W, 3] in [0, 1]

@@ -178,6 +178,40 @@ def load_kplanes_field(path: str) -> Tuple[KPlanesField, float, int]:
         )
 
 
+def make_kplanes_dp_step(
+    mesh,
+    intrinsics: Sequence[float],
+    *,
+    H: int,
+    W: int,
+    resolution: int,
+    warp_axis: int,
+    flip: bool,
+    tv_weight: float = 1e-4,
+    time_smooth_weight: float = 1e-3,
+    **kw,
+):
+    """Pose-parallel DP step for the K-planes family: each device collapses
+    the six-plane field at its own view's time and renders one pose; the
+    tiny factorized params replicate and gradients psum (the
+    time_conditioned variant of train/voxel.py::make_voxel_dp_step).
+
+    step(field, opt_state, poses [D,4,4], times [D], wgts, masks)."""
+    from focnerf_tpu.train.voxel import make_voxel_dp_step
+
+    def reg(field):
+        return (
+            tv_weight * kplanes_tv_loss(field)
+            + time_smooth_weight * kplanes_time_smoothness(field)
+        )
+
+    return make_voxel_dp_step(
+        mesh, intrinsics, H=H, W=W, resolution=resolution,
+        warp_axis=warp_axis, flip=flip, collapse_fn=collapse_kplanes,
+        reg_fn=reg, time_conditioned=True, **kw,
+    )
+
+
 def fit_kplanes(
     poses: np.ndarray,  # [V, 4, 4] c2w
     images: np.ndarray,  # [V, H, W, 3] in [0, 1]

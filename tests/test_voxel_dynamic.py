@@ -58,6 +58,54 @@ class TestDynField:
         )  # f16 storage
 
 
+class TestDynDP:
+    def test_time_conditioned_step_runs(self):
+        """make_dyn_dp_step: one pose-parallel step over per-view times
+        (the time_conditioned DP core is parity-tested in
+        test_voxel_kplanes.py; this covers the low-rank wrapper)."""
+        if jax.device_count() < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        from focnerf_tpu.parallel.mesh import make_mesh
+        from focnerf_tpu.render.baked import warp_gt_to_intermediate
+        from focnerf_tpu.train.voxel import _pose_variant
+        from focnerf_tpu.train.voxel_dynamic import make_dyn_dp_step
+
+        H = W = 32
+        intr = (38.4, 38.4, 16.0, 16.0)
+        all_poses = np.asarray(rand_poses(np.random.default_rng(3), 64, radius=2.5))
+        key0 = _pose_variant(all_poses[0], 1.0)
+        poses = np.stack(
+            [p for p in all_poses if _pose_variant(p, 1.0) == key0]
+        )[:8]
+        times = np.linspace(0.0, 1.0, 8).astype(np.float32)
+        imgs = [
+            render_baked(_moving_sphere_volume(float(t), R=16), p, intr, H, W)[0]
+            for p, t in zip(poses, times)
+        ]
+        warped = [
+            warp_gt_to_intermediate(
+                img, p, jnp.asarray(intr, jnp.float32), 1.0,
+                axis=key0[0], flip=key0[1], ri=32,
+            )
+            for img, p in zip(imgs, poses)
+        ]
+        gts = jnp.stack([w for w, _ in warped])
+        masks = jnp.stack([m for _, m in warped])
+        field0 = init_dyn_voxel_field(16, rank=2, time_slots=4)
+        optimizer, step = make_dyn_dp_step(
+            make_mesh(8), intr, H=H, W=W, resolution=16,
+            warp_axis=key0[0], flip=key0[1],
+        )
+        field, _, mse = step(
+            field0, optimizer.init(field0), jnp.asarray(poses),
+            jnp.asarray(times), gts, masks,
+        )
+        assert np.isfinite(float(mse))
+        assert not np.allclose(np.asarray(field.base), np.asarray(field0.base))
+
+
 class TestFitDynVoxels:
     def test_learns_moving_sphere(self):
         """The low-rank field must track the sphere across time: renders at

@@ -145,6 +145,66 @@ class TestFitKPlanes:
         assert mse(r0, gt0) < 0.04 and mse(r1, gt1) < 0.04
 
 
+class TestKPlanesDP:
+    def test_dp_matches_single_device(self):
+        """8-way time-conditioned pose-parallel step == the same batch on
+        one device (each device collapses at its own view's t)."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from focnerf_tpu.parallel.mesh import make_mesh
+        from focnerf_tpu.render.baked import (
+            render_baked as _rb,
+            warp_gt_to_intermediate,
+        )
+        from focnerf_tpu.train.voxel import _pose_variant
+        from focnerf_tpu.train.voxel_kplanes import make_kplanes_dp_step
+
+        H = W = 32
+        intr = (38.4, 38.4, 16.0, 16.0)
+        all_poses = np.asarray(rand_poses(np.random.default_rng(3), 64, radius=2.5))
+        key0 = _pose_variant(all_poses[0], 1.0)
+        poses = np.stack(
+            [p for p in all_poses if _pose_variant(p, 1.0) == key0]
+        )[:8]
+        assert len(poses) == 8
+        times = np.linspace(0.0, 1.0, 8).astype(np.float32)
+        imgs = [
+            _rb(_moving_sphere_volume(float(t), R=16), p, intr, H, W)[0]
+            for p, t in zip(poses, times)
+        ]
+        ri = 16 * 2
+        warped = [
+            warp_gt_to_intermediate(
+                img, p, jnp.asarray(intr, jnp.float32), 1.0,
+                axis=key0[0], flip=key0[1], ri=ri,
+            )
+            for img, p in zip(imgs, poses)
+        ]
+        gts = jnp.stack([w for w, _ in warped])
+        masks = jnp.stack([m for _, m in warped])
+        field0 = init_kplanes_field(16, rank=2, time_res=4, rng=jax.random.key(0))
+
+        def run(n):
+            optimizer, step = make_kplanes_dp_step(
+                make_mesh(n), intr, H=H, W=W, resolution=16,
+                warp_axis=key0[0], flip=key0[1], tv_weight=1e-4,
+            )
+            return step(
+                field0, optimizer.init(field0), jnp.asarray(poses),
+                jnp.asarray(times), gts, masks,
+            )
+
+        f8, _, mse8 = run(8)
+        f1, _, mse1 = run(1)
+        np.testing.assert_allclose(float(mse8), float(mse1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(f8.space), np.asarray(f1.space), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(f8.time), np.asarray(f1.time), atol=1e-5
+        )
+
+
 class TestKPlanesCli:
     def test_family_flags_are_exclusive(self, tmp_path):
         from focnerf_tpu.apps import main_voxel
