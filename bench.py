@@ -156,13 +156,15 @@ def bench_dp(n_devices: int):
     )
 
 
-def bench_voxel(dynamic: bool = False, vm: bool = False):
+def bench_voxel(dynamic: bool = False, vm: bool = False, kplanes: bool = False):
     """Headline: dense voxel family train step, folded-dispatch timing.
 
     ``dynamic=True`` (bench.py --dyn) measures the time-factorized family
     (train/voxel_dynamic.py, rank 4): the GT sphere slides along x with t
     and each pose supervises at its own time. ``vm=True`` (bench.py --vm)
     measures the VM-factorized family (train/voxel_vm.py, rank 16).
+    ``kplanes=True`` (bench.py --kplanes) measures the six-plane space-time
+    family (train/voxel_kplanes.py, rank 8) on the same moving-sphere GT.
     """
     import optax
 
@@ -188,6 +190,8 @@ def bench_voxel(dynamic: bool = False, vm: bool = False):
     # striped-sphere GT volume, views rendered on device (no d2h)
     c = (jnp.arange(R) + 0.5) / R * 2 - 1
     X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
+
+    dynamic = dynamic or kplanes  # kplanes trains on the moving GT too
 
     def gt_volume(t: float) -> BakedVolume:
         cx = (0.6 * t - 0.3) if dynamic else 0.0
@@ -225,7 +229,13 @@ def bench_voxel(dynamic: bool = False, vm: bool = False):
 
     optimizer = optax.adam(5e-2)
 
-    if dynamic:
+    if kplanes:
+        from focnerf_tpu.train.voxel_kplanes import (
+            collapse_kplanes,
+            init_kplanes_field,
+            kplanes_tv_loss,
+        )
+    elif dynamic:
         from focnerf_tpu.train.voxel_dynamic import (
             collapse_field,
             init_dyn_voxel_field,
@@ -238,7 +248,10 @@ def bench_voxel(dynamic: bool = False, vm: bool = False):
         )
 
     def loss_fn(params, pose, t, wgt, mask):
-        if dynamic:
+        if kplanes:
+            raw = collapse_kplanes(params, t)
+            reg = 1e-5 * kplanes_tv_loss(params)
+        elif dynamic:
             raw = collapse_field(params, t)
             reg = 1e-5 * (
                 tv_loss(params.base)
@@ -273,7 +286,9 @@ def bench_voxel(dynamic: bool = False, vm: bool = False):
 
         return jax.lax.fori_loop(0, FOLD, body, (params, opt_state, jnp.float32(1.0)))
 
-    if dynamic:
+    if kplanes:
+        params = init_kplanes_field(R, rank=8, rng=jax.random.key(0))
+    elif dynamic:
         params = init_dyn_voxel_field(R, rank=4, rng=jax.random.key(0))
     elif vm:
         params = init_vm_field(R, rank=16, rng=jax.random.key(0))
@@ -299,7 +314,8 @@ def bench_voxel(dynamic: bool = False, vm: bool = False):
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
                 "family": (
-                    "dyn_voxel_shearwarp_rank4" if dynamic
+                    "kplanes_shearwarp_rank8" if kplanes
+                    else "dyn_voxel_shearwarp_rank4" if dynamic
                     else "vm_voxel_shearwarp_rank16" if vm
                     else "dense_voxel_shearwarp"
                 ),
@@ -384,5 +400,7 @@ if __name__ == "__main__":
         bench_voxel(dynamic=True)
     elif "--vm" in sys.argv:
         bench_voxel(vm=True)
+    elif "--kplanes" in sys.argv:
+        bench_voxel(kplanes=True)
     else:
         bench_voxel()

@@ -53,7 +53,13 @@ def _view_only(opt):
         # interactive
         from focnerf_tpu.render.baked import render_baked
 
-        if os.path.exists(kp_cache):
+        # when both families were trained into this workspace, serve the
+        # NEWEST field — the latest training run wins, not a fixed priority
+        newest_is_kp = os.path.exists(kp_cache) and (
+            not os.path.exists(dyn_cache)
+            or os.path.getmtime(kp_cache) >= os.path.getmtime(dyn_cache)
+        )
+        if newest_is_kp:
             from focnerf_tpu.train.voxel_kplanes import (
                 kplanes_field_to_volume as dyn_field_to_volume,
                 load_kplanes_field as _load,

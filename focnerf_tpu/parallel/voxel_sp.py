@@ -178,26 +178,13 @@ def make_voxel_sp_step(
 
         if sh_degree > 0:
             # contract the composited SH payload with one basis per pixel
-            # AFTER the cross-device combine (_composite_core semantics:
-            # each intermediate pixel is one primary ray through the eye)
-            from focnerf_tpu.ops.sh import sh_encode
+            # AFTER the cross-device combine (shared with _composite_core)
+            from focnerf_tpu.render.baked import sh_contract_plane
 
-            dz_p = jnp.broadcast_to(-e_z, (ri, ri))
-            dy_p = jnp.broadcast_to((gy - e_y)[:, None], (ri, ri))
-            dx_p = jnp.broadcast_to((gx - e_x)[None, :], (ri, ri))
-            d_world = jnp.zeros((ri, ri, 3), jnp.float32)
-            d_world = d_world.at[..., warp_axis].set(
-                dz_p * (-1.0 if flip else 1.0)
+            C = sh_contract_plane(
+                C, e_z, e_y, e_x, gy, gx, axis=warp_axis, flip=flip,
+                ri=ri, sh_deg=sh_degree,
             )
-            d_world = d_world.at[..., others[0]].set(dy_p)
-            d_world = d_world.at[..., others[1]].set(dx_p)
-            d_world = d_world / jnp.maximum(
-                jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-9
-            )
-            L = sh_degree * sh_degree
-            Y = sh_encode(d_world, sh_degree)  # [ri, ri, L]
-            C = jnp.einsum("ijl,ijlc->ijc", Y, C.reshape(ri, ri, L, 3))
-            C = jnp.clip(C, 0.0, 1.0)
 
         img_i = C + T[..., None] * bg_color
 
@@ -337,21 +324,19 @@ def fit_voxels_sp(
     intr_dev = jnp.asarray(intrinsics, jnp.float32)
     ri = resolution * intermediate_scale
 
-    # group views by pose variant; apportion iterations by group size
+    # group views by pose variant; apportion iterations by group size with
+    # largest-remainder rounding so the counts sum to EXACTLY ``iters`` and
+    # no group with a >=1 quota is starved by earlier rounding overshoot
     groups: Dict[Tuple[int, bool], list] = {}
     for v in range(V):
         groups.setdefault(_pose_variant(poses[v], bound), []).append(v)
     keys = sorted(groups)
-    remaining = {}
-    acc = 0
-    for i, k in enumerate(keys):
-        n = (
-            iters - acc
-            if i == len(keys) - 1
-            else int(round(iters * len(groups[k]) / V))
-        )
-        remaining[k] = max(n, 0)
-        acc += remaining[k]
+    sizes = np.array([len(groups[k]) for k in keys], np.float64)
+    quota = sizes / sizes.sum() * iters
+    base = np.floor(quota).astype(int)
+    for i in np.argsort(-(quota - base))[: iters - int(base.sum())]:
+        base[i] += 1
+    remaining = dict(zip(keys, base.tolist()))
 
     steps = {}  # (axis, flip) -> (step, shard_fn)
     warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
@@ -377,10 +362,18 @@ def fit_voxels_sp(
             )
         return warped[v]
 
-    import optax
-
     raw = init_voxel_field(resolution, sh_degree, rng=jax.random.key(seed))
-    opt_state = optax.adam(lr).init(raw)
+    # init the adam state with the SAME optimizer the compiled steps use
+    # (every make_voxel_sp_step builds an identical one; taking it from the
+    # first step keeps the coupling explicit if its config ever changes)
+    opt0, step0, shard0 = make_voxel_sp_step(
+        mesh, intrinsics, resolution=resolution, warp_axis=keys[0][0],
+        flip=keys[0][1], bound=bound, sh_degree=sh_degree, lr=lr,
+        tv_weight=tv_weight, bg_color=bg_color, density_scale=density_scale,
+        intermediate_scale=intermediate_scale, remat=remat, block=block,
+    )
+    steps[keys[0]] = (step0, shard0)
+    opt_state = opt0.init(raw)
 
     rng = np.random.default_rng(seed)
     t0 = time.time()
@@ -417,7 +410,7 @@ def fit_voxels_sp(
     raw = jnp.asarray(raw)
     info = {
         "psnr": psnr,
-        "rays_per_sec": ri * ri * iters / dt,
+        "rays_per_sec": ri * ri * done / dt,
         "seconds": dt,
         "raw": raw,
         "n_devices": int(np.prod(list(mesh.shape.values()))),

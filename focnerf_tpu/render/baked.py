@@ -395,6 +395,33 @@ def _fold_blocks(
     return out[0], out[1], None
 
 
+def sh_contract_plane(C, e_z, e_y, e_x, gy, gx, *, axis, flip, ri, sh_deg):
+    """Contract a composited SH payload [ri, ri, L*3] with ONE basis per
+    intermediate pixel (each pixel is exactly one primary ray through the
+    eye): rgb = sum_l Y_l(dir) * C[..., l, :], clipped to [0, 1].
+
+    ``e_z`` must already carry the flip negation (both callers — the
+    monolithic _composite_core and the slice-sharded parallel/voxel_sp.py
+    step — negate it before folding)."""
+    from focnerf_tpu.ops.sh import sh_encode
+
+    others = [a for a in range(3) if a != axis]
+    dz_p = jnp.broadcast_to(-e_z, (ri, ri))
+    dy_p = jnp.broadcast_to((gy - e_y)[:, None], (ri, ri))
+    dx_p = jnp.broadcast_to((gx - e_x)[None, :], (ri, ri))
+    d_world = jnp.zeros((ri, ri, 3), jnp.float32)
+    d_world = d_world.at[..., axis].set(dz_p * (-1.0 if flip else 1.0))
+    d_world = d_world.at[..., others[0]].set(dy_p)
+    d_world = d_world.at[..., others[1]].set(dx_p)
+    d_world = d_world / jnp.maximum(
+        jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-9
+    )
+    L = sh_deg * sh_deg
+    Y = sh_encode(d_world, sh_deg)  # [Ri, Ri, L]
+    C = jnp.einsum("ijl,ijlc->ijc", Y, C.reshape(ri, ri, L, 3))
+    return jnp.clip(C, 0.0, 1.0)
+
+
 def _composite_core(
     rgba,  # [R, R, R, 4] axes (x, y, z)
     bound: float,
@@ -461,25 +488,10 @@ def _composite_core(
     )
 
     if sh_deg > 0:
-        # each intermediate pixel is exactly one primary ray through the eye,
-        # so the composited SH payload contracts with ONE basis per pixel:
-        # rgb = sum_l Y_l(dir) * C[..., l, :]
-        from focnerf_tpu.ops.sh import sh_encode
-
-        dz_p = jnp.broadcast_to(-e_z, (ri, ri))
-        dy_p = jnp.broadcast_to((gy - e_y)[:, None], (ri, ri))
-        dx_p = jnp.broadcast_to((gx - e_x)[None, :], (ri, ri))
-        d_world = jnp.zeros((ri, ri, 3), jnp.float32)
-        d_world = d_world.at[..., axis].set(dz_p * (-1.0 if flip else 1.0))
-        d_world = d_world.at[..., others[0]].set(dy_p)
-        d_world = d_world.at[..., others[1]].set(dx_p)
-        d_world = d_world / jnp.maximum(
-            jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-9
+        C = sh_contract_plane(
+            C, e_z, e_y, e_x, gy, gx, axis=axis, flip=flip, ri=ri,
+            sh_deg=sh_deg,
         )
-        L = sh_deg * sh_deg
-        Y = sh_encode(d_world, sh_deg)  # [Ri, Ri, L]
-        C = jnp.einsum("ijl,ijlc->ijc", Y, C.reshape(ri, ri, L, 3))
-        C = jnp.clip(C, 0.0, 1.0)
 
     return C, T, D, (ymin, xmin, dy_i, dx_i)
 

@@ -438,6 +438,12 @@ def make_voxel_dp_step(
 
     from focnerf_tpu.render.baked import _composite_core, _render_core
 
+    if time_conditioned and collapse_fn is None:
+        raise ValueError(
+            "time_conditioned=True requires a collapse_fn(params, t) — the "
+            "dense default collapse takes no time (see make_kplanes_dp_step/"
+            "make_dyn_dp_step for the dynamic-family wrappers)"
+        )
     if collapse_fn is None:
         collapse_fn = lambda p: p  # noqa: E731 — dense field IS the raw grid
     if reg_fn is None:

@@ -79,6 +79,18 @@ def collapse_field(field: DynVoxelField, t) -> jax.Array:
     return field.base + jnp.einsum("k,kxyzc->xyzc", w, field.deltas)
 
 
+def dyn_reg(
+    field: DynVoxelField, tv_weight: float, time_smooth_weight: float
+) -> jax.Array:
+    """The family regularizer (single source for fit + DP step): 3D TV on
+    base and each delta + L2 smoothness on consecutive time slots."""
+    r = tv_weight * (
+        tv_loss(field.base) + jnp.mean(jax.vmap(tv_loss)(field.deltas))
+    )
+    dw = jnp.diff(field.wslots, axis=0)
+    return r + time_smooth_weight * jnp.mean(dw * dw)
+
+
 def dyn_field_to_volume(
     field: DynVoxelField, t, bound: float, sh_degree: int = 0
 ) -> BakedVolume:
@@ -131,11 +143,7 @@ def make_dyn_dp_step(
     from focnerf_tpu.train.voxel import make_voxel_dp_step
 
     def reg(field):
-        r = tv_weight * (
-            tv_loss(field.base) + jnp.mean(jax.vmap(tv_loss)(field.deltas))
-        )
-        dw = jnp.diff(field.wslots, axis=0)
-        return r + time_smooth_weight * jnp.mean(dw * dw)
+        return dyn_reg(field, tv_weight, time_smooth_weight)
 
     return make_voxel_dp_step(
         mesh, intrinsics, H=H, W=W, resolution=resolution,
@@ -178,11 +186,7 @@ def fit_dyn_voxels(
     )
 
     def reg(field):
-        r = tv_weight * (
-            tv_loss(field.base) + jnp.mean(jax.vmap(tv_loss)(field.deltas))
-        )
-        dw = jnp.diff(field.wslots, axis=0)
-        return r + time_smooth_weight * jnp.mean(dw * dw)
+        return dyn_reg(field, tv_weight, time_smooth_weight)
 
     return _fit_field_loop(
         poses, images, intrinsics,

@@ -150,6 +150,16 @@ def kplanes_time_smoothness(field: KPlanesField) -> jax.Array:
     return jnp.mean(d2 * d2)
 
 
+def kplanes_reg(
+    field: KPlanesField, tv_weight: float, time_smooth_weight: float
+) -> jax.Array:
+    """The family regularizer (single source for fit + DP step)."""
+    return (
+        tv_weight * kplanes_tv_loss(field)
+        + time_smooth_weight * kplanes_time_smoothness(field)
+    )
+
+
 def save_kplanes_field(
     path: str, field: KPlanesField, bound: float, sh_degree: int
 ) -> None:
@@ -200,10 +210,7 @@ def make_kplanes_dp_step(
     from focnerf_tpu.train.voxel import make_voxel_dp_step
 
     def reg(field):
-        return (
-            tv_weight * kplanes_tv_loss(field)
-            + time_smooth_weight * kplanes_time_smoothness(field)
-        )
+        return kplanes_reg(field, tv_weight, time_smooth_weight)
 
     return make_voxel_dp_step(
         mesh, intrinsics, H=H, W=W, resolution=resolution,
@@ -246,10 +253,7 @@ def fit_kplanes(
     )
 
     def reg(field):
-        return (
-            tv_weight * kplanes_tv_loss(field)
-            + time_smooth_weight * kplanes_time_smoothness(field)
-        )
+        return kplanes_reg(field, tv_weight, time_smooth_weight)
 
     return _fit_field_loop(
         poses, images, intrinsics,

@@ -111,6 +111,14 @@ def vm_density_l1(field: VMField) -> jax.Array:
     )
 
 
+def vm_reg(field: VMField, tv_weight: float, l1_weight: float) -> jax.Array:
+    """The family regularizer (single source for fit + DP step)."""
+    r = tv_weight * vm_tv_loss(field)
+    if l1_weight > 0.0:
+        r = r + l1_weight * vm_density_l1(field)
+    return r
+
+
 def upsample_vm(field: VMField, new_res: int) -> VMField:
     """Bilinearly upsample factors to a finer resolution (coarse-to-fine;
     operates on raw factors like train/voxel.py::upsample_field)."""
@@ -187,10 +195,7 @@ def fit_vm_voxels(
     )
 
     def reg(field):
-        r = tv_weight * vm_tv_loss(field)
-        if l1_weight > 0.0:
-            r = r + l1_weight * vm_density_l1(field)
-        return r
+        return vm_reg(field, tv_weight, l1_weight)
 
     field, info = _fit_field_loop(
         poses, images, intrinsics,
@@ -225,10 +230,7 @@ def make_vm_dp_step(
     from focnerf_tpu.train.voxel import make_voxel_dp_step
 
     def reg(field):
-        r = tv_weight * vm_tv_loss(field)
-        if l1_weight > 0.0:
-            r = r + l1_weight * vm_density_l1(field)
-        return r
+        return vm_reg(field, tv_weight, l1_weight)
 
     return make_voxel_dp_step(
         mesh, intrinsics, H=H, W=W, resolution=resolution,
