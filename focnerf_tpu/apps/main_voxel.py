@@ -118,18 +118,28 @@ def main(argv=None):
         if opt.voxel_kplanes > 0:
             from focnerf_tpu.train.voxel_kplanes import (
                 fit_kplanes,
+                fit_kplanes_c2f,
                 kplanes_field_to_volume,
                 save_kplanes_field,
             )
 
             tag = "kplanes"
-            field, info = fit_kplanes(
-                train_ds.poses, imgs, train_ds.times, train_ds.intrinsics,
+            kp_common = dict(
                 resolution=opt.bake_res, rank=opt.voxel_kplanes,
                 time_res=opt.voxel_time_slots, bound=opt.bound,
                 sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
                 log_every=max(opt.iters // 10, 1),
             )
+            if opt.voxel_c2f > 1:
+                field, info = fit_kplanes_c2f(
+                    train_ds.poses, imgs, train_ds.times,
+                    train_ds.intrinsics, stages=opt.voxel_c2f, **kp_common,
+                )
+            else:
+                field, info = fit_kplanes(
+                    train_ds.poses, imgs, train_ds.times,
+                    train_ds.intrinsics, **kp_common,
+                )
             cache = os.path.join(
                 opt.workspace, f"kplanes_{opt.bake_res}_sh{opt.bake_sh}.npz"
             )

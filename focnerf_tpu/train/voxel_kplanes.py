@@ -160,6 +160,54 @@ def kplanes_reg(
     )
 
 
+def upsample_kplanes(field: KPlanesField, new_res: int) -> KPlanesField:
+    """Bilinearly upsample the SPATIAL axes of all six planes (the
+    coarse-to-fine step; the time resolution T stays fixed — time planes
+    upsample along their spatial axis only)."""
+    _, R, _, K, C = field.space.shape
+    T = field.time.shape[2]
+    space = jax.image.resize(
+        field.space, (3, new_res, new_res, K, C), method="bilinear"
+    )
+    time = jax.image.resize(
+        field.time, (3, new_res, T, K, C), method="bilinear"
+    )
+    return KPlanesField(space=space, time=time, w=field.w, b=field.b)
+
+
+def fit_kplanes_c2f(
+    poses: np.ndarray,
+    images: np.ndarray,
+    times: np.ndarray,
+    intrinsics: Sequence[float],
+    *,
+    resolution: int = 128,
+    stages: int = 3,
+    iters: int = 500,
+    seed: int = 0,
+    log_every: int = 0,
+    **kw,
+) -> Tuple[KPlanesField, Dict]:
+    """Coarse-to-fine K-planes fit on the shared ladder
+    (train/voxel.py::_c2f_stage_plan), seeding each stage with
+    upsample_kplanes of the previous factors."""
+    from focnerf_tpu.train.voxel import _c2f_stage_plan
+
+    field = None
+    stage_psnrs = []
+    info: Dict = {}
+    for si, (R, n_it) in enumerate(_c2f_stage_plan(resolution, stages, iters)):
+        if field is not None:
+            field = upsample_kplanes(field, R)
+        field, info = fit_kplanes(
+            poses, images, times, intrinsics, resolution=R, iters=n_it,
+            init_field=field, seed=seed + si, log_every=log_every, **kw,
+        )
+        stage_psnrs.append(info["psnr"])
+    info["stage_psnrs"] = stage_psnrs
+    return field, info
+
+
 def save_kplanes_field(
     path: str, field: KPlanesField, bound: float, sh_degree: int
 ) -> None:
@@ -236,6 +284,7 @@ def fit_kplanes(
     time_smooth_weight: float = 1e-3,
     bg_color: float = 1.0,
     density_scale: float = 1.0,
+    init_field: Optional[KPlanesField] = None,
     seed: int = 0,
     log_every: int = 0,
     remat: bool = True,
@@ -247,9 +296,13 @@ def fit_kplanes(
     """
     from focnerf_tpu.train.voxel import _fit_field_loop
 
-    field = init_kplanes_field(
-        resolution, rank=rank, time_res=time_res, sh_degree=sh_degree,
-        rng=jax.random.key(seed),
+    field = (
+        init_field
+        if init_field is not None
+        else init_kplanes_field(
+            resolution, rank=rank, time_res=time_res, sh_degree=sh_degree,
+            rng=jax.random.key(seed),
+        )
     )
 
     def reg(field):

@@ -145,6 +145,71 @@ class TestFitKPlanes:
         assert mse(r0, gt0) < 0.04 and mse(r1, gt1) < 0.04
 
 
+class TestKPlanesStaging:
+    def test_upsample_preserves_field(self):
+        """2x spatial upsampling keeps the collapsed field's statistics
+        (bilinear on planes ~ trilinear on the collapsed grid)."""
+        from focnerf_tpu.train.voxel_kplanes import upsample_kplanes
+
+        f = init_kplanes_field(8, rank=2, time_res=4, rng=jax.random.key(2))
+        up = upsample_kplanes(f, 16)
+        assert up.space.shape == (3, 16, 16, 2, 4)
+        assert up.time.shape == (3, 16, 4, 2, 4)
+        g8 = collapse_kplanes(f, 0.3)
+        g16 = collapse_kplanes(up, 0.3)
+        np.testing.assert_allclose(
+            float(jnp.mean(g16)), float(jnp.mean(g8)), rtol=0.05
+        )
+
+    def test_c2f_fit(self):
+        from focnerf_tpu.train.voxel_kplanes import fit_kplanes_c2f
+
+        H = W = 32
+        intr = (38.4, 38.4, 16.0, 16.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(7), 8, radius=2.5))
+        ts = np.linspace(0.0, 1.0, 8)
+        imgs = np.stack(
+            [
+                np.asarray(
+                    render_baked(_moving_sphere_volume(float(t)), p, intr, H, W)[0]
+                )
+                for p, t in zip(poses, ts)
+            ]
+        )
+        field, info = fit_kplanes_c2f(
+            poses, imgs, ts, intr, resolution=32, stages=2, iters=120,
+            rank=2, time_res=4, lr=0.03, tv_weight=1e-5,
+        )
+        assert field.space.shape[1] == 32
+        assert len(info["stage_psnrs"]) == 2
+        assert info["stage_psnrs"][-1] > info["stage_psnrs"][0] - 1.0
+
+    def test_sh_payload_trains(self):
+        """sh_degree > 0: the SH-payload K-planes field fits one step
+        without shape errors and collapses to the right channel count."""
+        from focnerf_tpu.train.voxel_kplanes import fit_kplanes
+
+        H = W = 24
+        intr = (28.8, 28.8, 12.0, 12.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(1), 4, radius=2.5))
+        ts = np.linspace(0.0, 1.0, 4)
+        imgs = np.stack(
+            [
+                np.asarray(
+                    render_baked(_moving_sphere_volume(float(t), R=16), p, intr, H, W)[0]
+                )
+                for p, t in zip(poses, ts)
+            ]
+        )
+        field, info = fit_kplanes(
+            poses, imgs, ts, intr, resolution=16, rank=2, time_res=4,
+            sh_degree=1, iters=10, lr=0.03,
+        )
+        assert field.space.shape[-1] == 3 * 1 + 1  # 3*deg^2 payload + sigma
+        vol = kplanes_field_to_volume(field, 0.5, 1.0, sh_degree=1)
+        assert vol.sh_deg == 1 and np.isfinite(float(info["psnr"]))
+
+
 class TestKPlanesDP:
     def test_dp_matches_single_device(self):
         """8-way time-conditioned pose-parallel step == the same batch on
