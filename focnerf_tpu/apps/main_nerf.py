@@ -83,6 +83,7 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         lr=opt.lr,
         iters=opt.iters,
         num_steps=opt.num_steps,
+        upsample_steps=opt.upsample_steps,
         max_ray_batch=opt.max_ray_batch,
         use_occupancy=opt.cuda_ray,
         dt_gamma=opt.dt_gamma,
@@ -144,7 +145,8 @@ def test_mode(opt: Options, sidecar_test):
         cfg = opt.nerf_config()
         trainer = Trainer(
             "ngp", cfg, workspace=ws, use_checkpoint="latest",
-            num_steps=opt.num_steps, max_ray_batch=opt.max_ray_batch,
+            num_steps=opt.num_steps, upsample_steps=opt.upsample_steps,
+            max_ray_batch=opt.max_ray_batch,
             min_near=opt.min_near,
             # restore + render through the occupancy path when the model
             # trained with it (ref --cuda_ray test renders via run_cuda)

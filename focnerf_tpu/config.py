@@ -28,6 +28,9 @@ class Options:
     cuda_ray: bool = False  # kept name for parity; enables occupancy marching
     max_steps: int = 1024
     num_steps: int = 512
+    # >0: two-pass importance sampling on the uniform path — coarse density
+    # pass -> inverse-CDF samples merged into the z grid (torch-ngp's
+    # legacy upsample_steps; flows into train steps and staged eval)
     upsample_steps: int = 0
     update_extra_interval: int = 16
     max_ray_batch: int = 4096

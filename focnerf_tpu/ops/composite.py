@@ -31,11 +31,16 @@ def composite_weights(sigmas, deltas, density_scale: float = 1.0, T_thresh: floa
     """
     sigmas = sigmas.astype(jnp.float32)
     deltas = deltas.astype(jnp.float32)
-    alphas = 1.0 - jnp.exp(-deltas * density_scale * sigmas)  # [..., T]
-    # shifted cumulative transmittance: T_i = prod_{j<i} (1 - alpha_j + 1e-15)
-    trans = jnp.cumprod(1.0 - alphas + 1e-15, axis=-1)
-    ones = jnp.ones_like(trans[..., :1])
-    trans_in = jnp.concatenate([ones, trans[..., :-1]], axis=-1)  # entering T
+    s = deltas * density_scale * sigmas  # optical depth per sample, >= 0
+    alphas = 1.0 - jnp.exp(-s)  # [..., T]
+    # entering transmittance T_i = prod_{j<i} (1 - alpha_j) computed EXACTLY
+    # in log space: 1 - alpha_j = exp(-s_j), so T_i = exp(-sum_{j<i} s_j).
+    # The cumprod form's VJP divides by (1 - alpha_j), which is exactly 0
+    # once exp(-s_j) underflows (s_j > ~87 in fp32) -> inf * 0 = NaN grads;
+    # importance sampling concentrates samples in high-sigma shells and hits
+    # this reliably. cumsum's VJP has no division — stable at any sigma.
+    acc = jnp.cumsum(s, axis=-1)
+    trans_in = jnp.exp(s - acc)  # exclusive prefix: exp(-(acc_i - s_i))
     weights = alphas * trans_in
     if T_thresh > 0.0:
         weights = jnp.where(trans_in >= T_thresh, weights, 0.0)

@@ -123,8 +123,11 @@ def render_rays(
 
     if upsample_steps > 0:
         # coarse density pass -> importance samples -> merged sorted z grid
-        assert rng is not None, "upsample_steps > 0 requires rng"
-        rng, k_up = jax.random.split(rng)
+        if perturb:
+            assert rng is not None, "upsample_steps with perturb requires rng"
+            rng, k_up = jax.random.split(rng)
+        else:
+            k_up = jax.random.key(0)  # unused: det (midpoint) sampling
         xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         xyz_c = jnp.clip(xyz_c, aabb[:3], aabb[3:])
         sig_c, _ = density_fn(params, cfg, xyz_c)
@@ -135,7 +138,11 @@ def render_rays(
             [deltas_c, jnp.broadcast_to(sample_dist, deltas_c[..., :1].shape)], -1
         )
         w_c = composite_weights(sig_c, deltas_c, cfg.density_scale)
-        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        # midpoint as a + (b-a)/2, NOT (a+b)/2: rays that miss the aabb carry
+        # the 3e38 near/far sentinel, and a+b overflows fp32 to inf there —
+        # inf bins make sample_pdf emit NaN z, which poisons the whole
+        # batch's gradients through the table scatter
+        mids = z_vals[..., :-1] + 0.5 * (z_vals[..., 1:] - z_vals[..., :-1])
         new_z = sample_pdf(k_up, mids, w_c[..., 1:-1], upsample_steps, det=not perturb)
         new_z = jax.lax.stop_gradient(new_z)
         z_vals = jnp.sort(jnp.concatenate([z_vals, new_z], axis=-1), axis=-1)
@@ -302,6 +309,7 @@ def render_image(
     W: int,
     *,
     num_steps: int = 512,
+    upsample_steps: int = 0,
     max_ray_batch: int = 4096,
     bg_color=None,
     aabb=None,
@@ -339,7 +347,7 @@ def render_image(
     rd = rd.reshape(-1, max_ray_batch, 3)
 
     key = (
-        cfg, num_steps, min_near, dt_gamma, max_steps, slab,
+        cfg, num_steps, upsample_steps, min_near, dt_gamma, max_steps, slab,
         occ_bits is not None, occ_skip is not None,
     )
     if key not in _chunk_render_cache:
@@ -356,6 +364,7 @@ def render_image(
             else:
                 res = render_rays(
                     params, cfg, o, d, num_steps=num_steps,
+                    upsample_steps=upsample_steps,  # det (midpoint) samples
                     bg_color=bg_color, aabb=aabb, min_near=min_near,
                     obj_feat=obj_feat,
                 )

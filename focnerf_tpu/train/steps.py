@@ -36,6 +36,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     *,
     num_steps: int = 512,
+    upsample_steps: int = 0,
     min_near: float = 0.2,
     ema_decay: float = 0.95,
     mask_penalty: float = 1e-8,
@@ -74,6 +75,7 @@ def make_train_step(
             batch["rays_o"],
             batch["rays_d"],
             num_steps=num_steps,
+            upsample_steps=upsample_steps,
             rng=k_perturb,
             perturb=True,
             bg_color=bg,

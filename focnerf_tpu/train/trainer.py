@@ -52,6 +52,7 @@ class Trainer:
         dt_gamma: float = 1 / 128,
         max_steps: int = 1024,
         train_slab: int = 128,
+        upsample_steps: int = 0,
         density_thresh: float = 10.0,
         update_extra_interval: int = 16,
         ema_decay: float = 0.95,
@@ -74,6 +75,7 @@ class Trainer:
         self.workspace = workspace
         self.iters = iters
         self.num_steps = num_steps
+        self.upsample_steps = upsample_steps
         self.max_ray_batch = max_ray_batch
         self.use_occupancy = use_occupancy
         self.dt_gamma = dt_gamma
@@ -209,6 +211,7 @@ class Trainer:
             self.cfg,
             self.optimizer,
             num_steps=self.num_steps,
+            upsample_steps=self.upsample_steps,
             min_near=self.min_near,
             ema_decay=ema_decay,
             color_space=color_space,
@@ -441,6 +444,7 @@ class Trainer:
         eval/test/GUI through run_cuda when --cuda_ray, renderer.py:318-354)."""
         kw = dict(
             num_steps=self.num_steps,
+            upsample_steps=self.upsample_steps,
             max_ray_batch=self.max_ray_batch,
             min_near=self.min_near,
         )

@@ -53,6 +53,43 @@ class TestUpsamplePath:
         assert out["sigmas"].shape == (4, 32)  # num + upsample samples
         assert np.all(np.isfinite(np.asarray(out["image"])))
 
+    def test_upsample_flows_from_config(self):
+        """--upsample_steps must actually reach the train step and the
+        staged eval render (regression: the flag was accepted and silently
+        ignored — the reference splats **vars(opt) into render, so it
+        flows there; nerf/utils.py:831)."""
+        import optax
+
+        from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+        from focnerf_tpu.render.renderer import render_image
+        from focnerf_tpu.train.state import create_train_state
+        from focnerf_tpu.train.steps import make_train_step
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                         use_objfeat=False, compute_dtype=jnp.float32)
+        optimizer = optax.adam(1e-2)
+        state = create_train_state(jax.random.key(0), cfg, optimizer)
+        # donate=False: the fresh state's params/ema_params share buffers
+        step = make_train_step(
+            cfg, optimizer, num_steps=8, upsample_steps=8, donate=False
+        )
+        batch = {
+            "rays_o": jnp.zeros((8, 3)).at[:, 2].set(-2.0),
+            "rays_d": jnp.zeros((8, 3)).at[:, 2].set(1.0),
+            "pixels": jnp.full((8, 3), 0.5),
+        }
+        state2, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -2.0
+        img, depth = render_image(
+            state2.ema_params, cfg, jnp.asarray(pose), (16.0, 16.0, 8.0, 8.0),
+            16, 16, num_steps=8, upsample_steps=8, max_ray_batch=64,
+        )
+        assert img.shape == (16, 16, 3)
+        assert np.all(np.isfinite(np.asarray(img)))
+
 
 class TestDilation:
     def test_grows_to_target(self):
