@@ -88,7 +88,13 @@ def make_train_step(
         ray_mask = batch.get("ray_mask")
         if ray_mask is not None:
             outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
-            loss = loss + mask_penalty * jnp.linalg.norm(outside.reshape(-1))
+            # eps-safe norm: ||0||'s gradient is 0/0 = NaN, and a batch
+            # sampled fully inside the object mask makes `outside` exactly
+            # zero (the reference's torch.norm shares the hazard —
+            # renderer.py:163-165 — we don't replicate it)
+            loss = loss + mask_penalty * jnp.sqrt(
+                jnp.sum(outside * outside) + 1e-12
+            )
         loss = loss + _tv_term(cfg, params, rng, tv_weight)
         return loss, per_ray
 
@@ -220,7 +226,10 @@ def make_train_step_occupancy(
         ray_mask = batch.get("ray_mask")
         if ray_mask is not None:
             outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
-            loss = loss + mask_penalty * jnp.linalg.norm(outside.reshape(-1))
+            # eps-safe norm (see make_train_step): ||0|| has NaN gradient
+            loss = loss + mask_penalty * jnp.sqrt(
+                jnp.sum(outside * outside) + 1e-12
+            )
         loss = loss + _tv_term(cfg, params, rng, tv_weight)
         return loss, (per_ray, out["n_samples"])
 

@@ -360,3 +360,35 @@ class TestClipRandPose:
         # branch disabled itself (no cached CLIP weights offline) + warned
         assert tr.rand_pose == -1
         assert "rand-pose branch" in open(tr.log_path).read()
+
+
+class TestMaskPenaltyStability:
+    def test_all_inside_mask_batch_stays_finite(self):
+        """A batch sampled fully inside the object mask makes the
+        outside-sigma vector exactly zero; the penalty's gradient must be
+        finite (regression: ||0||'s grad is 0/0 = NaN — the reference's
+        torch.norm shares the hazard, nerf/renderer.py:163-165)."""
+        import optax
+
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.state import create_train_state
+        from focnerf_tpu.train.steps import make_train_step
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4,
+                         log2_hashmap_size=8, use_objfeat=False,
+                         compute_dtype=jnp.float32)
+        optimizer = optax.adam(1e-2)
+        state = create_train_state(jax.random.key(0), cfg, optimizer)
+        step = make_train_step(cfg, optimizer, num_steps=8, donate=False)
+        batch = {
+            "rays_o": jnp.zeros((8, 3)).at[:, 2].set(-2.0),
+            "rays_d": jnp.zeros((8, 3)).at[:, 2].set(1.0),
+            "pixels": jnp.full((8, 3), 0.5),
+            "ray_mask": jnp.ones((8,), bool),  # ALL rays inside the mask
+        }
+        for it in range(3):
+            state, m = step(state, batch, jax.random.key(it))
+            assert np.isfinite(float(m["loss"]))
+        assert all(
+            bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(state.params)
+        )
