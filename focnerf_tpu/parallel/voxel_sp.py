@@ -156,25 +156,28 @@ def make_voxel_sp_step(
         assert R_loc % K == 0
         Vb = V_f2b_loc.reshape(R_loc // K, K, R, R, CH)
         zb = z_f2b_loc.reshape(R_loc // K, K)
-        T_d, C_d, _ = _fold_blocks(
+        od_d, C_d, _ = _fold_blocks(
             Vb, zb, e_z, e_y, e_x, gy, gx, dt, b, R, ri,
             density_scale=density_scale, remat=remat, with_depth=False,
+            return_od=True,
         )
 
         # ---- combine partials across devices (front-to-back device order:
         # ascending device index when flip, else descending); depth is never
         # folded here — the loss doesn't read it, and carrying it through the
         # remat'd scan + gather would cost real fwd/bwd work (it can't be
-        # DCE'd out of a scan carry)
-        part = jnp.concatenate([C_d, T_d[..., None]], -1)
+        # DCE'd out of a scan carry). Slab transmittances combine in OPTICAL
+        # DEPTH space (prefix sums + exp), so opaque slabs (T underflows to
+        # exactly 0) never hit the cumprod VJP's division by zero.
+        part = jnp.concatenate([C_d, od_d[..., None]], -1)
         parts = jax.lax.all_gather(part, axis_name)  # [D, ri, ri, CH]
         if not flip:
             parts = jnp.flip(parts, 0)
-        Cs, Ts = parts[..., :-1], parts[..., -1]
-        T_cum = jnp.cumprod(Ts, axis=0)
-        T_excl = jnp.concatenate([jnp.ones_like(T_cum[:1]), T_cum[:-1]], 0)
+        Cs, ods = parts[..., :-1], parts[..., -1]
+        od_cum = jnp.cumsum(ods, axis=0)
+        T_excl = jnp.exp(ods - od_cum)  # exclusive: exp(-(cum - own))
         C = jnp.einsum("dij,dijc->ijc", T_excl, Cs)
-        T = T_cum[-1]
+        T = jnp.exp(-od_cum[-1])
 
         if sh_degree > 0:
             # contract the composited SH payload with one basis per pixel

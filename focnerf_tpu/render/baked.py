@@ -334,10 +334,13 @@ def _fold_blocks(
     *,
     density_scale: float,
     remat: bool,
-    carry=None,  # optional (T, C, D) to continue from (identity if None)
+    carry=None,  # optional (od, C, D) to continue from (identity if None)
     with_depth: bool = True,  # False drops the depth accumulator from the
     # scan carry entirely (the carry blocks DCE) — used by the SP train
     # step, whose loss never reads depth
+    return_od: bool = False,  # True returns the accumulated optical depth
+    # instead of T = exp(-od) — the SP step combines slabs in od space so
+    # the cross-device fold also stays division-free under AD
 ):
     """Resample + front-to-back composite a sequence of slice blocks.
 
@@ -345,17 +348,25 @@ def _fold_blocks(
     and parallel/voxel_sp.py (each device folds its own slab of a
     slice-sharded field; alpha compositing is associative, so per-device
     partials starting from the identity carry combine exactly).
-    Returns (T [ri,ri], C [ri,ri,CH-1] premultiplied, D [ri,ri];
-    D is None when with_depth=False)."""
+
+    Transmittance is carried as OPTICAL DEPTH (od; T = exp(-od)) and the
+    within-block exclusive transmittance is computed exactly in log space:
+    1 - alpha_k = exp(-sigma_k*dt), so prefix products become prefix sums.
+    The cumprod form's VJP divides by (1 - alpha_k), which is exactly 0
+    once exp underflows (sigma*dt > ~87 fp32) -> NaN grads on opaque
+    surfaces; cumsum's VJP has no division.
+
+    Returns (T [ri,ri] — or od when return_od — C [ri,ri,CH-1]
+    premultiplied, D [ri,ri]; D is None when with_depth=False)."""
     CH = V_f2b.shape[-1]
     dtype = V_f2b.dtype
     iota = jnp.arange(R, dtype=jnp.float32)
 
     def block_body(carry, xs):
         if with_depth:
-            T, C, D = carry  # [Ri,Ri], [Ri,Ri,CH-1], [Ri,Ri]
+            od, C, D = carry  # [Ri,Ri], [Ri,Ri,CH-1], [Ri,Ri]
         else:
-            T, C = carry
+            od, C = carry
         Vb, zb = xs  # [K, Ry, Rx, CH], [K]
         s_k = e_z / (e_z - zb)  # [K]
         # source world coords feeding intermediate pixels (inverse projection)
@@ -370,29 +381,31 @@ def _fold_blocks(
         sl = jnp.einsum("kYxc,kxX->kYXc", tmp.astype(dtype), Mx,
                         preferred_element_type=jnp.float32)  # [K, Ri, Ri, CH]
         sigma = jnp.maximum(sl[..., -1], 0.0) * density_scale
-        alpha = 1.0 - jnp.exp(-sigma * dt[None])  # [K, Ri, Ri]
-        # exclusive within-block transmittance, then fold into the carry
-        Tw = jnp.cumprod(1.0 - alpha, axis=0)
-        Tw_excl = jnp.concatenate([jnp.ones_like(Tw[:1]), Tw[:-1]], axis=0)
-        w = Tw_excl * alpha  # [K, Ri, Ri]
-        C = C + T[..., None] * jnp.einsum("kij,kijc->ijc", w, sl[..., :-1])
+        s = sigma * dt[None]  # per-sample optical depth [K, Ri, Ri]
+        alpha = 1.0 - jnp.exp(-s)
+        # exclusive within-block transmittance in log space, entering od
+        acc = jnp.cumsum(s, axis=0)
+        w = jnp.exp((s - acc) - od[None]) * alpha  # Tw_excl * T_in * alpha
+        C = C + jnp.einsum("kij,kijc->ijc", w, sl[..., :-1])
         if with_depth:
-            D = D + T * jnp.einsum("kij,k->ij", w, e_z - zb)
-            T = T * Tw[-1]
-            return (T, C, D), None
-        T = T * Tw[-1]
-        return (T, C), None
+            D = D + jnp.einsum("kij,k->ij", w, e_z - zb)
+            od = od + acc[-1]
+            return (od, C, D), None
+        od = od + acc[-1]
+        return (od, C), None
 
     if carry is None:
         carry = (
-            jnp.ones((ri, ri), jnp.float32),
+            jnp.zeros((ri, ri), jnp.float32),
             jnp.zeros((ri, ri, CH - 1), jnp.float32),
         ) + ((jnp.zeros((ri, ri), jnp.float32),) if with_depth else ())
     body = jax.checkpoint(block_body) if remat else block_body
     out, _ = jax.lax.scan(body, carry, (V_f2b, z_f2b))
+    od = out[0]
+    first = od if return_od else jnp.exp(-od)
     if with_depth:
-        return out
-    return out[0], out[1], None
+        return first, out[1], out[2]
+    return first, out[1], None
 
 
 def sh_contract_plane(C, e_z, e_y, e_x, gy, gx, *, axis, flip, ri, sh_deg):

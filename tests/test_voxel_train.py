@@ -85,6 +85,29 @@ class TestFitVoxels:
 
 
 class TestBackwardSchedule:
+    def test_opaque_surface_grads_finite(self):
+        """Fully-opaque voxels (alpha == 1 exactly after exp underflow) must
+        keep gradients finite — the cumprod transmittance VJP divides by
+        (1 - alpha) and NaN'd here; the fold now runs in od/log space."""
+        from focnerf_tpu.render.baked import _composite_core
+
+        R = 8
+        raw = init_voxel_field(R, rng=jax.random.key(0))
+        # push a shell of voxels to sigma*dt >> 87 so exp underflows to 0
+        raw = raw.at[2:6, 2:6, 2:6, -1].set(500.0)  # softplus(500) = 500
+
+        def loss(raw):
+            vol = field_to_volume(raw, 1.0)
+            pose = jnp.eye(4).at[2, 3].set(2.5)
+            C, T, _, _ = _composite_core(
+                vol.rgba, 1.0, pose, axis=2, flip=False, ri=16,
+                density_scale=1.0,
+            )
+            return jnp.mean((C + T[..., None] - 0.5) ** 2)
+
+        g = jax.grad(loss)(raw)
+        assert bool(jnp.isfinite(g).all()), "opaque-surface grads must be finite"
+
     def test_remat_grads_match(self):
         """jax.checkpoint over the block fold recomputes the same math —
         gradients must match the residual-saving schedule to float tolerance."""
