@@ -301,8 +301,8 @@ def main(argv=None):
     cache = os.path.join(
         opt.workspace, f"baked_{opt.bake_res}_sh{opt.bake_sh}.npz"
     )
-    save_volume(cache, vol)
-    print(f"[voxel] saved {cache}")
+    save_volume(cache, vol, quantize=opt.bake_quantize)
+    print(f"[voxel] saved {cache}" + (" (uint8)" if opt.bake_quantize else ""))
     _save_volume_mesh(
         vol, os.path.join(opt.workspace, "mesh.obj"), opt.density_thresh,
         tag="voxel",

@@ -192,7 +192,7 @@ def _view_only(opt):
                 occ_bits=occ_kwargs.get("occ_bits"), sh_degree=opt.bake_sh,
             )
             print(f"[viewer] baked {opt.bake_res}^3 volume in {time.time()-t0:.1f}s")
-            save_volume(cache, vol)
+            save_volume(cache, vol, quantize=opt.bake_quantize)
 
         def render_fn(pose, intrinsics, H, W, t):
             try:

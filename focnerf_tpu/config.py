@@ -100,6 +100,9 @@ class Options:
     baked: bool = False
     bake_res: int = 256
     bake_sh: int = 0  # >0: view-dependent SH bake of this degree (1-4)
+    # store baked_*.npz volumes uint8-quantized (1/4 the fp32 bytes; ~0.5 dB
+    # gate — render/baked.py::save_volume)
+    bake_quantize: bool = False
     # dense voxel training (train/voxel.py): photometric loss location.
     # "intermediate" pre-warps GTs onto the shear-warp plane (~370x faster
     # backward on TPU — PERF.md); "screen" is the exact end-to-end oracle.

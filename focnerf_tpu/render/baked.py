@@ -174,23 +174,66 @@ def bake_field(
     )
 
 
-def save_volume(path: str, vol: BakedVolume) -> None:
-    """Persist a baked volume (npz, float16 payload — 1/2 the bytes; the
-    shear-warp path resamples in bf16 anyway)."""
+def save_volume(path: str, vol: BakedVolume, quantize: bool = False) -> None:
+    """Persist a baked volume.
+
+    Default: npz with float16 payload (1/2 the bytes; the shear-warp path
+    resamples in bf16 anyway). ``quantize=True`` stores uint8 instead —
+    1/4 the bytes of fp32 serving state — with per-channel affine scales:
+    payload channels quantize over their own [min, max]; density quantizes
+    over [0, max] in SQRT space (sigma spans orders of magnitude and the
+    render is most sensitive near the transparent end). Quality gate in
+    tests/test_baked.py (sphere-scene render within ~0.5 dB of fp16)."""
+    if not quantize:
+        np.savez_compressed(
+            path,
+            rgba=np.asarray(vol.rgba, np.float16),
+            bound=np.float32(vol.bound),
+            sh_deg=np.int32(vol.sh_deg),
+        )
+        return
+    rgba = np.asarray(vol.rgba, np.float32)
+    payload, sigma = rgba[..., :-1], rgba[..., -1]
+    lo = payload.min(axis=(0, 1, 2))
+    hi = payload.max(axis=(0, 1, 2))
+    scale = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
+    q_payload = np.clip(
+        np.round((payload - lo) / scale * 255.0), 0, 255
+    ).astype(np.uint8)
+    s_max = float(max(np.sqrt(sigma.max()), 1e-8))
+    q_sigma = np.clip(
+        np.round(np.sqrt(np.maximum(sigma, 0.0)) / s_max * 255.0), 0, 255
+    ).astype(np.uint8)
     np.savez_compressed(
         path,
-        rgba=np.asarray(vol.rgba, np.float16),
+        q_payload=q_payload,
+        q_sigma=q_sigma,
+        lo=lo.astype(np.float32),
+        scale=scale,
+        sigma_sqrt_max=np.float32(s_max),
         bound=np.float32(vol.bound),
         sh_deg=np.int32(vol.sh_deg),
     )
 
 
 def load_volume(path: str) -> BakedVolume:
+    """Load a baked volume (fp16 or uint8-quantized — autodetected)."""
     with np.load(path) as z:
+        bound = float(z["bound"])
+        sh_deg = int(z["sh_deg"]) if "sh_deg" in z else 0
+        if "q_payload" in z:  # quantized form (save_volume(quantize=True))
+            payload = (
+                z["q_payload"].astype(np.float32) / 255.0 * z["scale"] + z["lo"]
+            )
+            s = z["q_sigma"].astype(np.float32) / 255.0 * float(
+                z["sigma_sqrt_max"]
+            )
+            rgba = np.concatenate([payload, (s * s)[..., None]], -1)
+            return BakedVolume(rgba=jnp.asarray(rgba), bound=bound, sh_deg=sh_deg)
         return BakedVolume(
             rgba=jnp.asarray(z["rgba"].astype(np.float32)),
-            bound=float(z["bound"]),
-            sh_deg=int(z["sh_deg"]) if "sh_deg" in z else 0,
+            bound=bound,
+            sh_deg=sh_deg,
         )
 
 

@@ -172,6 +172,38 @@ def test_save_load_roundtrip(tmp_path):
     )
 
 
+def test_quantized_volume_quality_gate(tmp_path):
+    """uint8 quantized bake: renders within ~0.5 dB of the fp16 volume and
+    the file is meaningfully smaller (serving format, PERF.md roadmap)."""
+    import os
+
+    from focnerf_tpu.render.baked import load_volume, render_baked, save_volume
+
+    vol = _analytic_volume(R=32)
+    p16 = str(tmp_path / "v16.npz")
+    p8 = str(tmp_path / "v8.npz")
+    save_volume(p16, vol)
+    save_volume(p8, vol, quantize=True)
+    v16, v8 = load_volume(p16), load_volume(p8)
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 2.5
+    intr = (38.4, 38.4, 16.0, 16.0)
+    img16 = np.asarray(render_baked(v16, pose, intr, 32, 32)[0])
+    img8 = np.asarray(render_baked(v8, pose, intr, 32, 32)[0])
+    mse = float(np.mean((img16 - img8) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 35, f"quantized render only {psnr:.1f} dB vs fp16"
+    del os
+    # DEFLATE on tiny synthetic volumes hides the ratio — compare the
+    # UNCOMPRESSED stored payload (uint8 is half of fp16 per channel)
+    def stored_bytes(path):
+        with np.load(path) as z:
+            return sum(z[k].nbytes for k in z.files)
+
+    assert stored_bytes(p8) < 0.6 * stored_bytes(p16)
+
+
 class TestSHBake:
     def _directional_volume(self, R=64, a=0.5, b=0.3):
         """Solid sphere whose color is a + b*d_z for view direction d —
