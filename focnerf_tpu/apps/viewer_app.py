@@ -185,6 +185,15 @@ def _view_only(opt):
         if os.path.exists(cache) and os.path.getmtime(cache) >= latest:
             vol = load_volume(cache)
             print(f"[viewer] loaded baked volume cache {cache}")
+            with np.load(cache) as z:
+                cache_is_q = "q_payload" in z.files
+            if cache_is_q != opt.bake_quantize:
+                # honor the requested storage format even on a warm cache
+                save_volume(cache, vol, quantize=opt.bake_quantize)
+                print(
+                    "[viewer] re-saved cache as "
+                    + ("uint8" if opt.bake_quantize else "fp16")
+                )
         else:
             t0 = time.time()
             vol = bake_field(

@@ -1,10 +1,13 @@
-"""Transmittance compositing as vectorized prefix products.
+"""Transmittance compositing as vectorized prefix sums in log space.
 
 Replaces the sequential per-ray CUDA compositing kernels
 (raymarching.cu:501-693 ``composite_rays_train_*``) and the PyTorch-path math
 (nerf/renderer.py:174-218). Transmittance is a prefix product over the sample
-axis — an associative scan — so the whole ray batch vectorizes on TPU; the
-hand-derived CUDA backward is unnecessary (autodiff through cumprod matches).
+axis; since 1 - alpha_j = exp(-sigma_j*delta_j) exactly, it is computed as
+exp(-prefix_sum(optical depth)) — the same values as a cumprod, but the
+backward has no division (cumprod's VJP divides by its inputs, which NaNs
+at fully-opaque samples) and autodiff through it matches the hand-derived
+CUDA gradient.
 
 Early termination (reference T_thresh loop break) becomes a mask: sample i
 contributes iff the transmittance *entering* it is still >= T_thresh, which
@@ -39,8 +42,14 @@ def composite_weights(sigmas, deltas, density_scale: float = 1.0, T_thresh: floa
     # once exp(-s_j) underflows (s_j > ~87 in fp32) -> inf * 0 = NaN grads;
     # importance sampling concentrates samples in high-sigma shells and hits
     # this reliably. cumsum's VJP has no division — stable at any sigma.
-    acc = jnp.cumsum(s, axis=-1)
-    trans_in = jnp.exp(s - acc)  # exclusive prefix: exp(-(acc_i - s_i))
+    # The exclusive prefix is built by SHIFTING, never as acc_i - s_i:
+    # a sigma spike to inf (trunc_exp fp32 overflow) would make that
+    # exp(inf - inf) = NaN; shifted, the spiked sample keeps its finite
+    # entering T and everything behind it gets exp(-inf) = 0 exactly.
+    acc_excl = jnp.concatenate(
+        [jnp.zeros_like(s[..., :1]), jnp.cumsum(s[..., :-1], axis=-1)], -1
+    )
+    trans_in = jnp.exp(-acc_excl)
     weights = alphas * trans_in
     if T_thresh > 0.0:
         weights = jnp.where(trans_in >= T_thresh, weights, 0.0)

@@ -174,10 +174,14 @@ def make_voxel_sp_step(
         if not flip:
             parts = jnp.flip(parts, 0)
         Cs, ods = parts[..., :-1], parts[..., -1]
-        od_cum = jnp.cumsum(ods, axis=0)
-        T_excl = jnp.exp(ods - od_cum)  # exclusive: exp(-(cum - own))
+        # exclusive prefix by shifting (never cum - own: exp(inf - inf) is
+        # NaN if a slab's od hit inf — see ops/composite.py)
+        od_excl = jnp.concatenate(
+            [jnp.zeros_like(ods[:1]), jnp.cumsum(ods[:-1], axis=0)], 0
+        )
+        T_excl = jnp.exp(-od_excl)
         C = jnp.einsum("dij,dijc->ijc", T_excl, Cs)
-        T = jnp.exp(-od_cum[-1])
+        T = jnp.exp(-(od_excl[-1] + ods[-1]))
 
         if sh_degree > 0:
             # contract the composited SH payload with one basis per pixel

@@ -426,15 +426,19 @@ def _fold_blocks(
         sigma = jnp.maximum(sl[..., -1], 0.0) * density_scale
         s = sigma * dt[None]  # per-sample optical depth [K, Ri, Ri]
         alpha = 1.0 - jnp.exp(-s)
-        # exclusive within-block transmittance in log space, entering od
-        acc = jnp.cumsum(s, axis=0)
-        w = jnp.exp((s - acc) - od[None]) * alpha  # Tw_excl * T_in * alpha
+        # exclusive within-block transmittance in log space, entering od.
+        # Built by shifting, never as acc - s (exp(inf - inf) = NaN if a
+        # sigma spike overflows — see ops/composite.py).
+        acc_excl = jnp.concatenate(
+            [jnp.zeros_like(s[:1]), jnp.cumsum(s[:-1], axis=0)], 0
+        )
+        w = jnp.exp(-(acc_excl + od[None])) * alpha  # Tw_excl * T_in * alpha
         C = C + jnp.einsum("kij,kijc->ijc", w, sl[..., :-1])
         if with_depth:
             D = D + jnp.einsum("kij,k->ij", w, e_z - zb)
-            od = od + acc[-1]
+            od = od + acc_excl[-1] + s[-1]
             return (od, C, D), None
-        od = od + acc[-1]
+        od = od + acc_excl[-1] + s[-1]
         return (od, C), None
 
     if carry is None:
@@ -528,9 +532,9 @@ def _composite_core(
     # ---- block-batched resample + composite. A slice-at-a-time scan is
     # overhead-bound on TPU (256 sequential tiny matmuls measured 1.3 s per
     # 800^2 frame); instead slices are resampled K at a time as one batched
-    # MXU einsum, and compositing inside a block uses the exclusive-cumprod
-    # form (alpha compositing is associative), leaving only R/K sequential
-    # folds.
+    # MXU einsum, and compositing inside a block uses the exclusive
+    # log-space prefix-sum form (alpha compositing is associative; see
+    # _fold_blocks), leaving only R/K sequential folds.
     K = min(block, R)
     assert R % K == 0
     n_blocks = R // K

@@ -2,7 +2,8 @@
 
 ``render_rays`` is the uniform-sampling path (parity target: the PyTorch
 ``NeRFRenderer.run``, nerf/renderer.py:126-238): fixed ``num_steps`` linspace
-samples in [near, far], dense density/color evaluation, cumprod compositing.
+samples in [near, far], dense density/color evaluation, log-space prefix-sum
+compositing (ops/composite.py).
 Everything is fixed-shape and jit-friendly; chunked ("staged") rendering is a
 ``lax.map`` over ray chunks instead of a python loop (nerf/renderer.py:524-554).
 

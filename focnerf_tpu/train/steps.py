@@ -31,6 +31,13 @@ from focnerf_tpu.render.renderer import render_rays
 from focnerf_tpu.train.state import TrainState, ema_update
 
 
+def _safe_norm(x):
+    """||x||_2 with a finite gradient at the zero vector (||0||'s grad is
+    0/0 = NaN; all-inside-mask batches hit exactly that — the reference's
+    torch.norm shares the hazard, nerf/renderer.py:163-165)."""
+    return jnp.sqrt(jnp.sum(x * x) + 1e-12)
+
+
 def make_train_step(
     cfg: NeRFConfig,
     optimizer: optax.GradientTransformation,
@@ -88,13 +95,7 @@ def make_train_step(
         ray_mask = batch.get("ray_mask")
         if ray_mask is not None:
             outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
-            # eps-safe norm: ||0||'s gradient is 0/0 = NaN, and a batch
-            # sampled fully inside the object mask makes `outside` exactly
-            # zero (the reference's torch.norm shares the hazard —
-            # renderer.py:163-165 — we don't replicate it)
-            loss = loss + mask_penalty * jnp.sqrt(
-                jnp.sum(outside * outside) + 1e-12
-            )
+            loss = loss + mask_penalty * _safe_norm(outside)
         loss = loss + _tv_term(cfg, params, rng, tv_weight)
         return loss, per_ray
 
@@ -226,10 +227,7 @@ def make_train_step_occupancy(
         ray_mask = batch.get("ray_mask")
         if ray_mask is not None:
             outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])
-            # eps-safe norm (see make_train_step): ||0|| has NaN gradient
-            loss = loss + mask_penalty * jnp.sqrt(
-                jnp.sum(outside * outside) + 1e-12
-            )
+            loss = loss + mask_penalty * _safe_norm(outside)
         loss = loss + _tv_term(cfg, params, rng, tv_weight)
         return loss, (per_ray, out["n_samples"])
 

@@ -175,8 +175,6 @@ def test_save_load_roundtrip(tmp_path):
 def test_quantized_volume_quality_gate(tmp_path):
     """uint8 quantized bake: renders within ~0.5 dB of the fp16 volume and
     the file is meaningfully smaller (serving format, PERF.md roadmap)."""
-    import os
-
     from focnerf_tpu.render.baked import load_volume, render_baked, save_volume
 
     vol = _analytic_volume(R=32)
@@ -194,7 +192,6 @@ def test_quantized_volume_quality_gate(tmp_path):
     mse = float(np.mean((img16 - img8) ** 2))
     psnr = -10 * np.log10(max(mse, 1e-12))
     assert psnr > 35, f"quantized render only {psnr:.1f} dB vs fp16"
-    del os
     # DEFLATE on tiny synthetic volumes hides the ratio — compare the
     # UNCOMPRESSED stored payload (uint8 is half of fp16 per channel)
     def stored_bytes(path):

@@ -268,6 +268,39 @@ class TestComposite:
         np.testing.assert_allclose(w[0, 5], 1.0, rtol=1e-5)
         np.testing.assert_allclose(w[0, 6:], 0.0, atol=1e-6)
 
+    def test_opaque_wall_grads_finite(self):
+        """Fully-opaque samples (alpha == 1 exactly) must keep GRADIENTS
+        finite (regression: cumprod's VJP divides by 1-alpha = 0)."""
+        deltas = jnp.full((1, 10), 0.1)
+
+        def f(sigmas):
+            return jnp.sum(composite_weights(sigmas, deltas) ** 2)
+
+        sig = jnp.concatenate(
+            [jnp.zeros((1, 5)), jnp.full((1, 1), 1e6), jnp.zeros((1, 4))], -1
+        )
+        g = jax.grad(f)(sig)
+        assert bool(jnp.isfinite(g).all())
+
+    def test_inf_sigma_forward_and_grads_finite(self):
+        """A sigma spike to inf (trunc_exp fp32 overflow) must not NaN the
+        forward or the finite samples' gradients (regression: the exclusive
+        prefix computed as acc - s gives exp(inf - inf) = NaN)."""
+        deltas = jnp.full((1, 8), 0.1)
+        sig = jnp.ones((1, 8)).at[0, 3].set(jnp.inf)
+        w = composite_weights(sig, deltas)
+        assert bool(jnp.isfinite(w).all()), np.asarray(w)
+        # samples behind the inf wall get exactly 0 weight
+        np.testing.assert_allclose(np.asarray(w[0, 4:]), 0.0, atol=0.0)
+
+        def f(s):
+            # gradient w.r.t. the FINITE samples must stay finite (the inf
+            # entry's own grad may legitimately be non-finite)
+            return jnp.sum(composite_weights(s, deltas)[:, :3] ** 2)
+
+        g = jax.grad(f)(sig)
+        assert bool(jnp.isfinite(g[0, :3]).all()), np.asarray(g)
+
     def test_bg_blend(self):
         out = composite_rays(
             jnp.zeros((2, 4)), jnp.zeros((2, 4, 3)), jnp.ones((2, 4)), bg_color=1.0
