@@ -73,10 +73,10 @@ def main(argv=None):
                 "--voxel_dynamic/--voxel_kplanes (factorized params "
                 "replicate — use the DP step)"
             )
-        if opt.voxel_supervise != "intermediate" or opt.voxel_c2f > 1:
+        if opt.voxel_supervise != "intermediate":
             raise ValueError(
                 "--voxel_sp trains the dense family with intermediate-plane "
-                "supervision only (no --voxel_c2f; parallel/voxel_sp.py)"
+                "supervision only (parallel/voxel_sp.py)"
             )
     os.makedirs(opt.workspace, exist_ok=True)
 
@@ -260,7 +260,10 @@ def main(argv=None):
     elif opt.voxel_sp:
         import jax
 
-        from focnerf_tpu.parallel.voxel_sp import fit_voxels_sp
+        from focnerf_tpu.parallel.voxel_sp import (
+            fit_voxels_sp,
+            fit_voxels_sp_c2f,
+        )
 
         n_dev = len(jax.devices())
         if opt.bake_res % n_dev != 0:
@@ -268,12 +271,20 @@ def main(argv=None):
                 f"--bake_res {opt.bake_res} must divide evenly over the "
                 f"{n_dev} local devices for slice sharding"
             )
-        vol, info = fit_voxels_sp(
-            train_ds.poses, imgs, train_ds.intrinsics,
+        sp_common = dict(
             resolution=opt.bake_res, bound=opt.bound,
             sh_degree=opt.bake_sh, iters=opt.iters,
             bg_color=1.0, log_every=max(opt.iters // 10, 1),
         )
+        if opt.voxel_c2f > 1:
+            vol, info = fit_voxels_sp_c2f(
+                train_ds.poses, imgs, train_ds.intrinsics,
+                stages=opt.voxel_c2f, **sp_common,
+            )
+        else:
+            vol, info = fit_voxels_sp(
+                train_ds.poses, imgs, train_ds.intrinsics, **sp_common,
+            )
         print(f"[spvoxel] trained sharded over {info['n_devices']} devices")
     else:
         common = dict(

@@ -292,6 +292,7 @@ def fit_voxels_sp(
     remat: bool = True,
     block: int = 32,
     group_chunk: int = 25,
+    init_raw=None,  # unsharded [R,R,R,4] seed (coarse-to-fine staging)
 ):
     """Slice-sharded dense-voxel fit: the product entry for SP training
     (main_voxel --voxel_sp). Field, gradient, and adam state stay sharded
@@ -369,7 +370,11 @@ def fit_voxels_sp(
             )
         return warped[v]
 
-    raw = init_voxel_field(resolution, sh_degree, rng=jax.random.key(seed))
+    raw = (
+        init_raw
+        if init_raw is not None
+        else init_voxel_field(resolution, sh_degree, rng=jax.random.key(seed))
+    )
     # init the adam state with the SAME optimizer the compiled steps use
     # (every make_voxel_sp_step builds an identical one; taking it from the
     # first step keeps the coupling explicit if its config ever changes)
@@ -423,3 +428,51 @@ def fit_voxels_sp(
         "n_devices": int(np.prod(list(mesh.shape.values()))),
     }
     return field_to_volume(raw, bound, sh_degree), info
+
+
+def fit_voxels_sp_c2f(
+    poses: np.ndarray,
+    images: np.ndarray,
+    intrinsics: Sequence[float],
+    *,
+    resolution: int = 128,
+    stages: int = 3,
+    iters: int = 500,
+    mesh=None,
+    seed: int = 0,
+    log_every: int = 0,
+    **kw,
+):
+    """Coarse-to-fine slice-sharded fit on the shared ladder
+    (train/voxel.py::_c2f_stage_plan). Between stages the sharded field is
+    host-gathered, trilinearly upsampled, and re-sharded at the finer
+    resolution — one gather per stage, negligible next to the stage's
+    training time. Every ladder resolution must divide the device count
+    (the ladder floors at 16, so any power-of-two mesh up to 16 works)."""
+    from jax.sharding import Mesh
+
+    from focnerf_tpu.train.voxel import _c2f_stage_plan, upsample_field
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("slice",))
+    D = int(np.prod(list(mesh.shape.values())))
+    plan = _c2f_stage_plan(resolution, stages, iters)
+    for R, _ in plan:
+        if R % D != 0:
+            raise ValueError(
+                f"c2f ladder resolution {R} must divide the {D}-device mesh"
+            )
+    raw = None
+    stage_psnrs = []
+    info = {}
+    for si, (R, n_it) in enumerate(plan):
+        if raw is not None:
+            raw = upsample_field(jnp.asarray(jax.device_get(raw)), R)
+        vol, info = fit_voxels_sp(
+            poses, images, intrinsics, resolution=R, mesh=mesh, iters=n_it,
+            init_raw=raw, seed=seed + si, log_every=log_every, **kw,
+        )
+        stage_psnrs.append(info["psnr"])
+        raw = info["raw"]
+    info["stage_psnrs"] = stage_psnrs
+    return vol, info

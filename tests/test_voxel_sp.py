@@ -215,6 +215,31 @@ class TestFitVoxelsSP:
         psnr = -10 * np.log10(mse)
         assert psnr > 16.0, f"held-out {psnr:.2f} dB"
 
+    def test_c2f_fit_sharded(self):
+        """Coarse-to-fine SP: stages re-shard the upsampled field and the
+        final stage trains at full resolution on the mesh."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from focnerf_tpu.parallel.voxel_sp import fit_voxels_sp_c2f
+
+        gt_vol = _gt_volume()
+        H = 32
+        intr = (1.2 * H, 1.2 * H, H / 2.0, H / 2.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(0), 12, radius=2.5))
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, H)[0]) for p in poses]
+        )
+        vol, info = fit_voxels_sp_c2f(
+            poses[:10], imgs[:10], intr, resolution=32, stages=2, iters=100,
+            lr=0.1, tv_weight=1e-5, block=2, group_chunk=20,
+        )
+        assert vol.rgba.shape[0] == 32
+        assert len(info["stage_psnrs"]) == 2
+        assert info["n_devices"] == 8
+        held = np.asarray(render_baked(vol, poses[11], intr, H, H)[0])
+        mse = float(np.mean((held - imgs[11]) ** 2))
+        assert -10 * np.log10(mse) > 15, mse
+
     def test_cli_rejects_incompatible_flags(self, tmp_path):
         from focnerf_tpu.apps import main_voxel
 
@@ -226,5 +251,5 @@ class TestFitVoxelsSP:
         with pytest.raises(ValueError, match="intermediate"):
             main_voxel.main(
                 ["scene", "--workspace", str(tmp_path / "w"),
-                 "--voxel_sp", "--voxel_c2f", "3"]
+                 "--voxel_sp", "--voxel_supervise", "screen"]
             )
