@@ -155,7 +155,7 @@ def test_mode(opt: Options, sidecar_test):
             train_slab=opt.train_slab, density_thresh=opt.density_thresh,
         )
         t0 = time.time()
-        trainer.test(test_ds)
+        trainer.test(test_ds, save_gt=opt.save_gt)
         with open(os.path.join(opt.workspace, "render_times.txt"), "a") as f:
             f.write(f"{obj}: {time.time()-t0:.2f}s for {test_ds.n_views} views\n")
 

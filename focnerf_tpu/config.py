@@ -32,6 +32,16 @@ class Options:
     # pass -> inverse-CDF samples merged into the z grid (torch-ngp's
     # legacy upsample_steps; flows into train steps and staged eval)
     upsample_steps: int = 0
+    # test mode: also save the ground-truth image next to each test render
+    # (ref main_nerf.py --save_gt)
+    save_gt: bool = False
+    # accepted for reference-CLI compatibility, no effect here: --ff/--tcnn
+    # selected CUDA MLP backends (one bf16 dot_general field serves all —
+    # PARITY_MAP.md) and --post gated code that is commented out in the
+    # reference itself (main_nerf.py:325-385)
+    ff: bool = False
+    tcnn: bool = False
+    post: bool = False
     update_extra_interval: int = 16
     max_ray_batch: int = 4096
     patch_size: int = 1

@@ -498,8 +498,17 @@ class Trainer:
             self.log(f"[INFO] new best checkpoint (PSNR {self.best_psnr:.2f})")
         return results
 
-    def test(self, dataset, write_video: bool = True, use_ema: bool = True):
-        """Render the test split; optionally write an mp4 (utils.py:1072-1076)."""
+    def test(
+        self,
+        dataset,
+        write_video: bool = True,
+        use_ema: bool = True,
+        save_gt: bool = False,
+    ):
+        """Render the test split; optionally write an mp4 (utils.py:1072-1076).
+
+        ``save_gt`` also writes the ground-truth image next to each render
+        when the split carries pixels (ref main_nerf.py --save_gt)."""
         params = self.state.ema_params if use_ema else self.state.params
         out_dir = os.path.join(self.workspace, "results")
         os.makedirs(out_dir, exist_ok=True)
@@ -514,6 +523,13 @@ class Trainer:
             self._save_image(
                 os.path.join(out_dir, f"{self.name}_{v:04d}_depth.png"), np.asarray(depth)
             )
+            if save_gt and "pixels" in view:
+                gt = np.asarray(view["pixels"]).reshape(dataset.H, dataset.W, -1)
+                if gt.shape[-1] == 4:
+                    gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
+                self._save_image(
+                    os.path.join(out_dir, f"{self.name}_{v:04d}_gt.png"), gt
+                )
         if write_video and len(frames) > 1:
             from focnerf_tpu.utils.video import write_video as _wv
 

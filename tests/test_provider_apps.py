@@ -188,10 +188,13 @@ class TestMainNerfCLI:
         assert os.path.isdir(os.path.join(obj_ws, "checkpoints"))
         assert os.path.exists(os.path.join(ws, "train_times.txt"))
         assert os.path.exists(os.path.join(ws, "obj_feats", "background.npz"))
-        # test mode renders from the checkpoint
-        main(argv + ["--test"])
+        # test mode renders from the checkpoint; --save_gt also writes the
+        # ground-truth next to each render (ref main_nerf.py --save_gt);
+        # --tcnn is accepted as a no-op compatibility flag
+        main(argv + ["--test", "--save_gt", "--tcnn"])
         results = os.listdir(os.path.join(obj_ws, "results"))
         assert any(r.endswith(".png") for r in results)
+        assert any(r.endswith("_gt.png") for r in results)
 
 
 class TestConfig:
