@@ -30,6 +30,7 @@ def build_trainer(opt, cfg):
         cfg,
         workspace=opt.workspace,
         lr=opt.lr,
+        lr_net=opt.lr_net or None,
         iters=opt.iters,
         num_steps=opt.num_steps,
         max_ray_batch=opt.max_ray_batch,

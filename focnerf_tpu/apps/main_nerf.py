@@ -81,6 +81,7 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         cfg,
         workspace=f"{opt.workspace}_{obj}",
         lr=opt.lr,
+        lr_net=opt.lr_net or None,
         iters=opt.iters,
         num_steps=opt.num_steps,
         upsample_steps=opt.upsample_steps,

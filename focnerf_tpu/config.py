@@ -23,6 +23,10 @@ class Options:
     # training (flags.py:14-23)
     iters: int = 30000
     lr: float = 1e-2
+    # 0 = train everything at --lr (the nerf-family reference behavior).
+    # >0: grid at --lr, all networks at --lr_net (the DNERF reference's
+    # per-group split, dnerf/network.py:255-264; its default is 1e-3)
+    lr_net: float = 0.0
     ckpt: str = "latest"
     num_rays: int = 4096
     cuda_ray: bool = False  # kept name for parity; enables occupancy marching
@@ -42,6 +46,10 @@ class Options:
     ff: bool = False
     tcnn: bool = False
     post: bool = False
+    # reference main_dnerf.py:38-39 boolean variant flags; aliases for
+    # --dnerf_variant basis|hyper (applied in parse_options)
+    basis: bool = False
+    hyper: bool = False
     update_extra_interval: int = 16
     max_ray_batch: int = 4096
     patch_size: int = 1
@@ -238,6 +246,12 @@ def parse_options(argv=None, **parser_kw) -> Options:
     opt = Options(**{k: v for k, v in d.items() if k in {f.name for f in dataclasses.fields(Options)}})
     if opt.offset is not None:
         opt.offset = tuple(float(x) for x in opt.offset)
+    if opt.basis and opt.hyper:
+        raise ValueError("--basis and --hyper are mutually exclusive")
+    if opt.basis:
+        opt.dnerf_variant = "basis"  # reference main_dnerf.py:38 alias
+    if opt.hyper:
+        opt.dnerf_variant = "hyper"  # reference main_dnerf.py:39 alias
     if opt.bound_inf is not None and not isinstance(opt.bound_inf, tuple):
         opt.bound_inf = tuple(float(x) for x in opt.bound_inf)
     if O_flag:

@@ -26,14 +26,36 @@ class TrainState(NamedTuple):
     ema_count: jax.Array  # int32, for the torch_ema-style decay ramp
 
 
-def make_optimizer(lr: float = 1e-2, iters: int = 30000) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float = 1e-2, iters: int = 30000, lr_net: Optional[float] = None
+) -> optax.GradientTransformation:
     """Adam(0.9, 0.99, eps=1e-15) with LambdaLR 0.1**(step/iters).
 
     Matches main_nerf.py:211 (optimizer) and :265 (scheduler, stepped every
-    iteration). Note the reference trains hash-table and MLPs with the same LR.
+    iteration). The nerf-family reference trains hash-table and MLPs with
+    the same LR; the DNERF reference splits them — grid at ``lr``, every
+    network at ``lr_net`` (dnerf/network.py:255-264 get_params(lr, lr_net),
+    default 1e-3). ``lr_net`` here scales the post-adam updates of every
+    non-"grid" top-level parameter group by lr_net/lr — mathematically the
+    per-group LR (adam's direction is gradient-scale invariant) while
+    keeping the opt-state pytree IDENTICAL to plain adam, so checkpoint
+    templates (train/checkpoints.py) restore either variant.
     """
     schedule = lambda step: lr * 0.1 ** jnp.minimum(step / iters, 1.0)
-    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
+    base = optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
+    if lr_net is None or lr_net == lr:
+        return base
+    ratio = lr_net / lr
+
+    def update_fn(updates, state, params=None):
+        updates, state = base.update(updates, state, params)
+        updates = {
+            k: (v if k == "grid" else jax.tree.map(lambda u: u * ratio, v))
+            for k, v in updates.items()
+        }
+        return updates, state
+
+    return optax.GradientTransformation(base.init, update_fn)
 
 
 def create_train_state(

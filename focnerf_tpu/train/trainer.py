@@ -45,6 +45,7 @@ class Trainer:
         workspace: str = "workspace",
         *,
         lr: float = 1e-2,
+        lr_net=None,  # >0/non-None: per-group LR for non-grid params
         iters: int = 30000,
         num_steps: int = 512,
         max_ray_batch: int = 4096,
@@ -130,7 +131,7 @@ class Trainer:
                 self._tb = None
 
         self.rng = jax.random.key(seed)
-        self.optimizer = make_optimizer(lr=lr, iters=iters)
+        self.optimizer = make_optimizer(lr=lr, iters=iters, lr_net=lr_net)
         self.state: TrainState = self._create_state(seed)
         self.occupancy = self._init_occupancy() if use_occupancy else None
         self._build_steps(ema_decay=ema_decay, color_space=color_space)

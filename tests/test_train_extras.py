@@ -392,3 +392,37 @@ class TestMaskPenaltyStability:
         assert all(
             bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(state.params)
         )
+
+
+class TestLrNet:
+    def test_per_group_lr_scales_net_updates(self):
+        """--lr_net: network-group updates scale by lr_net/lr while the grid
+        group keeps --lr, and the opt-state pytree stays identical to plain
+        adam (checkpoint-template compatibility; ref dnerf/network.py:255)."""
+        import optax
+
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.state import create_train_state, make_optimizer
+
+        cfg = NeRFConfig(num_levels=2, base_resolution=4,
+                         log2_hashmap_size=8, use_objfeat=False,
+                         compute_dtype=jnp.float32)
+        opt_single = make_optimizer(lr=1e-2, iters=100)
+        opt_split = make_optimizer(lr=1e-2, iters=100, lr_net=1e-3)
+        state = create_train_state(jax.random.key(0), cfg, opt_single)
+        # identical synthetic gradients
+        g = jax.tree.map(jnp.ones_like, state.params)
+        st1 = opt_single.init(state.params)
+        st2 = opt_split.init(state.params)
+        assert jax.tree_util.tree_structure(st1) == jax.tree_util.tree_structure(st2)
+        u1, _ = opt_single.update(g, st1, state.params)
+        u2, _ = opt_split.update(g, st2, state.params)
+        # grid group identical; every net group scaled by 0.1
+        np.testing.assert_allclose(np.asarray(u2["grid"]), np.asarray(u1["grid"]))
+        for k in u1:
+            if k == "grid":
+                continue
+            for a, b in zip(jax.tree.leaves(u1[k]), jax.tree.leaves(u2[k])):
+                np.testing.assert_allclose(
+                    np.asarray(b), 0.1 * np.asarray(a), rtol=1e-6
+                )
