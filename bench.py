@@ -391,7 +391,36 @@ def main():
     assert np.isfinite(loss), f"bench produced non-finite loss: {loss}"
 
 
+def _probe_backend(timeout_s: int = 150) -> None:
+    """Fail FAST with one parseable JSON line when the TPU relay is down.
+
+    The axon relay can be unavailable for hours (jax.devices() hangs for
+    ~20 min before raising UNAVAILABLE); probing in a subprocess with a
+    hard timeout turns that into an immediate, diagnosable bench record
+    instead of a hung/empty artifact."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print(json.dumps({
+            "metric": "train_rays_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (relay down) — see "
+                     "ONCHIP_PENDING.log; last good headline in PERF.md",
+        }))
+        sys.exit(3)
+
+
 if __name__ == "__main__":
+    if "--dp" not in sys.argv:  # --dp runs on host devices, no relay needed
+        _probe_backend()
     if "--dp" in sys.argv:
         bench_dp(int(sys.argv[sys.argv.index("--dp") + 1]))
     elif "--hash" in sys.argv:
