@@ -182,19 +182,24 @@ def _view_only(opt):
              if os.path.isdir(os.path.join(ckpt_dir, d))),
             default=0.0,
         )
+        vol = None
         if os.path.exists(cache) and os.path.getmtime(cache) >= latest:
-            vol = load_volume(cache)
-            print(f"[viewer] loaded baked volume cache {cache}")
             with np.load(cache) as z:
                 cache_is_q = "q_payload" in z.files
-            if cache_is_q != opt.bake_quantize:
-                # honor the requested storage format even on a warm cache
-                save_volume(cache, vol, quantize=opt.bake_quantize)
-                print(
-                    "[viewer] re-saved cache as "
-                    + ("uint8" if opt.bake_quantize else "fp16")
-                )
-        else:
+            if cache_is_q and not opt.bake_quantize:
+                # a uint8 cache re-encoded as fp16 would silently keep the
+                # quantization loss while the format claims full precision
+                # (ADVICE r2) — fall through and re-bake from the checkpoint
+                print("[viewer] quantized cache + fp16 requested: re-baking")
+            else:
+                vol = load_volume(cache)
+                print(f"[viewer] loaded baked volume cache {cache}")
+                if opt.bake_quantize and not cache_is_q:
+                    # fp16 -> uint8 is a fresh (requested) quantization of
+                    # full-precision data; safe to convert in place
+                    save_volume(cache, vol, quantize=True)
+                    print("[viewer] re-saved cache as uint8")
+        if vol is None:
             t0 = time.time()
             vol = bake_field(
                 params, cfg, resolution=opt.bake_res, obj_feat=obj_feat,

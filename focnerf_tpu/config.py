@@ -95,6 +95,10 @@ class Options:
     tv_weight: float = 0.0
     stochastic_corners: int = 0
     stochastic_min_size: int = 0  # also sample dense levels >= this many rows
+    # opt-in int8 MXU hash-table backward (~2x one-hot matmul peak, ~0.4%
+    # relative gradient noise — quality-gated in tools/quality_exp.py).
+    # Off by default so the reference-parity path trains with exact grads.
+    grid_int8: bool = False
 
     # yolo / objects / composition (flags.py:58-64)
     yolo_model: str = "yolov8s-seg.pt"
@@ -265,4 +269,8 @@ def parse_options(argv=None, **parser_kw) -> Options:
         opt.stochastic_min_size = 1 << 13
         opt.bucket_slabs = True
         opt.skip_march = True
+    if opt.grid_int8:
+        from focnerf_tpu.ops import hashgrid
+
+        hashgrid.BACKWARD_INT8 = True
     return opt

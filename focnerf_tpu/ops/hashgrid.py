@@ -474,8 +474,10 @@ BACKWARD_MODE = None
 # int8 variant of the "mxu" backward: contributions are quantized per
 # (chunk, channel) with a symmetric max-abs scale and the one-hot matmuls run
 # on the v5e int8 MXU path (2x bf16 peak). ~0.4% relative gradient noise on
-# top of the bf16 path's own; quality-gated (see PERF.md).
-#   None (default): auto — int8 on TPU, off elsewhere.
+# top of the bf16 path's own; quality-gated (see PERF.md). OPT-IN: the
+# default training path stays exact-bf16 so parity runs are exact by
+# default (ADVICE r2); enable via --grid_int8 or BACKWARD_INT8 = True.
+#   None (default): off.
 BACKWARD_INT8 = None
 
 
@@ -489,7 +491,7 @@ def _backward_mode() -> str:
 def _backward_int8() -> bool:
     if BACKWARD_INT8 is not None:
         return BACKWARD_INT8
-    return jax.default_backend() != "cpu"
+    return False
 
 
 _MXU_CHUNK = 32768  # contributions per matmul block (bounds one-hot memory)

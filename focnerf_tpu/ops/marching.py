@@ -259,14 +259,36 @@ def march_rays_skip(
             m = jnp.floor(s_want / dt_min) + 1.0
             adv_empty = m * dt_min
         else:
-            # smallest number of recurrence steps covering s_want, per phase
-            m_lin = jnp.floor(s_want / dt) + 1.0
-            t_lin = t + m_lin * dt  # linear phases (dt pinned at min or max)
+            # smallest number of recurrence steps covering s_want, computed
+            # per phase of dt = clamp(t*gamma, dt_min, dt_max) and CLAMPED
+            # at the first lattice point past the current phase's boundary:
+            # a single closed-form leap that crosses a phase change
+            # (dt_min-pinned -> geometric -> dt_max-pinned) would land off
+            # the true recurrence (ADVICE r2). A clamped leap covers less
+            # than s_want — safe, since the skip guarantee holds for any
+            # prefix — and the next while-loop iteration continues in the
+            # new phase, so landings stay exactly on the jittered CUDA
+            # lattice at the cost of <= 2 extra iterations per ray.
             g = 1.0 + dt_gamma
-            m_geo = jnp.ceil(jnp.log1p(s_want / jnp.maximum(t, 1e-6)) / math.log(g))
-            t_geo = t * g ** jnp.maximum(m_geo, 1.0)
-            geo = (t * dt_gamma > dt_min) & (t * dt_gamma < dt_max)
-            adv_empty = jnp.where(geo, t_geo - t, t_lin - t)
+            t_lo = dt_min / dt_gamma  # below: dt pinned at dt_min
+            t_hi = dt_max / dt_gamma  # above: dt pinned at dt_max
+            m_lin = jnp.floor(s_want / dt) + 1.0  # dt == pinned value here
+            # min-pinned phase: stop at the first lattice point >= t_lo
+            m_lo_b = jnp.maximum(jnp.floor((t_lo - t) / dt_min) + 1.0, 1.0)
+            # geometric phase: t_m = t * g^m; stop at first point >= t_hi
+            t_pos = jnp.maximum(t, 1e-6)
+            m_geo = jnp.ceil(jnp.log1p(s_want / t_pos) / math.log(g))
+            m_geo_b = jnp.ceil(
+                jnp.log(jnp.maximum(t_hi / t_pos, 1.0)) / math.log(g)
+            )
+            m_g = jnp.clip(m_geo, 1.0, jnp.maximum(m_geo_b, 1.0))
+            below = t * dt_gamma <= dt_min
+            above = t * dt_gamma >= dt_max
+            adv_empty = jnp.where(
+                below,
+                jnp.minimum(m_lin, m_lo_b) * dt,
+                jnp.where(above, m_lin * dt, t * g**m_g - t),
+            )
         t = t + jnp.where(occupied, dt, adv_empty)
         done = (count >= slab) | ~alive
         t = jnp.where(done & ~occupied, jnp.maximum(t, fars), t)

@@ -292,9 +292,17 @@ class _LRUJitCache(dict):
         super().__init__()
         self.maxsize = maxsize
 
+    def __getitem__(self, key):
+        # refresh on access (true LRU): without this, a hot key inserted
+        # first is evicted before cold keys once the cache fills (ADVICE r2)
+        value = super().__getitem__(key)
+        super().__delitem__(key)
+        super().__setitem__(key, value)
+        return value
+
     def __setitem__(self, key, value):
         if key not in self and len(self) >= self.maxsize:
-            del self[next(iter(self))]  # evict oldest insertion
+            del self[next(iter(self))]  # evict least-recently-used
         super().__setitem__(key, value)
 
 

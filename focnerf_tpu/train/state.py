@@ -49,8 +49,12 @@ def make_optimizer(
 
     def update_fn(updates, state, params=None):
         updates, state = base.update(updates, state, params)
+        # every grid-encoder group stays at --lr (the DNeRF reference keeps
+        # ALL grid encoders, incl. encoder_bg, at lr and only scales the
+        # MLPs — dnerf/network.py:255-268), hence the endswith match rather
+        # than the literal "grid" key (catches "bg_grid" etc.)
         updates = {
-            k: (v if k == "grid" else jax.tree.map(lambda u: u * ratio, v))
+            k: (v if k.endswith("grid") else jax.tree.map(lambda u: u * ratio, v))
             for k, v in updates.items()
         }
         return updates, state

@@ -167,3 +167,45 @@ class TestSkipMarch:
         dt_max = 2 * np.sqrt(3) / 64
         want = np.clip(ts * (1 / 128), dt_min, dt_max)
         np.testing.assert_allclose(dts[valid], want[valid], rtol=1e-5)
+
+    def test_leaps_stay_on_lattice_across_phase_boundaries(self):
+        """Empty-space leaps that cross a dt-recurrence phase change must
+        land exactly on the scalar recurrence t += clamp(t*g, lo, hi).
+
+        Scene: occupancy only in a thin far wall (x > 0.85), so the marcher
+        takes long closed-form leaps. Ray A starts at the center with a tiny
+        near (crosses the dt_min-pinned -> geometric boundary mid-leap);
+        ray B enters from outside and crosses geometric -> dt_max-pinned
+        (boundary t = dt_max/gamma ~ 1.73 with gamma = 1/32) before hitting
+        the wall. Guards the ADVICE-r2 phase-clamp fix in march_rays_skip.
+        """
+        gs = 64
+        c = (jnp.arange(gs) + 0.5) / gs * 2 - 1
+        X, _, _ = jnp.meshgrid(c, c, c, indexing="ij")
+        occ = (X > 0.85).reshape(1, -1)
+        skip = occupancy_skip_field(occ, gs)
+        o = jnp.asarray([[0.0, 0.0, 0.0], [-2.0, 0.01, 0.01]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+        nears = jnp.asarray([1e-3, 1.0], jnp.float32)
+        fars = jnp.asarray([1.0, 3.0], jnp.float32)
+        gamma, max_steps = 1 / 32, 512
+        dt_min = 2 * np.sqrt(3) / max_steps
+        dt_max = 2 * np.sqrt(3) / gs
+        res = march_rays_skip(
+            o, d, nears, fars, skip, bound=1.0, dt_gamma=gamma,
+            max_steps=max_steps, slab=16, grid_size=gs,
+        )
+        ts, valid = np.asarray(res.ts), np.asarray(res.valid)
+        assert valid[0].any() and valid[1].any()
+        for r in range(2):
+            # exact scalar recurrence from this ray's t0
+            t, lattice = float(nears[r]), []
+            while t < float(fars[r]) + dt_max:
+                lattice.append(t)
+                t += float(np.clip(t * gamma, dt_min, dt_max))
+            lattice = np.asarray(lattice)
+            for tv in ts[r][valid[r]]:
+                err = np.abs(lattice - tv).min()
+                assert err < 5e-5 * max(tv, 1.0), (
+                    f"ray {r}: sample t={tv:.6f} off-lattice by {err:.2e}"
+                )
