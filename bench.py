@@ -12,16 +12,23 @@ step in lax.fori_loop measured 10x SLOWER on v5e (the nested scan of the MXU
 hash-grid backward compiles pathologically inside an outer loop), while
 per-step dispatch overhead is only ~1.6 ms against a ~330 ms step.
 
-The default headline measures the flagship DENSE VOXEL family
-(train/voxel.py): a 128^3 RGBA field descended through the differentiable
+The default headline measures the flagship VM-FACTORIZED VOXEL family
+(train/voxel_vm.py, TensoRF-style rank-16 planes x vectors): the field is
+collapsed by three dense einsums and descended through the differentiable
 shear-warp compositor with intermediate-plane supervision of 800^2 views —
 the TPU-first training path with no per-sample random access (PERF.md
-"voxel backward bisect"). rays/s counts ri^2 supervised intermediate rays
-per step (each is one primary ray through the eye), measured as folded
-lax.fori_loop dispatches with a scalar fetch per dispatch (the voxel step
-has no nested-scan pathology, and at ~5 ms/step folding is the only
-relay-proof harness). `--hash` instead measures the hash-grid
-reference-parity family with the python-looped harness described above.
+"voxel backward bisect"). VM is the quality-gated shipping config (VERDICT
+r2: it dominates dense at equal step cost, +11.7 dB held-out at 256^3).
+rays/s counts ri^2 supervised intermediate rays per step (each is one
+primary ray through the eye), measured as folded lax.fori_loop dispatches
+with a scalar fetch per dispatch (the voxel step has no nested-scan
+pathology, and at ~5 ms/step folding is the only relay-proof harness).
+
+The default run ALSO measures the hash-grid reference-parity family and
+emits it as a nested "hash_row" in the same JSON line, so every BENCH
+artifact carries both the flagship and the reference-parity number
+(VERDICT r2 next-round item 1). `--hash` / `--dense` / `--vm` / `--dyn` /
+`--kplanes` measure a single family.
 """
 
 import json
@@ -156,7 +163,15 @@ def bench_dp(n_devices: int):
     )
 
 
-def bench_voxel(dynamic: bool = False, vm: bool = False, kplanes: bool = False):
+def bench_voxel(
+    dynamic: bool = False,
+    vm: bool = False,
+    kplanes: bool = False,
+    emit: bool = True,
+    R: int = 128,
+    H: int = 800,
+    FOLD: int = 16,
+):
     """Headline: dense voxel family train step, folded-dispatch timing.
 
     ``dynamic=True`` (bench.py --dyn) measures the time-factorized family
@@ -182,10 +197,8 @@ def bench_voxel(dynamic: bool = False, vm: bool = False, kplanes: bool = False):
         tv_loss,
     )
 
-    R = 128
-    H = W = 800
+    W = H
     RI = 2 * R  # bandwidth-matched supervision (Nyquist of a 128^3 field)
-    FOLD = 16
 
     # striped-sphere GT volume, views rendered on device (no d2h)
     c = (jnp.arange(R) + 0.5) / R * 2 - 1
@@ -306,28 +319,26 @@ def bench_voxel(dynamic: bool = False, vm: bool = False, kplanes: bool = False):
     per_step = min(times) / FOLD
     rays_per_sec = RI * RI / per_step
     assert np.isfinite(mse_last) and mse_last < mse0, (mse0, mse_last)
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
-                "family": (
-                    "kplanes_shearwarp_rank8" if kplanes
-                    else "dyn_voxel_shearwarp_rank4" if dynamic
-                    else "vm_voxel_shearwarp_rank16" if vm
-                    else "dense_voxel_shearwarp"
-                ),
-                "config": {"field": R, "image": H, "ri": RI, "fold": FOLD},
-                "step_ms": round(per_step * 1e3, 2),
-                "note": "hash-grid reference-parity family: bench.py --hash",
-            }
-        )
-    )
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+        "family": (
+            "kplanes_shearwarp_rank8" if kplanes
+            else "dyn_voxel_shearwarp_rank4" if dynamic
+            else "vm_voxel_shearwarp_rank16" if vm
+            else "dense_voxel_shearwarp"
+        ),
+        "config": {"field": R, "image": H, "ri": RI, "fold": FOLD},
+        "step_ms": round(per_step * 1e3, 2),
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
-def main():
+def bench_hash(emit: bool = True):
     import optax
 
     from focnerf_tpu.render.renderer import render_rays_occupancy
@@ -386,9 +397,14 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+        "family": "hashgrid_ngp_occupancy",
+        "config": {"n_rays": N_RAYS, "slab": SLAB, "steps": BENCH_STEPS},
+        "step_ms": round(dt / BENCH_STEPS * 1e3, 2),
     }
-    print(json.dumps(result))
     assert np.isfinite(loss), f"bench produced non-finite loss: {loss}"
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
 def _probe_backend(timeout_s: int = 150) -> None:
@@ -424,12 +440,21 @@ if __name__ == "__main__":
     if "--dp" in sys.argv:
         bench_dp(int(sys.argv[sys.argv.index("--dp") + 1]))
     elif "--hash" in sys.argv:
-        main()
+        bench_hash()
     elif "--dyn" in sys.argv:
         bench_voxel(dynamic=True)
     elif "--vm" in sys.argv:
         bench_voxel(vm=True)
     elif "--kplanes" in sys.argv:
         bench_voxel(kplanes=True)
-    else:
+    elif "--dense" in sys.argv:
         bench_voxel()
+    else:
+        # default artifact: flagship (VM rank-16, the quality-gated shipping
+        # config) headline + the hash-grid reference-parity row, ONE line
+        headline = bench_voxel(vm=True, emit=False)
+        try:
+            headline["hash_row"] = bench_hash(emit=False)
+        except Exception as e:  # the hash row must never erase the headline
+            headline["hash_row"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(headline))
