@@ -55,7 +55,7 @@ def run_yolo_on_frames(
     model_name: str = "yolov8s-seg.pt",
     conf: float = 0.25,
     feat_dim: int = 144,
-) -> Dict:  # pragma: no cover - requires ultralytics + weights
+) -> Dict:
     """Run YOLOv8-seg over frames; merge per-class instance masks; pool feats.
 
     Mirrors get_object_masks (utils.py:364-477): per frame, all instances of a
@@ -112,7 +112,13 @@ def run_yolo_on_frames(
                 obj = res.names[int(cls)]
                 m = mask.cpu().numpy() > 0.5
                 if m.shape != (H, W):
-                    m = cv2.resize(m.astype(np.uint8), (W, H), cv2.INTER_NEAREST) > 0
+                    m = (
+                        cv2.resize(
+                            m.astype(np.uint8), (W, H),
+                            interpolation=cv2.INTER_NEAREST,
+                        )
+                        > 0
+                    )
                 frame_masks[obj] |= m
                 frame_boxes[obj] = np.asarray(box.cpu(), np.float32)
                 union |= m
