@@ -50,3 +50,44 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Replicate a pytree over a possibly MULTI-PROCESS mesh.
+
+    Single-process this is plain ``replicate``. Multi-process, every process
+    holds the full (identical) value and the global replicated array is
+    assembled from process-local data — the multi-host path the reference's
+    DDP wrap never exercised (nerf/utils.py:714-717).
+    """
+    if jax.process_count() == 1:
+        return replicate(tree, mesh)
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), tree
+    )
+
+
+def shard_batch_global(batch, mesh: Mesh, axis: str = "data"):
+    """Shard a GLOBAL batch over a possibly multi-process mesh.
+
+    Every process passes the same full global batch (deterministic batch
+    construction); each keeps only the rows its local devices own. Entries
+    that cannot shard on the leading axis are replicated.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    n = mesh.shape[axis]
+    pc, pid = jax.process_count(), jax.process_index()
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] >= n:
+            per = x.shape[0] // pc  # contiguous block per process (mesh order)
+            local = x[pid * per : (pid + 1) * per]
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(axis)), local, x.shape
+            )
+        return jax.make_array_from_process_local_data(NamedSharding(mesh, P()), x)
+
+    return jax.tree.map(put, batch)

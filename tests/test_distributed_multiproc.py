@@ -88,3 +88,93 @@ def test_two_process_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "OK total=6.0" in out
+
+
+_TRAIN_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO"])
+import jax.numpy as jnp
+import numpy as np
+from focnerf_tpu.parallel.distributed import initialize
+from focnerf_tpu.parallel.mesh import make_mesh, replicate_global, shard_batch_global
+from focnerf_tpu.parallel.sharding import make_sharded_train_step
+from focnerf_tpu.models.nerf import NeRFConfig
+from focnerf_tpu.train.state import create_train_state, make_optimizer
+from focnerf_tpu.train.steps import make_train_step
+
+info = initialize()
+assert info["num_processes"] == 2 and info["global_devices"] == 4, info
+
+cfg = NeRFConfig(num_levels=2, base_resolution=4, log2_hashmap_size=8,
+                 use_objfeat=False, compute_dtype=jnp.float32)
+opt = make_optimizer(lr=1e-2)
+state = create_train_state(jax.random.key(0), cfg, opt)
+n = 64
+batch = {
+    "rays_o": jnp.zeros((n, 3)).at[:, 2].set(-2.0),
+    "rays_d": jnp.zeros((n, 3)).at[:, 2].set(1.0),
+    "pixels": jnp.full((n, 3), 0.4),
+}
+rng = jax.random.PRNGKey(1)  # raw uint32 key: replicable as a plain array
+
+# single-process reference on this process's local devices (full batch)
+plain = make_train_step(cfg, opt, num_steps=8, donate=False)
+s_plain, m_plain = plain(state, batch, rng)
+loss_ref = float(m_plain["loss"])
+leaf_ref = np.asarray(s_plain.params["sigma_net"][0])
+
+# global 4-device DP step across both processes
+mesh = make_mesh(4)
+sharded = make_sharded_train_step(cfg, opt, mesh, num_steps=8)
+g_state = replicate_global(state, mesh)
+g_batch = shard_batch_global(batch, mesh)
+g_rng = replicate_global(rng, mesh)
+s_shard, m_shard = sharded(g_state, g_batch, g_rng)
+loss_dp = float(m_shard["loss"])
+leaf_dp = np.asarray(jax.device_get(s_shard.params["sigma_net"][0]))
+
+assert abs(loss_ref - loss_dp) <= 1e-5 * max(1.0, abs(loss_ref)), (loss_ref, loss_dp)
+np.testing.assert_allclose(leaf_dp, leaf_ref, rtol=1e-5, atol=1e-7)
+print(f"proc {info['process_id']} TRAIN-PARITY-OK loss={loss_dp:.6f}", flush=True)
+"""
+
+
+def test_two_process_train_step_parity(tmp_path):
+    """2-process DP training step == single-process step on the same batch
+    (VERDICT r2 item 8): gradients cross the process boundary through the
+    XLA-inserted psum and must reproduce the local result exactly."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env_base = {
+        **os.environ,
+        "REPO": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+    }
+    for drop in ("XLA_FLAGS", "JAX_PLATFORMS"):
+        env_base.pop(drop, None)
+    env_base["PYTHONPATH"] = ":".join(
+        p for p in env_base.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p
+    )
+    procs = []
+    for pid in range(2):
+        env = {**env_base, "JAX_PROCESS_ID": str(pid)}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _TRAIN_WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert "TRAIN-PARITY-OK" in out
