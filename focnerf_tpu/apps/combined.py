@@ -229,12 +229,32 @@ def evaluate_composition(
                     )
             else:
                 pk = jax.tree.map(lambda a: a[ki], stacked)
+                feats_k = None if avg_feats is None else avg_feats[k]
+                occ_k = None if stacked_occ is None else stacked_occ[ki]
                 vol = bake_field(
                     pk, cfg, resolution=opt.bake_res,
-                    obj_feat=None if avg_feats is None else avg_feats[k],
-                    occ_bits=None if stacked_occ is None else stacked_occ[ki],
-                    sh_degree=opt.bake_sh,
+                    obj_feat=feats_k, occ_bits=occ_k, sh_degree=opt.bake_sh,
                 )
+                if opt.bake_gate:
+                    # the bake's quality cost is measured per object at
+                    # every bake, never assumed (render/bake_gate.py)
+                    from focnerf_tpu.render.bake_gate import bake_quality_report
+
+                    gate_path = os.path.join(
+                        opt.ckpt_dir or ".", f"{_ws_prefix(opt)}_{obj}",
+                        "bake_quality.json",
+                    )
+                    rep = bake_quality_report(
+                        pk, cfg, vol, dataset.poses, dataset.intrinsics,
+                        dataset.H, dataset.W, obj_feat=feats_k,
+                        occ_bits=occ_k, num_steps=min(opt.num_steps, 256),
+                        out_path=gate_path,
+                    )
+                    print(
+                        f"[bake-gate] {obj}: baked-vs-exact "
+                        f"{rep['psnr_baked_vs_exact_mean']} dB mean / "
+                        f"{rep['psnr_baked_vs_exact_min']} dB min -> {gate_path}"
+                    )
                 ki += 1
             if offsets is not None:
                 # compose offsets query the field at x+off -> scene pos -off

@@ -314,6 +314,21 @@ def main(argv=None):
     )
     save_volume(cache, vol, quantize=opt.bake_quantize)
     print(f"[voxel] saved {cache}" + (" (uint8)" if opt.bake_quantize else ""))
+    if opt.bake_quantize and opt.bake_gate:
+        # voxel families: the trained field IS the volume, so the only bake
+        # loss is quantization — measure it (render/bake_gate.py)
+        from focnerf_tpu.render.baked import load_volume
+        from focnerf_tpu.render.bake_gate import volume_quantization_report
+
+        rep = volume_quantization_report(
+            vol, load_volume(cache), train_ds.poses, train_ds.intrinsics,
+            train_ds.H, train_ds.W,
+            out_path=os.path.join(opt.workspace, "bake_quality.json"),
+        )
+        print(
+            f"[bake-gate] quantized-vs-float "
+            f"{rep['psnr_quantized_vs_float_mean']} dB mean"
+        )
     _save_volume_mesh(
         vol, os.path.join(opt.workspace, "mesh.obj"), opt.density_thresh,
         tag="voxel",

@@ -207,6 +207,25 @@ def _view_only(opt):
             )
             print(f"[viewer] baked {opt.bake_res}^3 volume in {time.time()-t0:.1f}s")
             save_volume(cache, vol, quantize=opt.bake_quantize)
+            if opt.bake_gate:
+                from focnerf_tpu.core.camera import rand_poses
+                from focnerf_tpu.render.bake_gate import bake_quality_report
+
+                probe = rand_poses(
+                    np.random.default_rng(0), 3, radius=max(opt.radius, 1.5)
+                )
+                f = 1.1 * 200
+                rep = bake_quality_report(
+                    params, cfg, vol, probe, (f, f, 100.0, 100.0), 200, 200,
+                    obj_feat=obj_feat,
+                    occ_bits=occ_kwargs.get("occ_bits"),
+                    num_steps=min(opt.num_steps, 256),
+                    out_path=os.path.join(opt.workspace, "bake_quality.json"),
+                )
+                print(
+                    f"[bake-gate] baked-vs-exact "
+                    f"{rep['psnr_baked_vs_exact_mean']} dB mean"
+                )
 
         def render_fn(pose, intrinsics, H, W, t):
             try:

@@ -125,6 +125,10 @@ class Options:
     # store baked_*.npz volumes uint8-quantized (1/4 the fp32 bytes; ~0.5 dB
     # gate — render/baked.py::save_volume)
     bake_quantize: bool = False
+    # measure the bake's quality cost at every bake (render/bake_gate.py):
+    # per-object bake-vs-exact probe PSNR -> <workspace>/bake_quality.json.
+    # --no-bake_gate skips the probe renders.
+    bake_gate: bool = True
     # dense voxel training (train/voxel.py): photometric loss location.
     # "intermediate" pre-warps GTs onto the shear-warp plane (~370x faster
     # backward on TPU — PERF.md); "screen" is the exact end-to-end oracle.

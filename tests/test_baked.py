@@ -269,3 +269,59 @@ class TestSHBake:
 
         dc = np.asarray(v_sh.rgba[..., 0:3]) * _C0
         assert dc.min() > -0.2 and dc.max() < 1.2
+
+
+class TestBakeGate:
+    def test_bake_quality_report(self, tmp_path):
+        """bake-vs-exact probe gate (render/bake_gate.py): report structure,
+        finite PSNRs, and the json artifact every workspace must carry."""
+        import json
+
+        import jax
+
+        from focnerf_tpu.core.camera import rand_poses
+        from focnerf_tpu.models.nerf import NeRFConfig, init_nerf_params
+        from focnerf_tpu.render.baked import bake_field
+        from focnerf_tpu.render.bake_gate import bake_quality_report
+
+        cfg = NeRFConfig(
+            num_levels=2, base_resolution=4, log2_hashmap_size=8,
+            use_objfeat=False, compute_dtype=jnp.float32,
+        )
+        params = init_nerf_params(jax.random.key(0), cfg)
+        vol = bake_field(params, cfg, resolution=16)
+        poses = rand_poses(np.random.default_rng(0), 4, radius=2.5)
+        out = str(tmp_path / "ws" / "bake_quality.json")
+        rep = bake_quality_report(
+            params, cfg, vol, poses, (38.4, 38.4, 16.0, 16.0), 32, 32,
+            num_steps=16, n_views=2, out_path=out,
+        )
+        assert rep["views"] == 2 and rep["bake_resolution"] == 16
+        assert np.isfinite(rep["psnr_baked_vs_exact_mean"])
+        assert rep["psnr_baked_vs_exact_min"] <= rep["psnr_baked_vs_exact_mean"]
+        on_disk = json.load(open(out))
+        assert on_disk["per_view"][0]["psnr_baked_vs_exact"] == rep["per_view"][0]["psnr_baked_vs_exact"]
+
+    def test_volume_quantization_report(self, tmp_path):
+        import jax.numpy as jnp
+
+        from focnerf_tpu.core.camera import rand_poses
+        from focnerf_tpu.render.baked import BakedVolume, load_volume, save_volume
+        from focnerf_tpu.render.bake_gate import volume_quantization_report
+
+        rng = np.random.default_rng(3)
+        R = 16
+        rgba = rng.random((R, R, R, 4)).astype(np.float32)
+        rgba[..., 3] *= 20.0
+        vol = BakedVolume(rgba=jnp.asarray(rgba), bound=1.0)
+        p = str(tmp_path / "v.npz")
+        save_volume(p, vol, quantize=True)
+        volq = load_volume(p)
+        poses = rand_poses(rng, 3, radius=2.5)
+        rep = volume_quantization_report(
+            vol, volq, poses, (38.4, 38.4, 16.0, 16.0), 32, 32, n_views=2,
+            out_path=str(tmp_path / "bake_quality.json"),
+        )
+        assert rep["views"] == 2
+        # uint8 quantization of a smooth random volume: high but finite PSNR
+        assert 20.0 < rep["psnr_quantized_vs_float_mean"] < 100.0

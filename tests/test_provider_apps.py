@@ -355,6 +355,14 @@ class TestVoxelCLI:
         assert os.path.exists(out) and os.path.getsize(out) > 0
         log = open(os.path.join(comb_ws, "log.txt")).read()
         assert "background" in log and "sphere" in log
+        # the bake-vs-exact gate ran for the checkpointed object at bake
+        # time (voxel objects skip it: their trained field IS the volume)
+        import json as _json
+
+        gate = os.path.join(root, "ws_background", "bake_quality.json")
+        assert os.path.exists(gate)
+        rep = _json.load(open(gate))
+        assert np.isfinite(rep["psnr_baked_vs_exact_mean"])
 
     def test_voxel_kplanes_cli(self, scene, tmp_path):
         """--voxel_kplanes trains the six-plane space-time family and the
