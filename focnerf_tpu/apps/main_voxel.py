@@ -67,16 +67,16 @@ def main(argv=None):
             "--voxel_kplanes K (or none for the dense field)"
         )
     if opt.voxel_sp:
-        if n_fam > 0:
+        if opt.voxel_dynamic or opt.voxel_vm > 0:
             raise ValueError(
-                "--voxel_sp shards the DENSE family only; drop --voxel_vm/"
-                "--voxel_dynamic/--voxel_kplanes (factorized params "
+                "--voxel_sp shards the dense and K-planes families; drop "
+                "--voxel_vm/--voxel_dynamic (their factorized params "
                 "replicate — use the DP step)"
             )
         if opt.voxel_supervise != "intermediate":
             raise ValueError(
-                "--voxel_sp trains the dense family with intermediate-plane "
-                "supervision only (parallel/voxel_sp.py)"
+                "--voxel_sp trains with intermediate-plane supervision only "
+                "(parallel/voxel_sp.py, parallel/kplanes_sp.py)"
             )
     os.makedirs(opt.workspace, exist_ok=True)
 
@@ -130,7 +130,27 @@ def main(argv=None):
                 sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
                 log_every=max(opt.iters // 10, 1),
             )
-            if opt.voxel_c2f > 1:
+            if opt.voxel_sp:
+                # collapse-sharded over all local devices (the dense grid a
+                # device materializes is R_loc x R x R — parallel/kplanes_sp)
+                from focnerf_tpu.parallel.kplanes_sp import (
+                    fit_kplanes_sp,
+                    fit_kplanes_sp_c2f,
+                )
+
+                if opt.voxel_c2f > 1:
+                    field, info = fit_kplanes_sp_c2f(
+                        train_ds.poses, imgs, train_ds.times,
+                        train_ds.intrinsics, stages=opt.voxel_c2f,
+                        **kp_common,
+                    )
+                else:
+                    field, info = fit_kplanes_sp(
+                        train_ds.poses, imgs, train_ds.times,
+                        train_ds.intrinsics, **kp_common,
+                    )
+                print(f"[kplanes] SP over {info['n_devices']} devices")
+            elif opt.voxel_c2f > 1:
                 field, info = fit_kplanes_c2f(
                     train_ds.poses, imgs, train_ds.times,
                     train_ds.intrinsics, stages=opt.voxel_c2f, **kp_common,

@@ -43,6 +43,131 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def _sp_slab_strip_mse(
+    raw_loc,
+    pose,
+    wgt,
+    mask,
+    d_idx,
+    *,
+    axis_name: str,
+    warp_axis: int,
+    flip: bool,
+    R: int,
+    R_loc: int,
+    ri: int,
+    rows_loc: int,
+    bound: float,
+    sh_degree: int,
+    density_scale: float,
+    bg_color: float,
+    remat: bool,
+    block: int,
+):
+    """Shared SP core (runs under shard_map): activate this device's raw
+    slab, fold it front-to-back, combine the per-device partials in optical
+    depth space, and return the psum'd strip mse. Used by the dense family's
+    SP step and by the K-planes SP step (which collapses its slab from
+    factor planes first); family regularizers stay with their callers."""
+    from focnerf_tpu.render.baked import _fold_blocks, _grid_geometry
+
+    b = float(bound)
+    others = [a for a in range(3) if a != warp_axis]
+
+    # ---- activation (elementwise, local): field_to_volume semantics
+    if sh_degree > 0:
+        payload = raw_loc[..., :-1]  # SH coefficients ride linearly
+    else:
+        payload = jax.nn.sigmoid(raw_loc[..., :-1])
+    sigma = jax.nn.softplus(raw_loc[..., -1:])
+    V = jnp.concatenate([payload, sigma], -1)
+    CH = V.shape[-1]
+
+    # ---- permute the slab so the (sharded) warp axis leads
+    V = jnp.transpose(V, (warp_axis, others[0], others[1], 3))
+    if jax.default_backend() != "cpu":
+        V = V.astype(jnp.bfloat16)  # the resample einsums ride bf16 MXU
+
+    e = pose[:3, 3]
+    e_z, e_y, e_x = e[warp_axis], e[others[0]], e[others[1]]
+
+    # global storage coordinates of this device's slices
+    g0 = d_idx * R_loc
+    c_loc = ((g0 + jnp.arange(R_loc, dtype=jnp.float32)) + 0.5) / R * (2 * b) - b
+
+    # mirror trick (matches _composite_core): flip negates the coord
+    # system instead of physically flipping the global array
+    if flip:
+        e_z = -e_z
+        z_loc = -c_loc  # ascending storage order IS front-to-back
+        V_f2b_loc = V
+        z_f2b_loc = z_loc
+    else:
+        V_f2b_loc = jnp.flip(V, 0)
+        z_f2b_loc = jnp.flip(c_loc, 0)
+
+    gy, gx, _, _, _, _ = _grid_geometry(e_z, e_y, e_x, b, ri)
+    ddy = gy[:, None] - e_y
+    ddx = gx[None, :] - e_x
+    dlen = jnp.sqrt(ddy**2 + ddx**2 + e_z**2)
+    dz = 2.0 * b / R
+    dt = dz * dlen / jnp.maximum(jnp.abs(e_z), 1e-6)
+
+    K = min(block, R_loc)
+    assert R_loc % K == 0
+    Vb = V_f2b_loc.reshape(R_loc // K, K, R, R, CH)
+    zb = z_f2b_loc.reshape(R_loc // K, K)
+    od_d, C_d, _ = _fold_blocks(
+        Vb, zb, e_z, e_y, e_x, gy, gx, dt, b, R, ri,
+        density_scale=density_scale, remat=remat, with_depth=False,
+        return_od=True,
+    )
+
+    # ---- combine partials across devices (front-to-back device order:
+    # ascending device index when flip, else descending); depth is never
+    # folded here — the loss doesn't read it, and carrying it through the
+    # remat'd scan + gather would cost real fwd/bwd work (it can't be
+    # DCE'd out of a scan carry). Slab transmittances combine in OPTICAL
+    # DEPTH space (prefix sums + exp), so opaque slabs (T underflows to
+    # exactly 0) never hit the cumprod VJP's division by zero.
+    part = jnp.concatenate([C_d, od_d[..., None]], -1)
+    parts = jax.lax.all_gather(part, axis_name)  # [D, ri, ri, CH]
+    if not flip:
+        parts = jnp.flip(parts, 0)
+    Cs, ods = parts[..., :-1], parts[..., -1]
+    # exclusive prefix by shifting (never cum - own: exp(inf - inf) is
+    # NaN if a slab's od hit inf — see ops/composite.py)
+    od_excl = jnp.concatenate(
+        [jnp.zeros_like(ods[:1]), jnp.cumsum(ods[:-1], axis=0)], 0
+    )
+    T_excl = jnp.exp(-od_excl)
+    C = jnp.einsum("dij,dijc->ijc", T_excl, Cs)
+    T = jnp.exp(-(od_excl[-1] + ods[-1]))
+
+    if sh_degree > 0:
+        # contract the composited SH payload with one basis per pixel
+        # AFTER the cross-device combine (shared with _composite_core)
+        from focnerf_tpu.render.baked import sh_contract_plane
+
+        C = sh_contract_plane(
+            C, e_z, e_y, e_x, gy, gx, axis=warp_axis, flip=flip,
+            ri=ri, sh_deg=sh_degree,
+        )
+
+    img_i = C + T[..., None] * bg_color
+
+    # ---- photometric loss as psum'd per-device row strips: the
+    # cotangent of the gathered partials flows only through each
+    # device's own strip, so the all_gather transpose is exact
+    r0 = d_idx * rows_loc
+    img_s = jax.lax.dynamic_slice(img_i, (r0, 0, 0), (rows_loc, ri, 3))
+    wgt_s = jax.lax.dynamic_slice(wgt, (r0, 0, 0), (rows_loc, ri, 3))
+    m_s = jax.lax.dynamic_slice(mask, (r0, 0), (rows_loc, ri))[..., None]
+    sse = jax.lax.psum(jnp.sum(m_s * (img_s - wgt_s) ** 2), axis_name)
+    msum = jax.lax.psum(jnp.sum(m_s), axis_name)
+    return sse / (3.0 * jnp.maximum(msum, 1.0))
+
+
 def make_voxel_sp_step(
     mesh,
     intrinsics: Sequence[float],  # unused for intermediate supervision; kept
@@ -72,8 +197,6 @@ def make_voxel_sp_step(
     intermediate pixel, same as _composite_core).
     """
     import optax
-
-    from focnerf_tpu.render.baked import _fold_blocks, _grid_geometry
 
     del intrinsics  # intermediate supervision never projects to the screen
 
@@ -111,100 +234,13 @@ def make_voxel_sp_step(
         (sharded dim = warp_axis); pose/wgt/mask are replicated."""
         d_idx = jax.lax.axis_index(axis_name)
 
-        # ---- activation (elementwise, local): field_to_volume semantics
-        if sh_degree > 0:
-            payload = raw_loc[..., :-1]  # SH coefficients ride linearly
-        else:
-            payload = jax.nn.sigmoid(raw_loc[..., :-1])
-        sigma = jax.nn.softplus(raw_loc[..., -1:])
-        V = jnp.concatenate([payload, sigma], -1)
-        CH = V.shape[-1]
-
-        # ---- permute the slab so the (sharded) warp axis leads
-        V = jnp.transpose(V, (warp_axis, others[0], others[1], 3))
-        if jax.default_backend() != "cpu":
-            V = V.astype(jnp.bfloat16)  # the resample einsums ride bf16 MXU
-
-        e = pose[:3, 3]
-        e_z, e_y, e_x = e[warp_axis], e[others[0]], e[others[1]]
-
-        # global storage coordinates of this device's slices
-        g0 = d_idx * R_loc
-        c_loc = ((g0 + jnp.arange(R_loc, dtype=jnp.float32)) + 0.5) / R * (
-            2 * b
-        ) - b
-
-        # mirror trick (matches _composite_core): flip negates the coord
-        # system instead of physically flipping the global array
-        if flip:
-            e_z = -e_z
-            z_loc = -c_loc  # ascending storage order IS front-to-back
-            V_f2b_loc = V
-            z_f2b_loc = z_loc
-        else:
-            V_f2b_loc = jnp.flip(V, 0)
-            z_f2b_loc = jnp.flip(c_loc, 0)
-
-        gy, gx, _, _, _, _ = _grid_geometry(e_z, e_y, e_x, b, ri)
-        ddy = gy[:, None] - e_y
-        ddx = gx[None, :] - e_x
-        dlen = jnp.sqrt(ddy**2 + ddx**2 + e_z**2)
-        dz = 2.0 * b / R
-        dt = dz * dlen / jnp.maximum(jnp.abs(e_z), 1e-6)
-
-        K = min(block, R_loc)
-        assert R_loc % K == 0
-        Vb = V_f2b_loc.reshape(R_loc // K, K, R, R, CH)
-        zb = z_f2b_loc.reshape(R_loc // K, K)
-        od_d, C_d, _ = _fold_blocks(
-            Vb, zb, e_z, e_y, e_x, gy, gx, dt, b, R, ri,
-            density_scale=density_scale, remat=remat, with_depth=False,
-            return_od=True,
+        mse = _sp_slab_strip_mse(
+            raw_loc, pose, wgt, mask, d_idx,
+            axis_name=axis_name, warp_axis=warp_axis, flip=flip,
+            R=R, R_loc=R_loc, ri=ri, rows_loc=rows_loc, bound=b,
+            sh_degree=sh_degree, density_scale=density_scale,
+            bg_color=bg_color, remat=remat, block=block,
         )
-
-        # ---- combine partials across devices (front-to-back device order:
-        # ascending device index when flip, else descending); depth is never
-        # folded here — the loss doesn't read it, and carrying it through the
-        # remat'd scan + gather would cost real fwd/bwd work (it can't be
-        # DCE'd out of a scan carry). Slab transmittances combine in OPTICAL
-        # DEPTH space (prefix sums + exp), so opaque slabs (T underflows to
-        # exactly 0) never hit the cumprod VJP's division by zero.
-        part = jnp.concatenate([C_d, od_d[..., None]], -1)
-        parts = jax.lax.all_gather(part, axis_name)  # [D, ri, ri, CH]
-        if not flip:
-            parts = jnp.flip(parts, 0)
-        Cs, ods = parts[..., :-1], parts[..., -1]
-        # exclusive prefix by shifting (never cum - own: exp(inf - inf) is
-        # NaN if a slab's od hit inf — see ops/composite.py)
-        od_excl = jnp.concatenate(
-            [jnp.zeros_like(ods[:1]), jnp.cumsum(ods[:-1], axis=0)], 0
-        )
-        T_excl = jnp.exp(-od_excl)
-        C = jnp.einsum("dij,dijc->ijc", T_excl, Cs)
-        T = jnp.exp(-(od_excl[-1] + ods[-1]))
-
-        if sh_degree > 0:
-            # contract the composited SH payload with one basis per pixel
-            # AFTER the cross-device combine (shared with _composite_core)
-            from focnerf_tpu.render.baked import sh_contract_plane
-
-            C = sh_contract_plane(
-                C, e_z, e_y, e_x, gy, gx, axis=warp_axis, flip=flip,
-                ri=ri, sh_deg=sh_degree,
-            )
-
-        img_i = C + T[..., None] * bg_color
-
-        # ---- photometric loss as psum'd per-device row strips: the
-        # cotangent of the gathered partials flows only through each
-        # device's own strip, so the all_gather transpose is exact
-        r0 = d_idx * rows_loc
-        img_s = jax.lax.dynamic_slice(img_i, (r0, 0, 0), (rows_loc, ri, 3))
-        wgt_s = jax.lax.dynamic_slice(wgt, (r0, 0, 0), (rows_loc, ri, 3))
-        m_s = jax.lax.dynamic_slice(mask, (r0, 0), (rows_loc, ri))[..., None]
-        sse = jax.lax.psum(jnp.sum(m_s * (img_s - wgt_s) ** 2), axis_name)
-        msum = jax.lax.psum(jnp.sum(m_s), axis_name)
-        mse = sse / (3.0 * jnp.maximum(msum, 1.0))
 
         # ---- total variation with a one-slice halo on the sharded axis
         # (train/voxel.py::tv_loss semantics: per-axis MEAN of squared

@@ -397,6 +397,27 @@ class TestVoxelCLI:
         img = render_fn(pose, (38.4, 38.4, 16.0, 16.0), 32, 32, 0.5)
         assert img.shape == (32, 32, 3) and np.isfinite(img).all()
 
+    def test_voxel_kplanes_sp_cli(self, scene, tmp_path):
+        """--voxel_kplanes --voxel_sp trains the collapse-sharded dynamic
+        family over the 8-device CPU mesh end-to-end."""
+        import jax
+
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+        from focnerf_tpu.train.voxel_kplanes import load_kplanes_field
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        ws = str(tmp_path / "kpspws")
+        voxel_main([
+            scene, "--workspace", ws, "--iters", "24", "--bake_res", "16",
+            "--voxel_kplanes", "2", "--voxel_time_slots", "4", "--voxel_sp",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        path = os.path.join(ws, "kplanes_16_sh0.npz")
+        assert os.path.exists(path)
+        field, bound, sh = load_kplanes_field(path)
+        assert field.space.shape == (3, 16, 16, 2, 4)
+
 
 @pytest.mark.slow
 class TestOccupancyTrainerCLI:
