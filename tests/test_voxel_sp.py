@@ -243,10 +243,17 @@ class TestFitVoxelsSP:
     def test_cli_rejects_incompatible_flags(self, tmp_path):
         from focnerf_tpu.apps import main_voxel
 
-        with pytest.raises(ValueError, match="DENSE"):
+        # vm/dynamic replicate their factorized params -> DP, not SP
+        # (K-planes + SP is allowed since the collapse-sharded step landed)
+        with pytest.raises(ValueError, match="DP step"):
             main_voxel.main(
                 ["scene", "--workspace", str(tmp_path / "w"),
                  "--voxel_sp", "--voxel_vm", "4"]
+            )
+        with pytest.raises(ValueError, match="DP step"):
+            main_voxel.main(
+                ["scene", "--workspace", str(tmp_path / "w"),
+                 "--voxel_sp", "--voxel_dynamic"]
             )
         with pytest.raises(ValueError, match="intermediate"):
             main_voxel.main(
