@@ -339,15 +339,36 @@ def bench_voxel(
 
 
 def bench_hash(emit: bool = True):
+    """Reference-parity family throughput.
+
+    A/B variant flags (round-3 backward campaign, PERF.md):
+      --minsize N   stochastic_min_size (default 1<<13; 1 = ALL levels
+                    sample K=1 corners -> pure-gather forward, uniform-K
+                    lean backward)
+      --bwd MODE    hashgrid.BACKWARD_MODE: mxu | sort
+      --build MODE  hashgrid.BACKWARD_ONEHOT_BUILD: where | scatter
+      --int8        opt-in int8 one-hot backward
+    """
     import optax
 
+    from focnerf_tpu.ops import hashgrid
     from focnerf_tpu.render.renderer import render_rays_occupancy
+
+    min_size = 1 << 13
+    if "--minsize" in sys.argv:
+        min_size = int(sys.argv[sys.argv.index("--minsize") + 1])
+    if "--bwd" in sys.argv:
+        hashgrid.BACKWARD_MODE = sys.argv[sys.argv.index("--bwd") + 1]
+    if "--build" in sys.argv:
+        hashgrid.BACKWARD_ONEHOT_BUILD = sys.argv[sys.argv.index("--build") + 1]
+    if "--int8" in sys.argv:
+        hashgrid.BACKWARD_INT8 = True
 
     # the -O production config (config.py): stochastic-corner hash encode
     # (1 sampled corner per hashed + big dense level during training; eval
     # stays exact) + sphere-trace skip marching
     cfg = NeRFConfig(
-        use_objfeat=False, stochastic_corners=1, stochastic_min_size=1 << 13
+        use_objfeat=False, stochastic_corners=1, stochastic_min_size=min_size
     )
     optimizer = make_optimizer(lr=1e-2, iters=30000)
     state = create_train_state(jax.random.key(0), cfg, optimizer)
@@ -398,7 +419,13 @@ def bench_hash(emit: bool = True):
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
         "family": "hashgrid_ngp_occupancy",
-        "config": {"n_rays": N_RAYS, "slab": SLAB, "steps": BENCH_STEPS},
+        "config": {
+            "n_rays": N_RAYS, "slab": SLAB, "steps": BENCH_STEPS,
+            "minsize": min_size,
+            "bwd": hashgrid._backward_mode(),
+            "build": hashgrid._onehot_build(),
+            "int8": hashgrid._backward_int8(),
+        },
         "step_ms": round(dt / BENCH_STEPS * 1e3, 2),
     }
     assert np.isfinite(loss), f"bench produced non-finite loss: {loss}"

@@ -395,6 +395,23 @@ def _encode_impl(table: jax.Array, x: jax.Array, spec: HashGridSpec, u=None):
         for c in range(spec.level_dim):
             vcs[c][lvl] = per_ch[c]
 
+    K = spec.stochastic_k
+    if K > 0 and all(ncols == K for _, ncols in layout):
+        # uniform-K fast combine (the all-levels-stochastic training mode):
+        # each level's K sampled entries are contiguous, so the level sum is
+        # a reshape-reduce and for K == 1 a pure interleave — no selection
+        # matmuls. With every level on the gather path this makes the whole
+        # training forward one fused gather + elementwise math.
+        chans = []
+        for c in range(spec.level_dim):
+            vc = jnp.concatenate(vcs[c], axis=1)  # [N, L*K]
+            wv = (weights * vc).astype(jnp.float32)
+            if K > 1:
+                wv = wv.reshape(n, spec.num_levels, K).sum(-1)
+            chans.append(wv)  # [N, L]
+        out = jnp.stack(chans, -1).reshape(n, spec.num_levels * spec.level_dim)
+        return out, rows, weights
+
     Gs = _corner_sum_matrices(layout, spec.level_dim)
     out = jnp.zeros((n, spec.num_levels * spec.level_dim), jnp.float32)
     for c in range(spec.level_dim):
@@ -494,8 +511,51 @@ def _backward_int8() -> bool:
     return False
 
 
+# How the "mxu" backward materializes its hi one-hot operand:
+#   "where": broadcast compare-select against an iota (the round-2 path);
+#   "scatter": zeros.at[iota, hi].set(contrib) — ONE write per entry with
+#       unique indices instead of a B x n_hi compare grid. Same HBM bytes
+#       for the operand itself, but skips the compare-select generation —
+#       an on-chip A/B candidate for the 53 ms one-hot-build leg
+#       (PERF.md round-2 backward bisect).
+#   None (default): "where".
+BACKWARD_ONEHOT_BUILD = None
+
+
+def _onehot_build() -> str:
+    return BACKWARD_ONEHOT_BUILD or "where"
+
+
 _MXU_CHUNK = 32768  # contributions per matmul block (bounds one-hot memory)
 _LO = 512  # low-radix width of the index decomposition
+
+
+def _contribs(spec: HashGridSpec, layout, weights, g32):
+    """Per-channel cotangent for every (point, level-column) entry.
+
+    Uniform-K layouts (every level stochastic with the same K — the -O2
+    all-levels-stochastic training mode) skip the [N, 32] x [32, total_cols]
+    selection matmuls: the column block of level l is just g[:, l*C + c]
+    repeated K times (weights still multiply — they carry the 1/K estimator
+    scale and the out-of-bounds zeroing).
+    """
+    K = spec.stochastic_k
+    if K > 0 and all(ncols == K for _, ncols in layout):
+        out = []
+        for c in range(spec.level_dim):
+            g_lvl = g32[:, c :: spec.level_dim]  # [N, L]
+            g_exp = (
+                g_lvl
+                if K == 1
+                else jnp.repeat(g_lvl, K, axis=1)
+            )
+            out.append(weights * g_exp)
+        return out
+    Gs = _corner_sum_matrices(layout, spec.level_dim)
+    return [
+        weights * jnp.dot(g32, Gs[c].T, preferred_element_type=jnp.float32)
+        for c in range(spec.level_dim)
+    ]  # each [N, total_cols]
 
 
 def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
@@ -508,15 +568,9 @@ def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
     accumulation (preferred_element_type).
     """
     layout = _col_layout(spec)
-    Gs = _corner_sum_matrices(layout, spec.level_dim)
     g32 = g.astype(jnp.float32)
     use_int8 = _backward_int8()
-
-    # per-channel contribution for every (point, level-column) entry
-    contribs = [
-        weights * jnp.dot(g32, Gs[c].T, preferred_element_type=jnp.float32)
-        for c in range(spec.level_dim)
-    ]  # each [N, total_cols]
+    contribs = _contribs(spec, layout, weights, g32)
 
     d_parts = []
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LO), 1)
@@ -560,6 +614,31 @@ def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
                         preferred_element_type=jnp.int32,
                     )  # [HI, LO]
                     acc = acc.at[ch].add(scale * prod.astype(jnp.float32))
+            elif _onehot_build() == "scatter":
+                # one unique-index write per entry instead of a B x width
+                # compare grid for BOTH operands (A/B candidate for the
+                # one-hot-build leg; same operand bytes, no compare-select)
+                B = r_b.shape[0]
+                b_iota = jax.lax.iota(jnp.int32, B)
+                oh_lo = (
+                    jnp.zeros((B, _LO), jnp.bfloat16)
+                    .at[b_iota, r_b % _LO]
+                    .set(1.0, indices_are_sorted=True, unique_indices=True)
+                )
+                hi_b = r_b // _LO
+                for ch in range(spec.level_dim):
+                    lhs = (
+                        jnp.zeros((B, n_hi), jnp.bfloat16)
+                        .at[b_iota, hi_b]
+                        .set(
+                            c_b[:, ch].astype(jnp.bfloat16),
+                            indices_are_sorted=True,
+                            unique_indices=True,
+                        )
+                    )
+                    acc = acc.at[ch].add(
+                        jnp.dot(lhs.T, oh_lo, preferred_element_type=jnp.float32)
+                    )
             else:
                 oh_lo = ((r_b[:, None] % _LO) == lo_iota).astype(jnp.bfloat16)
                 for ch in range(spec.level_dim):
@@ -593,18 +672,14 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
     if _backward_mode() == "mxu":
         d_table = _encode_bwd_mxu(spec, rows, weights, g, n_rows)
         return d_table, jnp.zeros((n, spec.input_dim), g.dtype), d_u
-    Gs = _corner_sum_matrices(_col_layout(spec), spec.level_dim)
 
     flat_rows = rows.reshape(-1)
     order = jnp.argsort(flat_rows)
     sorted_rows = flat_rows[order]
-    contribs = []
-    for c in range(spec.level_dim):
-        # g_exp[n, l*corners+j] = g[n, l*C+c]
-        g_exp = jnp.dot(
-            g.astype(jnp.float32), Gs[c].T, preferred_element_type=jnp.float32
-        )
-        contribs.append((weights * g_exp).reshape(-1)[order])
+    contribs = [
+        c.reshape(-1)[order]
+        for c in _contribs(spec, _col_layout(spec), weights, g.astype(jnp.float32))
+    ]
     d_table = (
         jnp.zeros((n_rows, spec.level_dim), jnp.float32)
         .at[sorted_rows]

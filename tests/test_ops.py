@@ -590,3 +590,95 @@ class TestStochasticCorners:
                 assert rel < 0.12, f"level {l} biased: rel={rel}"
             else:
                 assert err.max() < 1e-4, f"exact level {l} drifted"
+
+
+class TestUniformKFastPaths:
+    """All-levels-stochastic (uniform-K) layout: the fast combine/contrib
+    shortcuts must match the general selection-matmul formulation exactly,
+    and the backward variants must agree on the uniform layout."""
+
+    def _setup(self, k=1):
+        import dataclasses
+
+        import focnerf_tpu.ops.hashgrid as hg
+
+        spec = hg.HashGridSpec.create(
+            num_levels=4, base_resolution=4, log2_hashmap_size=7,
+            per_level_scale=2.0,
+        )
+        # stochastic_min_size=1: EVERY level (dense included) samples K
+        # corners -> uniform layout, pure-gather training forward
+        uspec = dataclasses.replace(
+            spec, stochastic_k=k, stochastic_min_size=1
+        )
+        assert all(
+            n == k for _, n in hg._col_layout(uspec)
+        ), hg._col_layout(uspec)
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(
+            rng.normal(size=(spec.table_rows, spec.level_dim)), jnp.float32
+        )
+        x = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(64, spec.output_dim)), jnp.float32)
+        return hg, uspec, table, x, cot
+
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_forward_matches_manual_expectation(self, k):
+        """For fixed u the uniform-K output must equal (1/K) sum_j T[row_j]
+        (weights carry the estimator scale), recomputed by hand from the
+        residual rows."""
+        hg, uspec, table, x, cot = self._setup(k)
+        key = jax.random.key(7)
+        u = jax.random.uniform(key, (x.shape[0], uspec.num_levels, k, 3))
+        out, rows, weights = hg._encode_impl(table, x, uspec, u)
+        T = np.asarray(table)
+        r = np.asarray(rows)  # [N, L*K]
+        w = np.asarray(weights)
+        exp = np.zeros((x.shape[0], uspec.output_dim), np.float32)
+        for lvl in range(uspec.num_levels):
+            for c in range(uspec.level_dim):
+                cols = slice(lvl * k, (lvl + 1) * k)
+                exp[:, lvl * uspec.level_dim + c] = np.sum(
+                    w[:, cols] * T[r[:, cols], c], axis=1
+                )
+        np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-5, atol=1e-6)
+
+    def test_backward_modes_agree_on_uniform_layout(self):
+        hg, uspec, table, x, cot = self._setup(1)
+        key = jax.random.key(3)
+
+        def gradfn(t):
+            return (hg.hashgrid_encode(t, x, uspec, rng=key) * cot).sum()
+
+        old_m, old_b = hg.BACKWARD_MODE, hg.BACKWARD_ONEHOT_BUILD
+        try:
+            hg.BACKWARD_MODE = "sort"
+            g_sort = jax.grad(gradfn)(table)
+            hg.BACKWARD_MODE = "mxu"
+            hg.BACKWARD_ONEHOT_BUILD = "where"
+            g_where = jax.grad(gradfn)(table)
+            hg.BACKWARD_ONEHOT_BUILD = "scatter"
+            g_scat = jax.grad(gradfn)(table)
+        finally:
+            hg.BACKWARD_MODE, hg.BACKWARD_ONEHOT_BUILD = old_m, old_b
+        assert float(jnp.abs(g_sort).sum()) > 0  # the grad isn't trivially 0
+        np.testing.assert_allclose(
+            np.asarray(g_where), np.asarray(g_sort), atol=8e-3
+        )
+        # the two one-hot builds are the SAME bf16 math -> bitwise equal
+        np.testing.assert_array_equal(np.asarray(g_scat), np.asarray(g_where))
+
+    def test_uniform_k_unbiased(self):
+        """MC average of the K=1 all-levels-stochastic encode converges to
+        the exact trilinear encode."""
+        hg, uspec, table, x, cot = self._setup(1)
+        exact = hg.hashgrid_encode(table, x, uspec)  # no rng -> exact
+        acc = np.zeros(exact.shape, np.float64)
+        reps = 600
+        for i in range(reps):
+            acc += np.asarray(
+                hg.hashgrid_encode(table, x, uspec, rng=jax.random.key(i))
+            )
+        err = np.abs(acc / reps - np.asarray(exact))
+        scale = np.abs(np.asarray(exact)).mean() + 1e-6
+        assert err.mean() / scale < 0.12, err.mean() / scale

@@ -163,6 +163,9 @@ def main():
         "stoch1i8": (True, 1, 0, False),
         "stoch1ms": (False, 1, 1 << 13, False),
         "fast": (False, 1, 1 << 13, True),  # the -O production stack
+        # round-3 candidate: ALL levels stochastic (uniform-K layout ->
+        # pure-gather forward + lean backward); gate vs "fast"
+        "allstoch": (False, 1, 1, True),
     }
     for name in args.variants.split(","):
         use_int8, k, ms, skipm = variants[name]
