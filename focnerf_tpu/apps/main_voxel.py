@@ -125,6 +125,7 @@ def main(argv=None):
 
             tag = "kplanes"
             kp_common = dict(
+                seed=opt.seed,
                 resolution=opt.bake_res, rank=opt.voxel_kplanes,
                 time_res=opt.voxel_time_slots, bound=opt.bound,
                 sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
@@ -181,7 +182,7 @@ def main(argv=None):
                 resolution=opt.bake_res, rank=opt.voxel_rank,
                 time_slots=opt.voxel_time_slots, bound=opt.bound,
                 sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
-                log_every=max(opt.iters // 10, 1),
+                seed=opt.seed, log_every=max(opt.iters // 10, 1),
             )
             cache = os.path.join(
                 opt.workspace, f"dynvoxel_{opt.bake_res}_sh{opt.bake_sh}.npz"
@@ -248,6 +249,7 @@ def main(argv=None):
             opt.workspace, f"vmfield_{opt.bake_res}_r{opt.voxel_vm}.npz"
         )
         vm_common = dict(
+            seed=opt.seed,
             resolution=opt.bake_res, rank=opt.voxel_vm, bound=opt.bound,
             sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
             log_every=max(opt.iters // 10, 1),
@@ -292,6 +294,7 @@ def main(argv=None):
                 f"{n_dev} local devices for slice sharding"
             )
         sp_common = dict(
+            seed=opt.seed,
             resolution=opt.bake_res, bound=opt.bound,
             sh_degree=opt.bake_sh, iters=opt.iters,
             bg_color=1.0, log_every=max(opt.iters // 10, 1),
@@ -308,6 +311,7 @@ def main(argv=None):
         print(f"[spvoxel] trained sharded over {info['n_devices']} devices")
     else:
         common = dict(
+            seed=opt.seed,
             bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,
             bg_color=1.0, density_scale=1.0,
             log_every=max(opt.iters // 10, 1), supervise=opt.voxel_supervise,

@@ -26,6 +26,29 @@ import numpy as np
 from focnerf_tpu.config import parse_options
 
 
+def _ctl(settings, occ_kwargs=None, aabb_ok=False):
+    """Live control-panel values -> (bg_color, render kwargs, aabb).
+
+    dt_gamma/max_steps apply only on occupancy-marched paths; aabb only
+    where the staged renderer accepts one (ref gui.py:156-427 sliders).
+    """
+    import jax.numpy as jnp
+
+    kw = dict(occ_kwargs or {})
+    bg = 1.0
+    aabb = None
+    if settings:
+        bg = float(settings.get("bg", 1.0))
+        if kw.get("occ_bits") is not None or "dt_gamma" in kw:
+            if settings.get("dt_gamma") is not None:
+                kw["dt_gamma"] = float(settings["dt_gamma"])
+            if settings.get("max_steps"):
+                kw["max_steps"] = int(settings["max_steps"])
+        if aabb_ok and settings.get("aabb"):
+            aabb = jnp.asarray(settings["aabb"], jnp.float32)
+    return bg, kw, aabb
+
+
 def _view_only(opt):
     """Load a checkpoint for viewing; returns (render_fn, None)."""
     import jax.numpy as jnp
@@ -75,11 +98,12 @@ def _view_only(opt):
         field, bound_l, sh_l = _load(dyn_cache)
         print(f"[viewer] loaded dynamic voxel field {dyn_cache}")
 
-        def render_fn(pose, intrinsics, H, W, t):
+        def render_fn(pose, intrinsics, H, W, t, settings=None):
+            bg, _, _ = _ctl(settings)
             try:
                 vol = dyn_field_to_volume(field, float(t), bound_l, sh_l)
                 img, _, _ = render_baked(
-                    vol, pose, intrinsics, H, W, bg_color=1.0,
+                    vol, pose, intrinsics, H, W, bg_color=bg,
                     density_scale=1.0,
                 )
             except ValueError:  # camera inside the volume
@@ -99,10 +123,11 @@ def _view_only(opt):
         vol = load_volume(baked_cache)
         print(f"[viewer] loaded voxel volume {baked_cache}")
 
-        def render_fn(pose, intrinsics, H, W, t):
+        def render_fn(pose, intrinsics, H, W, t, settings=None):
+            bg, _, _ = _ctl(settings)
             try:
                 img, _, _ = render_baked(
-                    vol, pose, intrinsics, H, W, bg_color=1.0,
+                    vol, pose, intrinsics, H, W, bg_color=bg,
                     density_scale=1.0,
                 )
             except ValueError:  # camera inside the volume
@@ -139,15 +164,15 @@ def _view_only(opt):
             )
             print("[viewer] occupancy-accelerated dnerf rendering on")
 
-        def render_fn(pose, intrinsics, H, W, t):
-            kw = dict(occ_kwargs)
+        def render_fn(pose, intrinsics, H, W, t, settings=None):
+            bg, kw, _ = _ctl(settings, occ_kwargs)
             if bits_at is not None:
                 kw["occ_bits"] = bits_at(jnp.asarray(t, jnp.float32))
             img, _ = render_image_dnerf(
                 params, cfg, jnp.asarray(pose), intrinsics, H, W, t,
                 num_steps=min(opt.num_steps, 128),
                 max_ray_batch=opt.max_ray_batch,
-                min_near=opt.min_near, bg_color=1.0, **kw,
+                min_near=opt.min_near, bg_color=bg, **kw,
             )
             return np.asarray(img)
 
@@ -227,10 +252,11 @@ def _view_only(opt):
                     f"{rep['psnr_baked_vs_exact_mean']} dB mean"
                 )
 
-        def render_fn(pose, intrinsics, H, W, t):
+        def render_fn(pose, intrinsics, H, W, t, settings=None):
+            bg, _, _ = _ctl(settings)
             try:
                 img, _, _ = render_baked(
-                    vol, pose, intrinsics, H, W, bg_color=1.0,
+                    vol, pose, intrinsics, H, W, bg_color=bg,
                     density_scale=cfg.density_scale,
                 )
             except ValueError:
@@ -241,12 +267,13 @@ def _view_only(opt):
 
         return render_fn, None
 
-    def render_fn(pose, intrinsics, H, W, t):
+    def render_fn(pose, intrinsics, H, W, t, settings=None):
+        bg, kw, aabb = _ctl(settings, occ_kwargs, aabb_ok=True)
         img, _ = render_image(
             params, cfg, jnp.asarray(pose), intrinsics, H, W,
             num_steps=min(opt.num_steps, 128), max_ray_batch=opt.max_ray_batch,
-            min_near=opt.min_near, obj_feat=obj_feat, bg_color=1.0,
-            **occ_kwargs,
+            min_near=opt.min_near, obj_feat=obj_feat, bg_color=bg, aabb=aabb,
+            **kw,
         )
         return np.asarray(img)
 
@@ -285,34 +312,46 @@ def _train_while_viewing(opt):
         else (jnp.zeros((trainer.cfg.yolo_feats_dim,)) if trainer.cfg.use_objfeat else None)
     )
 
-    def render_fn(pose, intrinsics, H, W, t):
+    def render_fn(pose, intrinsics, H, W, t, settings=None):
         kw = trainer._render_kwargs()  # routes through occupancy when trained with it
         kw["num_steps"] = min(opt.num_steps, 128)  # interactive budget
+        bg, kw, aabb = _ctl(settings, kw, aabb_ok=True)
         img, _ = render_image(
             trainer.state.ema_params, trainer.cfg, jnp.asarray(pose),
-            intrinsics, H, W, obj_feat=obj_feat, bg_color=1.0, **kw,
+            intrinsics, H, W, obj_feat=obj_feat, bg_color=bg, aabb=aabb, **kw,
         )
         return np.asarray(img)
 
-    return render_fn, lambda: trainer.train_step_once(train_ds)
+    # control-panel buttons (ref gui.py save_mesh / checkpoint buttons)
+    def _save_ckpt():
+        trainer.save_checkpoint()
+        return f"checkpoint saved @ step {int(trainer.state.step)}"
+
+    def _save_mesh():
+        trainer.save_mesh(resolution=128)
+        return "mesh saved"
+
+    actions = {"save_ckpt": _save_ckpt, "save_mesh": _save_mesh}
+    return render_fn, lambda: trainer.train_step_once(train_ds), actions
 
 
 def main(argv=None):
     from focnerf_tpu.viewer.server import ViewerState, run_viewer
 
     opt = parse_options(argv)
+    actions = None
     if opt.test:
         render_fn, train_fn = _view_only(opt)
     else:
         try:
-            render_fn, train_fn = _train_while_viewing(opt)
+            render_fn, train_fn, actions = _train_while_viewing(opt)
         except FileNotFoundError as e:
             print(f"[viewer] no trainable scene ({e}); falling back to view-only")
             render_fn, train_fn = _view_only(opt)
 
     state = ViewerState(
         render_fn, W=opt.W // 2, H=opt.H // 2, train_fn=train_fn,
-        max_spp=opt.max_spp,
+        max_spp=opt.max_spp, actions=actions,
     )
     run_viewer(state, port=int(os.environ.get("VIEWER_PORT", 7007)))
 

@@ -10,10 +10,14 @@ TPU/server-friendly:
   - train-while-viewing in fixed-step bursts (ref gui.py:89-111: 16-step
     bursts targeting 500 ms);
   - progressive SPP accumulation when the camera is still (ref gui.py:142-148);
-  - a time slider for D-NeRF fields (dnerf/gui.py:289-295).
+  - a time slider for D-NeRF fields (dnerf/gui.py:289-295);
+  - render control surface matching the dearpygui panel (ref gui.py:156-427
+    minus GPU-isms): fovy / dt_gamma / max_steps sliders, background color,
+    max-spp, axis-aligned bounding box, pause-training toggle, and
+    save-checkpoint / save-mesh buttons (wired when a Trainer is attached).
 
 Zero extra dependencies: stdlib http.server + a canvas page; frames travel as
-PNG over XHR.
+PNG over XHR; controls POST to /control, buttons to /action.
 """
 
 from __future__ import annotations
@@ -33,7 +37,17 @@ body{margin:0;background:#111;color:#ddd;font-family:monospace}
 #hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px}
 canvas{display:block;margin:auto;image-rendering:pixelated}
 </style></head><body>
-<div id="hud">drag: orbit | wheel: zoom | shift-drag: pan | t: time+ | fps <span id="fps">-</span></div>
+<div id="hud">drag: orbit | wheel: zoom | shift-drag: pan | t: time+ | fps <span id="fps">-</span>
+<br>fovy <input id="fovy" type="range" min="20" max="120" value="50" step="1">
+bg <select id="bg"><option value="1">white</option><option value="0">black</option></select>
+time <input id="tsl" type="range" min="0" max="1" value="0" step="0.01">
+<br>dt_gamma <input id="dtg" type="range" min="0" max="0.06" value="0" step="0.001">
+max_steps <input id="mst" type="range" min="64" max="1024" value="1024" step="64">
+spp <input id="spp" type="range" min="1" max="64" value="16" step="1">
+<br>aabb <input id="aabb" size="22" placeholder="-1,-1,-1,1,1,1">
+<span id="trainctl" style="display:none"><label><input id="pause" type="checkbox">pause train</label>
+<button id="ckptb">save ckpt</button><button id="meshb">save mesh</button></span>
+<span id="msg"></span></div>
 <canvas id="c" width="512" height="512"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
@@ -46,7 +60,23 @@ window.onmousemove = e=>{ if(!drag) return;
   if(panning){cx -= dx*0.003; cy += dy*0.003;} else {theta -= dx*0.01; phi = Math.min(1.5, Math.max(-1.5, phi + dy*0.01));}
   dirty=true; };
 c.onwheel = e=>{ radius *= Math.pow(1.1, e.deltaY>0?1:-1); dirty=true; e.preventDefault(); };
-window.onkeydown = e=>{ if(e.key=='t'){ t = (t + 0.05) % 1.0; dirty=true; } };
+window.onkeydown = e=>{ if(e.key=='t'){ t = (t + 0.05) % 1.0; document.getElementById('tsl').value=t; dirty=true; } };
+function ctl(k, v){ fetch('/control', {method:'POST', body: JSON.stringify({[k]: v})}).then(()=>dirty=true); }
+document.getElementById('fovy').oninput = e=>ctl('fovy', +e.target.value);
+document.getElementById('bg').onchange = e=>ctl('bg', +e.target.value);
+document.getElementById('tsl').oninput = e=>{ t = +e.target.value; dirty=true; };
+document.getElementById('dtg').oninput = e=>ctl('dt_gamma', +e.target.value);
+document.getElementById('mst').oninput = e=>ctl('max_steps', +e.target.value);
+document.getElementById('spp').oninput = e=>ctl('max_spp', +e.target.value);
+document.getElementById('aabb').onchange = e=>{
+  const v = e.target.value.split(',').map(Number);
+  ctl('aabb', (v.length==6 && v.every(isFinite)) ? v : null); };
+document.getElementById('pause').onchange = e=>ctl('paused', e.target.checked);
+function act(name){ fetch('/action', {method:'POST', body: JSON.stringify({name})})
+  .then(r=>r.json()).then(s=>{ document.getElementById('msg').textContent = s.result; }); }
+document.getElementById('ckptb').onclick = ()=>act('save_ckpt');
+document.getElementById('meshb').onclick = ()=>act('save_mesh');
+fetch('/status').then(r=>r.json()).then(s=>{ if(s.training) document.getElementById('trainctl').style.display='inline'; });
 async function loop(){
   if(busy || !dirty){ requestAnimationFrame(loop); return; }
   busy=true; dirty=false;
@@ -67,13 +97,19 @@ loop();
 
 class ViewerState:
     def __init__(
-        self, render_fn, W=512, H=512, frame_budget_ms=200.0, train_fn=None, max_spp=16
+        self, render_fn, W=512, H=512, frame_budget_ms=200.0, train_fn=None,
+        max_spp=16, actions=None,
     ):
-        """render_fn(pose [4,4], intrinsics, H, W, time) -> rgb [H, W, 3] float.
+        """render_fn(pose [4,4], intrinsics, H, W, time[, settings]) -> rgb
+        [H, W, 3] float. A render_fn that accepts the 6th ``settings`` dict
+        receives the live control-panel values (fovy/bg/dt_gamma/max_steps/
+        aabb — ref gui.py:156-427); 5-arg render_fns keep working.
 
         train_fn: optional () -> loss, called in bursts on a worker thread
         (train-while-viewing, ref gui.py:89-111).
         max_spp: accumulation cap for the still-camera progressive pass.
+        actions: optional {name: () -> str} button callbacks (save_ckpt /
+        save_mesh when a Trainer is attached).
         """
         self.render_fn = render_fn
         self.train_fn = train_fn
@@ -82,6 +118,20 @@ class ViewerState:
         self.downscale = 4  # start conservative, adapt
         self.training = train_fn is not None
         self.max_spp = max_spp
+        self.actions = actions or {}
+        self.paused = False
+        self.settings = {
+            "fovy": 50.0, "bg": 1.0, "dt_gamma": None, "max_steps": None,
+            "aabb": None,
+        }
+        self._settings_version = 0
+        import inspect
+
+        try:
+            n_params = len(inspect.signature(render_fn).parameters)
+        except (TypeError, ValueError):
+            n_params = 5
+        self._pass_settings = n_params >= 6
         # progressive accumulation state (ref gui.py:142-148): while the
         # camera is still, frames rendered with sub-pixel jitter are averaged
         self.spp = 0
@@ -94,6 +144,9 @@ class ViewerState:
 
     def _train_loop(self):
         while not self._stop.is_set():
+            if self.paused:  # ref gui.py start/stop train checkbox
+                time.sleep(0.1)
+                continue
             t0 = time.time()
             for _ in range(16):  # 16-step bursts (ref gui.py:89-111)
                 self._loss = float(self.train_fn())
@@ -118,14 +171,15 @@ class ViewerState:
         pose = np.eye(4, dtype=np.float32)
         pose[:3, :3] = np.stack([right, down, fwd], -1)
         pose[:3, 3] = center
-        focal = H / (2 * np.tan(np.radians(50) / 2))
+        focal = H / (2 * np.tan(np.radians(self.settings["fovy"]) / 2))
 
-        # progressive SPP: identical camera+shape -> keep averaging jittered
-        # passes; any change resets the accumulator (ref gui.py:142-148)
+        # progressive SPP: identical camera+shape+settings -> keep averaging
+        # jittered passes; any change resets the accumulator (gui.py:142-148)
         key = (round(theta, 6), round(phi, 6), round(r, 6),
                cam.get("cx", 0), cam.get("cy", 0), cam.get("cz", 0),
-               round(cam.get("t", 0.0), 6), H, W, self.training)
-        if self.training:
+               round(cam.get("t", 0.0), 6), H, W, self.training,
+               self._settings_version)
+        if self.training and not self.paused:
             # params change every burst -> accumulated frames would be stale
             self._last_key = None
         if key != self._last_key or self._accum is None or self._accum.shape[0] != H:
@@ -142,11 +196,10 @@ class ViewerState:
             jx, jy = np.random.default_rng(self.spp).uniform(-0.5, 0.5, 2)
 
         t0 = time.time()
-        rgb = np.asarray(
-            self.render_fn(
-                pose, (focal, focal, W / 2 + jx, H / 2 + jy), H, W, cam.get("t", 0.0)
-            )
-        ).astype(np.float32)
+        args = (pose, (focal, focal, W / 2 + jx, H / 2 + jy), H, W, cam.get("t", 0.0))
+        if self._pass_settings:
+            args = args + (dict(self.settings),)
+        rgb = np.asarray(self.render_fn(*args)).astype(np.float32)
         dt_ms = (time.time() - t0) * 1000
         self._accum = rgb if self._accum is None else (
             self._accum + (rgb - self._accum) / (self.spp + 1)
@@ -191,13 +244,49 @@ def make_handler(state: ViewerState):
                 self.send_response(404)
                 self.end_headers()
 
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/control":
+                # merge known keys only; bump the version so the SPP
+                # accumulator resets (stale frames under new settings)
+                for k in list(state.settings) + ["max_spp", "paused"]:
+                    if k in payload:
+                        if k == "max_spp":
+                            state.max_spp = max(1, int(payload[k]))
+                        elif k == "paused":
+                            state.paused = bool(payload[k])
+                        else:
+                            state.settings[k] = payload[k]
+                state._settings_version += 1
+                self._json({**state.settings, "max_spp": state.max_spp,
+                            "paused": state.paused})
+                return
+            if self.path == "/action":
+                name = payload.get("name", "")
+                fn = state.actions.get(name)
+                if fn is None:
+                    self._json({"result": f"no action {name!r}"}, code=404)
+                    return
+                try:
+                    out = fn()
+                    self._json({"result": str(out) if out is not None else f"{name} done"})
+                except Exception as e:  # surface, don't kill the server
+                    self._json({"result": f"{name} failed: {e}"}, code=500)
+                return
             if self.path != "/render":
                 self.send_response(404)
                 self.end_headers()
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            cam = json.loads(self.rfile.read(n) or b"{}")
+            cam = payload
             rgb = state.render(cam)
             from PIL import Image
 

@@ -239,3 +239,130 @@ class TestMultiObjectWrapper:
         d = jnp.ones((16, 3)) / np.sqrt(3.0)
         sig_f, rgb = mo_field_fn(sp, cfg, x, d)
         assert rgb.shape == (16, 3)
+
+
+class TestViewerControls:
+    """Control-surface parity (ref gui.py:156-427): /control merges live
+    settings into renders, /action fires button callbacks, pause stops the
+    train loop."""
+
+    def _serve(self, vs):
+        import threading
+        from http.server import ThreadingHTTPServer
+
+        from focnerf_tpu.viewer.server import make_handler
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(vs))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, srv.server_address[1]
+
+    def test_control_settings_reach_render_fn(self):
+        import urllib.request
+
+        from focnerf_tpu.viewer.server import ViewerState
+
+        seen = {}
+
+        def render_fn(pose, intr, H, W, t, settings=None):
+            seen.update(settings or {})
+            seen["focal"] = intr[0]
+            return np.zeros((H, W, 3), np.float32)
+
+        vs = ViewerState(render_fn, W=32, H=32, frame_budget_ms=1e9)
+        srv, port = self._serve(vs)
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/control",
+                data=json.dumps({
+                    "fovy": 90.0, "bg": 0.0, "dt_gamma": 0.01,
+                    "max_steps": 256, "aabb": [-1, -1, -1, 1, 1, 1],
+                    "max_spp": 3,
+                }).encode(),
+            )
+            out = json.loads(urllib.request.urlopen(req).read())
+            assert out["fovy"] == 90.0 and out["max_spp"] == 3
+            rreq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/render",
+                data=json.dumps({"theta": 0.1, "phi": 0.1, "radius": 2.0}).encode(),
+            )
+            urllib.request.urlopen(rreq).read()
+        finally:
+            srv.shutdown()
+        assert seen["bg"] == 0.0 and seen["dt_gamma"] == 0.01
+        assert seen["aabb"] == [-1, -1, -1, 1, 1, 1]
+        assert vs.max_spp == 3
+        # fovy 90 at H=8 (downscale 4): focal = H/(2 tan 45deg) = H/2
+        assert abs(seen["focal"] - 8 / 2) < 1e-3
+
+    def test_settings_change_resets_spp(self):
+        from focnerf_tpu.viewer.server import ViewerState
+
+        def render_fn(pose, intr, H, W, t, settings=None):
+            return np.zeros((H, W, 3), np.float32)
+
+        vs = ViewerState(render_fn, W=16, H=16, frame_budget_ms=1e9)
+        vs.downscale = 1  # pin resolution so only settings can reset spp
+        cam = {"theta": 0.5, "phi": 0.2, "radius": 2.0}
+        vs.render(cam)
+        vs.render(cam)
+        assert vs.spp == 2
+        vs.settings["bg"] = 0.0
+        vs._settings_version += 1  # what /control does
+        vs.render(cam)
+        assert vs.spp == 1
+
+    def test_actions_and_legacy_render_fn(self):
+        import urllib.request
+
+        from focnerf_tpu.viewer.server import ViewerState
+
+        fired = []
+        # legacy 5-arg render_fn must keep working (no settings passed)
+        vs = ViewerState(
+            lambda p, i, H, W, t: np.zeros((H, W, 3)), W=16, H=16,
+            actions={"save_mesh": lambda: fired.append(1) or "mesh ok"},
+        )
+        srv, port = self._serve(vs)
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/action",
+                data=json.dumps({"name": "save_mesh"}).encode(),
+            )
+            out = json.loads(urllib.request.urlopen(req).read())
+            assert out["result"] == "mesh ok" and fired == [1]
+            rreq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/render",
+                data=json.dumps({"theta": 0.1, "phi": 0.1, "radius": 2.0}).encode(),
+            )
+            assert urllib.request.urlopen(rreq).read()[:4] == b"\x89PNG"
+            # unknown action -> 404 json, server stays alive
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/action",
+                data=json.dumps({"name": "nope"}).encode(),
+            )
+            try:
+                urllib.request.urlopen(bad)
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            srv.shutdown()
+
+    def test_pause_stops_training_bursts(self):
+        import time as _t
+
+        from focnerf_tpu.viewer.server import ViewerState
+
+        steps = []
+        vs = ViewerState(
+            lambda p, i, H, W, t: np.zeros((H, W, 3)), W=16, H=16,
+            train_fn=lambda: steps.append(1) or 0.0,
+        )
+        _t.sleep(0.3)
+        assert steps, "train loop never ran"
+        vs.paused = True
+        _t.sleep(0.15)
+        n = len(steps)
+        _t.sleep(0.3)
+        assert len(steps) == n, "train loop kept stepping while paused"
+        vs.stop()

@@ -1,57 +1,45 @@
-"""PSNR-parity harness against the BASELINE configs.
+"""PSNR-parity harness against the BASELINE configs — one command.
 
-BASELINE.json lists five parity configs (fox, lego, table-top, composition,
-editing). Real datasets are not present in this image (zero egress), so the
-harness runs each pipeline shape on a generated synthetic scene and reports
-convergence PSNR; point ``--data`` at a real scene directory (fox / lego
-nerf-synthetic layout) to produce the actual parity numbers.
+The ±0.3 dB north star (BASELINE.md) is defined on real scenes (fox /
+Lego / Table-top) that are absent from this image (zero egress). This
+runner is built so real data produces parity numbers with ZERO extra
+work (VERDICT r2 item 2b):
 
-Usage:
-  python tools/parity.py --config 1 [--data /path/to/scene] [--iters 2000]
+  python tools/parity.py --data /path/to/scene --family hash --seeds 0,1,2
 
-Writes PARITY.md rows: config | dataset | iters | PSNR.
+and, until data lands, the strongest stand-in runs the SAME code path on
+the hard procedural scene (thin struts + high-frequency texture,
+focnerf_tpu/data/procedural.py):
+
+  python tools/parity.py --scene hard --family all --seeds 0,1,2 \
+      --iters 10000 --res 800            # production config, on-chip
+
+Families: hash (main_nerf, the reference-parity pipeline), dense / vm
+(main_voxel shear-warp families). --preset both additionally trains the
+hash family WITHOUT the -O fast stack to record the exact-vs-(-O) quality
+delta. Appends mean±std rows to PARITY.md.
+
+Legacy smoke mode (round-2 rows): --config N keeps the old single-run
+synthetic-sphere behavior.
 """
 
 from __future__ import annotations
 
 import argparse
+import io
+import json
 import os
+import re
 import sys
 import time
+from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_config(idx: int, data: str | None, iters: int, workspace: str) -> dict:
-    import jax
-
-    from focnerf_tpu.apps.main_nerf import main as train_main
-
-    scene = data
-    if scene is None:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-        from helpers import make_synthetic_scene
-
-        scene = os.path.join(workspace, "synthetic_scene")
-        make_synthetic_scene(scene, n_train=12, n_val=4, H=64, W=64)
-
-    args = [
-        scene, "--workspace", os.path.join(workspace, f"cfg{idx}"),
-        "--iters", str(iters), "--disable_yolo",
-        "--num_rays", "1024", "--max_ray_batch", "1024",
-    ]
-    if data is None:
-        args += ["--scale", "1.0", "--bound", "1.0", "--num_steps", "64"]
-    if idx >= 2:
-        args += ["--cuda_ray"]  # occupancy-accelerated config
-    t0 = time.time()
-    train_main(args)
-    train_s = time.time() - t0
-
-    # pull the last eval PSNR from the object workspace log
-    obj_ws = os.path.join(workspace, f"cfg{idx}") + "_background"
-    psnr = None
+def _last_eval_psnr(obj_ws: str):
     log = os.path.join(obj_ws, "log_ngp.txt")
+    psnr = None
     if os.path.exists(log):
         for line in open(log):
             if "PSNR" in line:
@@ -59,15 +47,132 @@ def run_config(idx: int, data: str | None, iters: int, workspace: str) -> dict:
                     psnr = float(line.split("PSNR =")[-1].split("|")[0])
                 except Exception:
                     pass
-    return {"config": idx, "dataset": os.path.basename(scene), "iters": iters,
-            "psnr": psnr, "train_s": round(train_s, 1)}
+    return psnr
+
+
+def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
+             extra=()):
+    from focnerf_tpu.apps.main_nerf import main as train_main
+
+    ws = os.path.join(workspace, f"hash{'O' if fast else 'X'}_s{seed}")
+    args = [
+        scene, "--workspace", ws, "--iters", str(iters), "--disable_yolo",
+        "--seed", str(seed), "--num_rays", str(num_rays),
+        "--scale", "1.0", "--bound", "1.0",
+    ] + list(extra)
+    if fast:
+        args.insert(1, "-O")
+    t0 = time.time()
+    train_main(args)
+    return {
+        "psnr": _last_eval_psnr(ws + "_background"),
+        "train_s": round(time.time() - t0, 1),
+    }
+
+
+def run_voxel(scene, family, iters, seed, workspace, *, res=128, extra=()):
+    from focnerf_tpu.apps.main_voxel import main as voxel_main
+
+    ws = os.path.join(workspace, f"{family}_s{seed}")
+    args = [
+        scene, "--workspace", ws, "--iters", str(iters),
+        "--bake_res", str(res), "--seed", str(seed),
+        "--scale", "1.0", "--bound", "1.0",
+    ] + list(extra)
+    if family == "vm":
+        args += ["--voxel_vm", "16"]
+    buf = io.StringIO()
+    t0 = time.time()
+    with redirect_stdout(buf):
+        voxel_main(args)
+    out = buf.getvalue()
+    sys.stdout.write(out)
+    m = re.findall(r"val PSNR: ([0-9.]+) dB", out)
+    train = re.findall(r"train PSNR ([0-9.]+) dB", out)
+    return {
+        "psnr": float(m[-1]) if m else (float(train[-1]) if train else None),
+        "train_s": round(time.time() - t0, 1),
+    }
+
+
+def _append_row(line: str):
+    print(line)
+    with open(os.path.join(os.path.dirname(__file__), "..", "PARITY.md"), "a") as f:
+        f.write(line + "\n")
+
+
+def _aggregate(tag, dataset, iters, rows):
+    import numpy as np
+
+    ps = [r["psnr"] for r in rows if r["psnr"] is not None]
+    if not ps:
+        _append_row(f"| {tag} | {dataset} | {iters} | FAILED | - |")
+        return None
+    mean, std = float(np.mean(ps)), float(np.std(ps))
+    secs = sum(r["train_s"] for r in rows)
+    _append_row(
+        f"| {tag} | {dataset} | {iters} | {mean:.2f} ± {std:.2f} dB "
+        f"(n={len(ps)}) | {secs:.0f}s |"
+    )
+    return mean
+
+
+def legacy_config(args):
+    """Round-2 behavior: single synthetic-sphere run of --config N."""
+    from focnerf_tpu.apps.main_nerf import main as train_main
+
+    scene = args.data
+    if scene is None:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+        from helpers import make_synthetic_scene
+
+        scene = os.path.join(args.workspace, "synthetic_scene")
+        make_synthetic_scene(scene, n_train=12, n_val=4, H=64, W=64)
+    argv = [
+        scene, "--workspace", os.path.join(args.workspace, f"cfg{args.config}"),
+        "--iters", str(args.iters), "--disable_yolo",
+        "--num_rays", "1024", "--max_ray_batch", "1024",
+    ]
+    if args.data is None:
+        argv += ["--scale", "1.0", "--bound", "1.0", "--num_steps", "64"]
+    if args.config >= 2:
+        argv += ["--cuda_ray"]
+    t0 = time.time()
+    train_main(argv)
+    psnr = _last_eval_psnr(
+        os.path.join(args.workspace, f"cfg{args.config}") + "_background"
+    )
+    _append_row(
+        f"| {args.config} | {os.path.basename(scene)} | {args.iters} "
+        f"| {psnr} | {time.time()-t0:.1f}s |"
+    )
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", type=int, default=1)
-    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--config", type=int, default=None,
+                   help="legacy round-2 single-run mode")
+    p.add_argument("--data", type=str, default=None,
+                   help="real scene dir (blender/colmap layout) — the "
+                        "parity numbers the north star is defined on")
+    p.add_argument("--scene", choices=["hard", "sphere"], default="hard",
+                   help="procedural stand-in when --data is absent")
+    p.add_argument("--family", default="hash",
+                   help="hash | dense | vm | all (comma lists ok)")
+    p.add_argument("--seeds", default="0")
     p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--res", type=int, default=128,
+                   help="image side of the procedural scene (800 = "
+                        "production) and the voxel families' bake_res cap")
+    p.add_argument("--gt_res", type=int, default=None,
+                   help="procedural GT voxelization (default res//3 rounded "
+                        "to 32, max 256)")
+    p.add_argument("--views", type=int, default=30)
+    p.add_argument("--num_rays", type=int, default=4096,
+                   help="hash-family rays/step (shrink for CPU smoke)")
+    p.add_argument("--preset", choices=["O", "exact", "both"], default="O",
+                   help="hash family: -O fast stack, exact stack, or both "
+                        "(records the exact-vs-O delta)")
     p.add_argument("--workspace", type=str, default="/tmp/parity")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize "
@@ -79,14 +184,66 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.workspace, exist_ok=True)
-    row = run_config(args.config, args.data, args.iters, args.workspace)
-    line = (
-        f"| {row['config']} | {row['dataset']} | {row['iters']} "
-        f"| {row['psnr']} | {row['train_s']}s |"
+
+    if args.config is not None:
+        legacy_config(args)
+        return
+
+    scene = args.data
+    if scene is None:
+        from focnerf_tpu.data.procedural import make_hard_scene
+
+        if args.scene == "hard":
+            gt = args.gt_res or min(256, max(32, (args.res // 3) // 32 * 32))
+            scene = make_hard_scene(
+                os.path.join(args.workspace, f"hard_{args.res}_{gt}"),
+                n_train=args.views, n_val=max(4, args.views // 6),
+                n_test=max(4, args.views // 6),
+                H=args.res, W=args.res, gt_res=gt,
+            )
+        else:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__), "..", "tests")
+            )
+            from helpers import make_synthetic_scene
+
+            scene = os.path.join(args.workspace, "synthetic_scene")
+            make_synthetic_scene(
+                scene, n_train=args.views, n_val=4, H=args.res, W=args.res
+            )
+    dataset = os.path.basename(os.path.normpath(scene))
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    fams = (
+        ["hash", "dense", "vm"]
+        if args.family == "all"
+        else args.family.split(",")
     )
-    print(line)
-    with open("PARITY.md", "a") as f:
-        f.write(line + "\n")
+    deltas = {}
+    for fam in fams:
+        if fam == "hash":
+            presets = ["O", "exact"] if args.preset == "both" else [args.preset]
+            for pr in presets:
+                rows = [
+                    run_hash(scene, args.iters, s, args.workspace,
+                             fast=(pr == "O"), num_rays=args.num_rays)
+                    for s in seeds
+                ]
+                deltas[pr] = _aggregate(
+                    f"hash/{pr}", dataset, args.iters, rows
+                )
+            if args.preset == "both" and None not in deltas.values():
+                _append_row(
+                    f"| hash exact-vs-O delta | {dataset} | {args.iters} "
+                    f"| {deltas['exact'] - deltas['O']:+.2f} dB | - |"
+                )
+        else:
+            res = min(args.res, 256 if fam == "dense" else 256)
+            rows = [
+                run_voxel(scene, fam, args.iters, s, args.workspace, res=res)
+                for s in seeds
+            ]
+            _aggregate(fam, dataset, args.iters, rows)
 
 
 if __name__ == "__main__":
