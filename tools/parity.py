@@ -51,13 +51,14 @@ def _last_eval_psnr(obj_ws: str):
 
 
 def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
-             extra=()):
+             num_steps=512, extra=()):
     from focnerf_tpu.apps.main_nerf import main as train_main
 
     ws = os.path.join(workspace, f"hash{'O' if fast else 'X'}_s{seed}")
     args = [
         scene, "--workspace", ws, "--iters", str(iters), "--disable_yolo",
         "--seed", str(seed), "--num_rays", str(num_rays),
+        "--num_steps", str(num_steps),
         "--scale", "1.0", "--bound", "1.0",
     ] + list(extra)
     if fast:
@@ -170,6 +171,9 @@ def main():
     p.add_argument("--views", type=int, default=30)
     p.add_argument("--num_rays", type=int, default=4096,
                    help="hash-family rays/step (shrink for CPU smoke)")
+    p.add_argument("--num_steps", type=int, default=512,
+                   help="hash-family uniform samples/ray (the reference "
+                        "default; shrink for CPU smoke)")
     p.add_argument("--preset", choices=["O", "exact", "both"], default="O",
                    help="hash family: -O fast stack, exact stack, or both "
                         "(records the exact-vs-O delta)")
@@ -226,7 +230,8 @@ def main():
             for pr in presets:
                 rows = [
                     run_hash(scene, args.iters, s, args.workspace,
-                             fast=(pr == "O"), num_rays=args.num_rays)
+                             fast=(pr == "O"), num_rays=args.num_rays,
+                             num_steps=args.num_steps)
                     for s in seeds
                 ]
                 deltas[pr] = _aggregate(
