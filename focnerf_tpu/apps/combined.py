@@ -261,7 +261,15 @@ def evaluate_composition(
                 vol = shift_volume(vol, -np.asarray(offsets[k]))
             vols.append(vol)
         baked_vol = merge_volumes(vols)
-        jax.block_until_ready(baked_vol.rgba)
+        if opt.bake_quantize:
+            # serve the merged scene uint8-resident: 1/4 the per-view read
+            # bandwidth; dequantization happens inside the compositing fold
+            from focnerf_tpu.render.baked import quantize_volume
+
+            baked_vol = quantize_volume(baked_vol)
+            jax.block_until_ready(baked_vol.q)
+        else:
+            jax.block_until_ready(baked_vol.rgba)
         msg = f"[baked] {len(objs)} objects baked+merged at {opt.bake_res}^3 in {time.time()-t0:.1f}s"
         print(msg)
     # march on the union of object occupancies (occ-accelerated composition)

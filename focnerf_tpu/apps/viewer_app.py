@@ -120,8 +120,11 @@ def _view_only(opt):
         # checkpoint, the volume IS the model
         from focnerf_tpu.render.baked import load_volume, render_baked
 
-        vol = load_volume(baked_cache)
-        print(f"[viewer] loaded voxel volume {baked_cache}")
+        # --bake_quantize serves the volume uint8-RESIDENT: 1/4 the HBM
+        # bytes and per-frame read bandwidth (dequantized inside the fold)
+        vol = load_volume(baked_cache, resident=opt.bake_quantize)
+        print(f"[viewer] loaded voxel volume {baked_cache}"
+              + (" (uint8-resident)" if opt.bake_quantize else ""))
 
         def render_fn(pose, intrinsics, H, W, t, settings=None):
             bg, _, _ = _ctl(settings)
@@ -217,8 +220,9 @@ def _view_only(opt):
                 # (ADVICE r2) — fall through and re-bake from the checkpoint
                 print("[viewer] quantized cache + fp16 requested: re-baking")
             else:
-                vol = load_volume(cache)
-                print(f"[viewer] loaded baked volume cache {cache}")
+                vol = load_volume(cache, resident=opt.bake_quantize)
+                print(f"[viewer] loaded baked volume cache {cache}"
+                      + (" (uint8-resident)" if opt.bake_quantize else ""))
                 if opt.bake_quantize and not cache_is_q:
                     # fp16 -> uint8 is a fresh (requested) quantization of
                     # full-precision data; safe to convert in place
@@ -232,6 +236,10 @@ def _view_only(opt):
             )
             print(f"[viewer] baked {opt.bake_res}^3 volume in {time.time()-t0:.1f}s")
             save_volume(cache, vol, quantize=opt.bake_quantize)
+            if opt.bake_quantize:
+                from focnerf_tpu.render.baked import quantize_volume
+
+                vol = quantize_volume(vol)  # serve uint8-resident
             if opt.bake_gate:
                 from focnerf_tpu.core.camera import rand_poses
                 from focnerf_tpu.render.bake_gate import bake_quality_report

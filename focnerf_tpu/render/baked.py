@@ -52,6 +52,49 @@ class BakedVolume(NamedTuple):
     sh_deg: int = 0
 
 
+class QuantizedVolume(NamedTuple):
+    """uint8-RESIDENT bake: the volume stays uint8 in HBM and dequantizes
+    INSIDE the compositing fold, so per-frame volume reads cost 1/4 the
+    fp32 (1/2 the bf16) bandwidth — the lever at 512^3+, where the frame is
+    volume-read-bound (VERDICT r2 item 5). Payload channels are affine
+    (q/255 * scale + lo); the sigma channel stores sqrt(sigma)/sqrt_max
+    (render sensitivity concentrates near the transparent end) with its
+    sqrt_max in ``scales[-1]`` and ``los[-1] == 0``."""
+
+    q: jax.Array  # [R, R, R, P+1] uint8
+    scales: jax.Array  # [P+1] float32
+    los: jax.Array  # [P+1] float32
+    bound: float
+    sh_deg: int = 0
+
+
+def quantize_volume(vol: BakedVolume) -> QuantizedVolume:
+    """In-memory uint8 quantization (same math as save_volume(quantize=True))."""
+    rgba = np.asarray(vol.rgba, np.float32)
+    payload, sigma = rgba[..., :-1], rgba[..., -1:]
+    lo = payload.min(axis=(0, 1, 2))
+    hi = payload.max(axis=(0, 1, 2))
+    scale = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
+    qp = np.clip(np.round((payload - lo) / scale * 255.0), 0, 255)
+    s_max = float(max(np.sqrt(sigma.max()), 1e-8))
+    qs = np.clip(np.round(np.sqrt(np.maximum(sigma, 0.0)) / s_max * 255.0), 0, 255)
+    return QuantizedVolume(
+        q=jnp.asarray(np.concatenate([qp, qs], -1).astype(np.uint8)),
+        scales=jnp.asarray(np.concatenate([scale, [s_max]]).astype(np.float32)),
+        los=jnp.asarray(np.concatenate([lo, [0.0]]).astype(np.float32)),
+        bound=vol.bound,
+        sh_deg=vol.sh_deg,
+    )
+
+
+def dequantize_volume(qvol: QuantizedVolume) -> BakedVolume:
+    """Dense fp32 view of a quantized volume (for compose/merge/mesh paths)."""
+    x = qvol.q.astype(jnp.float32) / 255.0
+    y = x * qvol.scales + qvol.los
+    y = y.at[..., -1].set(y[..., -1] ** 2)  # sigma stored in sqrt space
+    return BakedVolume(rgba=y, bound=qvol.bound, sh_deg=qvol.sh_deg)
+
+
 # --------------------------------------------------------------------- bake
 def bake_field(
     params,
@@ -192,36 +235,50 @@ def save_volume(path: str, vol: BakedVolume, quantize: bool = False) -> None:
             sh_deg=np.int32(vol.sh_deg),
         )
         return
-    rgba = np.asarray(vol.rgba, np.float32)
-    payload, sigma = rgba[..., :-1], rgba[..., -1]
-    lo = payload.min(axis=(0, 1, 2))
-    hi = payload.max(axis=(0, 1, 2))
-    scale = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
-    q_payload = np.clip(
-        np.round((payload - lo) / scale * 255.0), 0, 255
-    ).astype(np.uint8)
-    s_max = float(max(np.sqrt(sigma.max()), 1e-8))
-    q_sigma = np.clip(
-        np.round(np.sqrt(np.maximum(sigma, 0.0)) / s_max * 255.0), 0, 255
-    ).astype(np.uint8)
+    qvol = quantize_volume(vol)  # single source for the quantization math
+    q = np.asarray(qvol.q)
     np.savez_compressed(
         path,
-        q_payload=q_payload,
-        q_sigma=q_sigma,
-        lo=lo.astype(np.float32),
-        scale=scale,
-        sigma_sqrt_max=np.float32(s_max),
+        q_payload=q[..., :-1],
+        q_sigma=q[..., -1],
+        lo=np.asarray(qvol.los[:-1]),
+        scale=np.asarray(qvol.scales[:-1]),
+        sigma_sqrt_max=np.float32(qvol.scales[-1]),
         bound=np.float32(vol.bound),
         sh_deg=np.int32(vol.sh_deg),
     )
 
 
-def load_volume(path: str) -> BakedVolume:
-    """Load a baked volume (fp16 or uint8-quantized — autodetected)."""
+def load_volume(path: str, resident: bool = False):
+    """Load a baked volume (fp16 or uint8-quantized — autodetected).
+
+    ``resident=True`` on a quantized file returns a QuantizedVolume that
+    stays uint8 in HBM (1/4 the serving bytes AND 1/4 the per-frame read
+    bandwidth — dequantization happens inside the compositing fold); on an
+    fp16 file it quantizes in memory first. Default returns a dense
+    BakedVolume either way."""
     with np.load(path) as z:
         bound = float(z["bound"])
         sh_deg = int(z["sh_deg"]) if "sh_deg" in z else 0
         if "q_payload" in z:  # quantized form (save_volume(quantize=True))
+            if resident:
+                return QuantizedVolume(
+                    q=jnp.asarray(
+                        np.concatenate(
+                            [z["q_payload"], z["q_sigma"][..., None]], -1
+                        )
+                    ),
+                    scales=jnp.asarray(
+                        np.concatenate(
+                            [z["scale"], [float(z["sigma_sqrt_max"])]]
+                        ).astype(np.float32)
+                    ),
+                    los=jnp.asarray(
+                        np.concatenate([z["lo"], [0.0]]).astype(np.float32)
+                    ),
+                    bound=bound,
+                    sh_deg=sh_deg,
+                )
             payload = (
                 z["q_payload"].astype(np.float32) / 255.0 * z["scale"] + z["lo"]
             )
@@ -230,11 +287,12 @@ def load_volume(path: str) -> BakedVolume:
             )
             rgba = np.concatenate([payload, (s * s)[..., None]], -1)
             return BakedVolume(rgba=jnp.asarray(rgba), bound=bound, sh_deg=sh_deg)
-        return BakedVolume(
+        vol = BakedVolume(
             rgba=jnp.asarray(z["rgba"].astype(np.float32)),
             bound=bound,
             sh_deg=sh_deg,
         )
+        return quantize_volume(vol) if resident else vol
 
 
 def shift_volume(vol: BakedVolume, offset_world: Sequence[float]) -> BakedVolume:
@@ -384,6 +442,9 @@ def _fold_blocks(
     return_od: bool = False,  # True returns the accumulated optical depth
     # instead of T = exp(-od) — the SP step combines slabs in od space so
     # the cross-device fold also stays division-free under AD
+    dequant=None,  # optional block -> numeric-block fn applied INSIDE the
+    # scan body: uint8-resident rendering reads raw uint8 from HBM and
+    # dequantizes in registers (QuantizedVolume)
 ):
     """Resample + front-to-back composite a sequence of slice blocks.
 
@@ -403,6 +464,8 @@ def _fold_blocks(
     premultiplied, D [ri,ri]; D is None when with_depth=False)."""
     CH = V_f2b.shape[-1]
     dtype = V_f2b.dtype
+    if dequant is not None:
+        dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     iota = jnp.arange(R, dtype=jnp.float32)
 
     def block_body(carry, xs):
@@ -411,6 +474,8 @@ def _fold_blocks(
         else:
             od, C = carry
         Vb, zb = xs  # [K, Ry, Rx, CH], [K]
+        if dequant is not None:
+            Vb = dequant(Vb).astype(dtype)
         s_k = e_z / (e_z - zb)  # [K]
         # source world coords feeding intermediate pixels (inverse projection)
         ys = e_y + (gy[None, :] - e_y) / s_k[:, None]  # [K, Ri]
@@ -494,6 +559,9 @@ def _composite_core(
     sh_deg: int = 0,
     remat: bool = False,
     block: int = 32,
+    quant=None,  # (scales [CH], los [CH]) when rgba is uint8-resident:
+    # the volume stays uint8 through the transpose/flip relayout and
+    # dequantizes inside the fold (QuantizedVolume)
 ):
     """Slice-resample + front-to-back composite onto the intermediate plane.
 
@@ -509,7 +577,20 @@ def _composite_core(
     # --- permute so the principal axis is leading (slice axis), others (y, x)
     others = [a for a in range(3) if a != axis]
     V = jnp.transpose(rgba, (axis, others[0], others[1], 3))  # [Rz', Ry', Rx', 4]
-    if jax.default_backend() != "cpu":
+    dequant = None
+    if quant is not None:
+        scales, los = quant
+        dq_dtype = (
+            jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        )
+        s_b = (scales / 255.0).astype(dq_dtype)
+        l_b = los.astype(dq_dtype)
+
+        def dequant(Vb):
+            y = Vb.astype(dq_dtype) * s_b + l_b
+            return y.at[..., -1].set(y[..., -1] ** 2)  # sigma in sqrt space
+
+    elif jax.default_backend() != "cpu":
         V = V.astype(jnp.bfloat16)  # resampling matmuls ride the bf16 MXU path
     e = pose[:3, 3]
     e_z, e_y, e_x = e[axis], e[others[0]], e[others[1]]
@@ -544,7 +625,7 @@ def _composite_core(
 
     T, C, D = _fold_blocks(
         V_f2b, z_f2b, e_z, e_y, e_x, gy, gx, dt, b, R, ri,
-        density_scale=density_scale, remat=remat,
+        density_scale=density_scale, remat=remat, dequant=dequant,
     )
 
     if sh_deg > 0:
@@ -574,10 +655,11 @@ def _render_core(
     density_scale: float,
     sh_deg: int = 0,
     remat: bool = False,
+    quant=None,
 ):
     C, T, D, (ymin, xmin, dy_i, dx_i) = _composite_core(
         rgba, bound, pose, axis=axis, flip=flip, ri=ri,
-        density_scale=density_scale, sh_deg=sh_deg, remat=remat,
+        density_scale=density_scale, sh_deg=sh_deg, remat=remat, quant=quant,
     )
     others = [a for a in range(3) if a != axis]
     e = pose[:3, 3]
@@ -639,7 +721,7 @@ def _render_core(
 
 
 def render_baked(
-    vol: BakedVolume,
+    vol,
     pose,
     intrinsics,
     H: int,
@@ -652,7 +734,12 @@ def render_baked(
     """Shear-warp render of a baked volume -> (image [H,W,3], depth [H,W],
     alpha [H,W]). ``pose``/``intrinsics`` follow core.rays.get_rays
     conventions. The principal axis/sign is chosen on the host (6 cached jit
-    variants)."""
+    variants). ``vol`` may be a BakedVolume or a QuantizedVolume — the
+    latter stays uint8 in HBM and dequantizes inside the fold."""
+    quant = None
+    if isinstance(vol, QuantizedVolume):
+        quant = (vol.scales, vol.los)
+        vol = BakedVolume(rgba=vol.q, bound=vol.bound, sh_deg=vol.sh_deg)
     pose_np = np.asarray(pose, np.float32)
     fwd = pose_np[:3, :3] @ np.array([0.0, 0.0, 1.0], np.float32)
     axis = int(np.argmax(np.abs(fwd)))
@@ -688,4 +775,5 @@ def render_baked(
         bg_color=bg_color,
         density_scale=density_scale,
         sh_deg=int(vol.sh_deg),
+        quant=quant,
     )

@@ -325,3 +325,91 @@ class TestBakeGate:
         assert rep["views"] == 2
         # uint8 quantization of a smooth random volume: high but finite PSNR
         assert 20.0 < rep["psnr_quantized_vs_float_mean"] < 100.0
+
+
+class TestQuantizedResident:
+    """uint8-resident rendering: the volume stays uint8 and dequantizes
+    inside the fold (VERDICT r2 item 5)."""
+
+    def _vol(self, R=32, seed=0):
+        rng = np.random.default_rng(seed)
+        rgba = rng.random((R, R, R, 4)).astype(np.float32)
+        rgba[..., 3] *= 25.0
+        return BakedVolume(rgba=jnp.asarray(rgba), bound=1.0)
+
+    def _pose(self):
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 2.5
+        return pose
+
+    def test_resident_matches_dequantized_dense(self):
+        """Rendering the QuantizedVolume must match rendering the host-
+        dequantized dense volume (CPU: both paths are f32, so the only
+        difference is where dequantization happens -> near-exact)."""
+        from focnerf_tpu.render.baked import (
+            dequantize_volume, quantize_volume, render_baked,
+        )
+
+        vol = self._vol()
+        qvol = quantize_volume(vol)
+        assert qvol.q.dtype == jnp.uint8
+        dense = dequantize_volume(qvol)
+        intr = (38.4, 38.4, 16.0, 16.0)
+        img_q = np.asarray(render_baked(qvol, self._pose(), intr, 32, 32)[0])
+        img_d = np.asarray(render_baked(dense, self._pose(), intr, 32, 32)[0])
+        np.testing.assert_allclose(img_q, img_d, atol=2e-5)
+        # and against the original float volume: only quantization error
+        img_f = np.asarray(render_baked(vol, self._pose(), intr, 32, 32)[0])
+        mse = np.mean((img_q - img_f) ** 2)
+        assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 30.0
+
+    def test_quantize_dequantize_roundtrip_matches_disk_format(self, tmp_path):
+        """In-memory quantize_volume == save_volume(quantize)+load_volume,
+        and load_volume(resident=True) returns the uint8 form directly."""
+        from focnerf_tpu.render.baked import (
+            QuantizedVolume, dequantize_volume, load_volume, quantize_volume,
+            save_volume,
+        )
+
+        vol = self._vol(seed=2)
+        p = str(tmp_path / "v.npz")
+        save_volume(p, vol, quantize=True)
+        disk_dense = load_volume(p)
+        mem_dense = dequantize_volume(quantize_volume(vol))
+        np.testing.assert_allclose(
+            np.asarray(disk_dense.rgba), np.asarray(mem_dense.rgba),
+            rtol=1e-5, atol=1e-5,
+        )
+        res = load_volume(p, resident=True)
+        assert isinstance(res, QuantizedVolume) and res.q.dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(res.q), np.asarray(quantize_volume(vol).q)
+        )
+        # resident load of an fp16 (non-quantized) file quantizes in memory
+        p2 = str(tmp_path / "v16.npz")
+        save_volume(p2, vol, quantize=False)
+        res2 = load_volume(p2, resident=True)
+        assert isinstance(res2, QuantizedVolume)
+
+    def test_sh_payload_resident(self):
+        """SH-coefficient payloads survive the affine quantization + the
+        in-fold dequant + basis contraction."""
+        from focnerf_tpu.render.baked import (
+            quantize_volume, render_baked,
+        )
+
+        R = 16
+        rng = np.random.default_rng(5)
+        L = 4  # sh_deg 2
+        rgba = np.concatenate(
+            [rng.normal(0, 0.3, (R, R, R, 3 * L)).astype(np.float32),
+             (rng.random((R, R, R, 1)) * 20).astype(np.float32)], -1,
+        )
+        vol = BakedVolume(rgba=jnp.asarray(rgba), bound=1.0, sh_deg=2)
+        intr = (19.2, 19.2, 8.0, 8.0)
+        img_f = np.asarray(render_baked(vol, self._pose(), intr, 16, 16)[0])
+        img_q = np.asarray(
+            render_baked(quantize_volume(vol), self._pose(), intr, 16, 16)[0]
+        )
+        mse = np.mean((img_q - img_f) ** 2)
+        assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 28.0, mse

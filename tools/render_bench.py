@@ -45,7 +45,13 @@ def bench_baked(args):
         v = bake_field(params, cfg, resolution=args.bake_res, sh_degree=args.bake_sh)
         vols.append(shift_volume(v, (0.5 * i - 0.25 * args.objects, 0.0, 0.0)))
     merged = merge_volumes(vols)
-    jax.block_until_ready(merged.rgba)
+    if args.resident:
+        from focnerf_tpu.render.baked import quantize_volume
+
+        merged = quantize_volume(merged)
+        jax.block_until_ready(merged.q)
+    else:
+        jax.block_until_ready(merged.rgba)
     bake_s = time.time() - t0
     print(json.dumps({
         "metric": f"bake_seconds_{args.bake_res}vox_{args.objects}obj",
@@ -74,7 +80,8 @@ def bench_baked(args):
     dt = (time.time() - t0) / n
     print(json.dumps({
         "metric": f"baked_fps_{args.res}px_{args.objects}obj"
-                  + (f"_sh{args.bake_sh}" if args.bake_sh else ""),
+                  + (f"_sh{args.bake_sh}" if args.bake_sh else "")
+                  + ("_uint8res" if args.resident else ""),
         "value": round(1.0 / dt, 2), "unit": "fps",
         "ms_per_frame": round(dt * 1000, 3),
         "bake_res": args.bake_res,
@@ -90,6 +97,10 @@ def main():
     p.add_argument("--baked", action="store_true")
     p.add_argument("--bake_res", type=int, default=256)
     p.add_argument("--bake_sh", type=int, default=0)
+    p.add_argument("--resident", action="store_true",
+                   help="render from a uint8-RESIDENT merged volume "
+                        "(dequantized inside the fold; the 512^3 "
+                        "read-bandwidth lever — VERDICT r2 item 5)")
     args = p.parse_args()
 
     if args.baked:
