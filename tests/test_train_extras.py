@@ -426,3 +426,36 @@ class TestLrNet:
                 np.testing.assert_allclose(
                     np.asarray(b), 0.1 * np.asarray(a), rtol=1e-6
                 )
+
+
+class TestMSSSIM:
+    def test_identity_and_ordering(self):
+        from focnerf_tpu.train.meters import ms_ssim, ssim
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.random((96, 96, 3)), jnp.float32)
+        assert abs(float(ms_ssim(a, a)) - 1.0) < 1e-5
+        small = jnp.clip(a + 0.02 * jnp.asarray(rng.normal(size=a.shape)), 0, 1)
+        big = jnp.clip(a + 0.3 * jnp.asarray(rng.normal(size=a.shape)), 0, 1)
+        assert float(ms_ssim(a, small)) > float(ms_ssim(a, big))
+        # small images auto-shrink the pyramid instead of crashing
+        assert np.isfinite(float(ms_ssim(a[:16, :16], small[:16, :16])))
+
+    def test_lpips_meter_substitute(self):
+        """Without lpips weights the meter measures 1 - ms_ssim and says so
+        in its name (never silently zero, never mislabeled as real LPIPS)."""
+        from focnerf_tpu.train.meters import LPIPSMeter, ms_ssim
+
+        m = LPIPSMeter()
+        if m.available:  # real lpips present: nothing to substitute
+            return
+        assert "ms-ssim" in m.name
+        rng = np.random.default_rng(1)
+        a = np.asarray(rng.random((48, 48, 3)), np.float32)
+        b = np.clip(a + 0.2 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+        m.update(a, b)
+        expect = 1.0 - float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(m.measure() - expect) < 1e-6
+        assert m.measure() > 0.0
+        m.update(a, a)
+        assert m.vals[-1] < 1e-5
