@@ -168,6 +168,35 @@ def _sp_slab_strip_mse(
     return sse / (3.0 * jnp.maximum(msum, 1.0))
 
 
+def _sp_tv_halo(raw_loc, d_idx, *, axis_name, warp_axis, R, R_loc, D):
+    """Total variation of a slice-sharded field with a one-slice ppermute
+    halo on the sharded axis (train/voxel.py::tv_loss semantics: per-axis
+    MEAN of squared diffs, summed over the three axes). Runs under
+    shard_map; psums over ``axis_name`` only."""
+    tv = 0.0
+    n_vox = R * R * R * raw_loc.shape[-1]
+    for ax in range(3):
+        dloc = jnp.diff(raw_loc, axis=ax)
+        sse_ax = jnp.sum(dloc * dloc)
+        if ax == warp_axis:
+            # halo: neighbor d+1's first slice diffs against our last
+            first = jax.lax.index_in_dim(
+                raw_loc, 0, axis=warp_axis, keepdims=True
+            )
+            last = jax.lax.index_in_dim(
+                raw_loc, R_loc - 1, axis=warp_axis, keepdims=True
+            )
+            halo = jax.lax.ppermute(
+                first, axis_name, [(d + 1, d) for d in range(D - 1)]
+            )  # device d receives device (d+1)'s first slice
+            bd = halo - last
+            is_interior = (d_idx < D - 1).astype(bd.dtype)
+            sse_ax = sse_ax + is_interior * jnp.sum(bd * bd)
+        count = n_vox // R * (R - 1)  # diffs per axis: (R-1)*R*R*C
+        tv = tv + jax.lax.psum(sse_ax, axis_name) / count
+    return tv
+
+
 def make_voxel_sp_step(
     mesh,
     intrinsics: Sequence[float],  # unused for intermediate supervision; kept
@@ -242,30 +271,8 @@ def make_voxel_sp_step(
             bg_color=bg_color, remat=remat, block=block,
         )
 
-        # ---- total variation with a one-slice halo on the sharded axis
-        # (train/voxel.py::tv_loss semantics: per-axis MEAN of squared
-        # diffs, summed over the three axes)
-        tv = 0.0
-        n_vox = R * R * R * raw_loc.shape[-1]
-        for ax in range(3):
-            dloc = jnp.diff(raw_loc, axis=ax)
-            sse_ax = jnp.sum(dloc * dloc)
-            if ax == warp_axis:
-                # halo: neighbor d+1's first slice diffs against our last
-                first = jax.lax.index_in_dim(
-                    raw_loc, 0, axis=warp_axis, keepdims=True
-                )
-                last = jax.lax.index_in_dim(
-                    raw_loc, R_loc - 1, axis=warp_axis, keepdims=True
-                )
-                halo = jax.lax.ppermute(
-                    first, axis_name, [(d + 1, d) for d in range(D - 1)]
-                )  # device d receives device (d+1)'s first slice
-                bd = halo - last
-                is_interior = (d_idx < D - 1).astype(bd.dtype)
-                sse_ax = sse_ax + is_interior * jnp.sum(bd * bd)
-            count = n_vox // R * (R - 1)  # diffs per axis: (R-1)*R*R*C
-            tv = tv + jax.lax.psum(sse_ax, axis_name) / count
+        tv = _sp_tv_halo(raw_loc, d_idx, axis_name=axis_name,
+                         warp_axis=warp_axis, R=R, R_loc=R_loc, D=D)
 
         return mse + tv_weight * tv, mse
 
@@ -512,3 +519,123 @@ def fit_voxels_sp_c2f(
         raw = info["raw"]
     info["stage_psnrs"] = stage_psnrs
     return vol, info
+
+
+def make_voxel_dp_sp_step(
+    mesh,  # 2-D mesh with axis_names ("data", "slice")
+    *,
+    resolution: int,
+    warp_axis: int,
+    flip: bool,
+    bound: float = 1.0,
+    sh_degree: int = 0,
+    lr: float = 5e-2,
+    tv_weight: float = 1e-4,
+    bg_color: float = 1.0,
+    density_scale: float = 1.0,
+    intermediate_scale: int = 2,
+    remat: bool = True,
+    block: int = 32,
+):
+    """HYBRID pose-parallel x slice-sharded voxel train step (DP x SP).
+
+    The 2-D mesh factorizes the pod: along ``slice`` the raw field, its
+    gradient, and the adam moments shard over the shear-warp axis exactly
+    like make_voxel_sp_step (removing the HBM resolution ceiling); along
+    ``data`` each device row trains a DIFFERENT pose of the batch against
+    its own pre-warped GT, with the field replicated and the gradient mean
+    riding the AD-inserted psum over the data axis (verified exact — the
+    cotangent of a data-replicated shard_map input psums across that
+    axis). This is the production pod-slice sharding: SP buys resolution,
+    DP buys throughput, and the only cross-axis traffic is the gradient
+    reduction.
+
+    Returns (optimizer, step, shard_fn) with
+      step(raw, opt_state, poses [Dd,4,4], wgts [Dd,ri,ri,3],
+           masks [Dd,ri,ri]) -> (raw, opt_state, mean mse)
+    where Dd = mesh.shape["data"]; all poses in a batch must share the
+    (warp_axis, flip) variant, exactly like the 1-D steps.
+    """
+    import optax
+
+    assert tuple(mesh.axis_names) == ("data", "slice"), mesh.axis_names
+    Dd = mesh.shape["data"]
+    Ds = mesh.shape["slice"]
+    R = resolution
+    assert R % Ds == 0, (R, Ds)
+    R_loc = R // Ds
+    ri = R * intermediate_scale
+    assert ri % Ds == 0, (ri, Ds)
+    rows_loc = ri // Ds
+
+    spec_list = [None, None, None, None]
+    spec_list[warp_axis] = "slice"  # replicated over "data"
+    raw_spec = P(*spec_list)
+    raw_sharding = NamedSharding(mesh, raw_spec)
+    repl = NamedSharding(mesh, P())
+
+    def shard_fn(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, raw_sharding if getattr(x, "ndim", 0) == 4 else repl
+            ),
+            tree,
+        )
+
+    optimizer = optax.adam(lr)
+
+    def device_loss(raw_loc, pose, wgt, mask):
+        # raw_loc: this device's slice slab (replicated over "data");
+        # pose/wgt/mask: this data-row's single view (leading dim 1)
+        d_idx = jax.lax.axis_index("slice")
+        pose, wgt, mask = pose[0], wgt[0], mask[0]
+        mse = _sp_slab_strip_mse(
+            raw_loc, pose, wgt, mask, d_idx,
+            axis_name="slice", warp_axis=warp_axis, flip=flip,
+            R=R, R_loc=R_loc, ri=ri, rows_loc=rows_loc, bound=bound,
+            sh_degree=sh_degree, density_scale=density_scale,
+            bg_color=bg_color, remat=remat, block=block,
+        )
+        tv = _sp_tv_halo(raw_loc, d_idx, axis_name="slice",
+                         warp_axis=warp_axis, R=R, R_loc=R_loc, D=Ds)
+        # mean over the data axis: each row contributes its own pose's mse
+        mse = jax.lax.pmean(mse, "data")
+        return mse + tv_weight * tv, mse
+
+    batch_spec = P("data")
+    try:
+        from jax import shard_map
+
+        smapped = shard_map(
+            device_loss,
+            mesh=mesh,
+            in_specs=(raw_spec, batch_spec, batch_spec, batch_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    except (ImportError, TypeError):  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+        smapped = shard_map(
+            device_loss,
+            mesh=mesh,
+            in_specs=(raw_spec, batch_spec, batch_spec, batch_spec),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+
+    def loss_fn(raw, poses, wgts, masks):
+        loss, mse = smapped(raw, poses, wgts, masks)
+        return loss, mse
+
+    @jax.jit
+    def step(raw, opt_state, poses, wgts, masks):
+        raw = jax.lax.with_sharding_constraint(raw, raw_sharding)
+        (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            raw, poses, wgts, masks
+        )
+        g = jax.lax.with_sharding_constraint(g, raw_sharding)
+        updates, opt_state = optimizer.update(g, opt_state)
+        return optax.apply_updates(raw, updates), opt_state, mse
+
+    return optimizer, step, shard_fn

@@ -260,3 +260,51 @@ class TestFitVoxelsSP:
                 ["scene", "--workspace", str(tmp_path / "w"),
                  "--voxel_sp", "--voxel_supervise", "screen"]
             )
+
+
+class TestHybridDPSP:
+    def test_dp_sp_matches_pose_parallel(self):
+        """One step on the 2x4 (data x slice) mesh == the pose-parallel DP
+        step on the same 2-pose batch: the slice sharding and the
+        data-axis gradient mean must compose without interaction."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+
+        from focnerf_tpu.parallel.mesh import make_mesh
+        from focnerf_tpu.parallel.voxel_sp import make_voxel_dp_sp_step
+
+        R = 16
+        key0, poses, gts, masks, intr, H = _setup(R=R)
+        (axis, flip) = key0
+        raw0 = init_voxel_field(R, rng=jax.random.key(0))
+
+        mesh2d = Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4), ("data", "slice")
+        )
+        opt_h, step_h, shard_fn = make_voxel_dp_sp_step(
+            mesh2d, resolution=R, warp_axis=axis, flip=flip,
+            tv_weight=1e-4, block=2,
+        )
+        raw_h = shard_fn(raw0)
+        st_h = shard_fn(opt_h.init(raw_h))
+        raw_h, st_h, mse_h = step_h(
+            raw_h, st_h, jnp.asarray(poses[:2]), gts[:2], masks[:2]
+        )
+        # the field must actually be sharded 4 ways along the slice axis
+        # (each shard replicated twice over the data axis)
+        assert len({s.device for s in raw_h.addressable_shards}) == 8
+
+        mesh1 = make_mesh(2)
+        opt_dp, step_dp = make_voxel_dp_step(
+            mesh1, intr, H=H, W=H, resolution=R, warp_axis=axis, flip=flip,
+            tv_weight=1e-4,
+        )
+        raw_dp, _, mse_dp = step_dp(
+            raw0, opt_dp.init(raw0), jnp.asarray(poses[:2]), gts[:2], masks[:2]
+        )
+
+        np.testing.assert_allclose(float(mse_h), float(mse_dp), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(raw_h), np.asarray(raw_dp), atol=3e-5
+        )
