@@ -288,10 +288,11 @@ def main(argv=None):
         )
 
         n_dev = len(jax.devices())
-        if opt.bake_res % n_dev != 0:
+        n_slice = n_dev // opt.voxel_dp if opt.voxel_dp > 0 else n_dev
+        if opt.bake_res % max(n_slice, 1) != 0:
             raise ValueError(
                 f"--bake_res {opt.bake_res} must divide evenly over the "
-                f"{n_dev} local devices for slice sharding"
+                f"{n_slice} slice shards"
             )
         sp_common = dict(
             seed=opt.seed,
@@ -299,7 +300,33 @@ def main(argv=None):
             sh_degree=opt.bake_sh, iters=opt.iters,
             bg_color=1.0, log_every=max(opt.iters // 10, 1),
         )
-        if opt.voxel_c2f > 1:
+        if opt.voxel_dp > 0:
+            if opt.voxel_c2f > 1:
+                raise ValueError(
+                    "--voxel_dp does not stage yet; drop --voxel_c2f or "
+                    "--voxel_dp"
+                )
+            if n_dev % opt.voxel_dp != 0:
+                raise ValueError(
+                    f"--voxel_dp {opt.voxel_dp} must divide the {n_dev} "
+                    "local devices"
+                )
+            if opt.bake_res % (n_dev // opt.voxel_dp) != 0:
+                raise ValueError(
+                    f"--bake_res {opt.bake_res} must divide over the "
+                    f"{n_dev // opt.voxel_dp} slice shards"
+                )
+            from focnerf_tpu.parallel.voxel_sp import fit_voxels_dp_sp
+
+            vol, info = fit_voxels_dp_sp(
+                train_ds.poses, imgs, train_ds.intrinsics,
+                dp=opt.voxel_dp, **sp_common,
+            )
+            print(
+                f"[dpspvoxel] trained on a {info['mesh']['data']}x"
+                f"{info['mesh']['slice']} (data x slice) mesh"
+            )
+        elif opt.voxel_c2f > 1:
             vol, info = fit_voxels_sp_c2f(
                 train_ds.poses, imgs, train_ds.intrinsics,
                 stages=opt.voxel_c2f, **sp_common,
@@ -308,7 +335,7 @@ def main(argv=None):
             vol, info = fit_voxels_sp(
                 train_ds.poses, imgs, train_ds.intrinsics, **sp_common,
             )
-        print(f"[spvoxel] trained sharded over {info['n_devices']} devices")
+            print(f"[spvoxel] trained sharded over {info['n_devices']} devices")
     else:
         common = dict(
             seed=opt.seed,

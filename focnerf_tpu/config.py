@@ -154,6 +154,10 @@ class Options:
     # — the trainable resolution scales with device count instead of one
     # chip's HBM. Dense diffuse family only.
     voxel_sp: bool = False
+    # with --voxel_sp: hybrid DP x SP on a 2-D (data, slice) mesh — N
+    # pose-parallel rows, devices/N slice shards per row
+    # (parallel/voxel_sp.py::make_voxel_dp_sp_step). 0 = pure SP.
+    voxel_dp: int = 0
 
     # dnerf
     dnerf_variant: str = "deform"

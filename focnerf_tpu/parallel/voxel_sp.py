@@ -639,3 +639,149 @@ def make_voxel_dp_sp_step(
         return optax.apply_updates(raw, updates), opt_state, mse
 
     return optimizer, step, shard_fn
+
+
+def fit_voxels_dp_sp(
+    poses: np.ndarray,  # [V, 4, 4] c2w
+    images: np.ndarray,  # [V, H, W, 3] in [0, 1]
+    intrinsics: Sequence[float],
+    *,
+    resolution: int = 128,
+    mesh=None,  # 2-D (data, slice) mesh; default: (dp, all//dp)
+    dp: int = 2,
+    bound: float = 1.0,
+    sh_degree: int = 0,
+    iters: int = 500,
+    lr: float = 5e-2,
+    tv_weight: float = 1e-4,
+    bg_color: float = 1.0,
+    density_scale: float = 1.0,
+    seed: int = 0,
+    log_every: int = 0,
+    intermediate_scale: int = 2,
+    remat: bool = True,
+    block: int = 32,
+    group_chunk: int = 25,
+    init_raw=None,
+):
+    """Hybrid pose-parallel x slice-sharded dense fit (the pod-slice
+    product entry: main_voxel --voxel_sp --voxel_dp N). Each step trains
+    ``dp`` views of one (warp_axis, flip) variant group simultaneously;
+    ``iters`` counts VIEW updates, so wall-clock steps are iters/dp.
+    Re-sharding on a warp-axis switch moves field + adam state exactly
+    like fit_voxels_sp.
+
+    Returns (volume, info) like fit_voxels_sp.
+    """
+    import time
+
+    from jax.sharding import Mesh
+
+    from focnerf_tpu.render.baked import warp_gt_to_intermediate
+    from focnerf_tpu.train.voxel import (
+        _pose_variant,
+        field_to_volume,
+        init_voxel_field,
+    )
+
+    if mesh is None:
+        devs = jax.devices()
+        assert len(devs) % dp == 0, (len(devs), dp)
+        mesh = Mesh(
+            np.array(devs).reshape(dp, len(devs) // dp), ("data", "slice")
+        )
+    Dd = mesh.shape["data"]
+
+    V = images.shape[0]
+    poses = np.asarray(poses, np.float32)
+    gts = jnp.asarray(images, jnp.float32)
+    intr_dev = jnp.asarray(intrinsics, jnp.float32)
+    ri = resolution * intermediate_scale
+
+    groups: Dict[Tuple[int, bool], list] = {}
+    for v in range(V):
+        groups.setdefault(_pose_variant(poses[v], bound), []).append(v)
+    keys = sorted(groups)
+    sizes = np.array([len(groups[k]) for k in keys], np.float64)
+    quota = sizes / sizes.sum() * iters
+    base = np.floor(quota).astype(int)
+    for i in np.argsort(-(quota - base))[: iters - int(base.sum())]:
+        base[i] += 1
+    remaining = dict(zip(keys, base.tolist()))
+
+    steps = {}
+    warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+
+    def get_step(key):
+        if key not in steps:
+            opt, step, shard_fn = make_voxel_dp_sp_step(
+                mesh, resolution=resolution, warp_axis=key[0], flip=key[1],
+                bound=bound, sh_degree=sh_degree, lr=lr, tv_weight=tv_weight,
+                bg_color=bg_color, density_scale=density_scale,
+                intermediate_scale=intermediate_scale, remat=remat,
+                block=block,
+            )
+            steps[key] = (opt, step, shard_fn)
+        return steps[key]
+
+    def targets_for(v: int, key):
+        if v not in warped:
+            warped[v] = warp_gt_to_intermediate(
+                gts[v], poses[v], intr_dev, bound,
+                axis=key[0], flip=key[1], ri=ri,
+            )
+        return warped[v]
+
+    raw = (
+        init_raw
+        if init_raw is not None
+        else init_voxel_field(resolution, sh_degree, rng=jax.random.key(seed))
+    )
+    opt0, _, shard0 = get_step(keys[0])
+    opt_state = opt0.init(raw)
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    mse = jnp.float32(1.0)
+    done = 0
+    cur_axis = None
+    while any(n > 0 for n in remaining.values()):
+        for key in keys:
+            take = min(group_chunk, remaining[key])
+            if take == 0:
+                continue
+            remaining[key] -= take
+            _, step, shard_fn = get_step(key)
+            if key[0] != cur_axis:  # flip shares the axis -> no re-shard
+                raw = shard_fn(raw)
+                opt_state = shard_fn(opt_state)
+                cur_axis = key[0]
+            n_steps = -(-take // Dd)  # ceil: iters count VIEW updates
+            for _ in range(n_steps):
+                views = rng.choice(groups[key], size=Dd)
+                ws, ms = zip(*[targets_for(int(v), key) for v in views])
+                raw, opt_state, mse = step(
+                    raw, opt_state,
+                    jnp.asarray(poses[np.asarray(views, int)]),
+                    jnp.stack(ws), jnp.stack(ms),
+                )
+                done += Dd
+                if log_every and (done // Dd) % log_every == 0:
+                    print(
+                        f"[dpspvoxel] view-updates {done}/{iters} "
+                        f"mse {float(mse):.5f}",
+                        flush=True,
+                    )
+    jax.block_until_ready(mse)
+    dt = time.time() - t0
+    psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
+    raw = jnp.asarray(jax.device_get(raw))
+    info = {
+        "psnr": psnr,
+        "rays_per_sec": ri * ri * done / dt,
+        "seconds": dt,
+        "raw": raw,
+        "n_devices": int(np.prod(list(mesh.shape.values()))),
+        "mesh": dict(mesh.shape),
+    }
+    return field_to_volume(raw, bound, sh_degree), info

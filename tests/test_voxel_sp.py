@@ -308,3 +308,40 @@ class TestHybridDPSP:
         np.testing.assert_allclose(
             np.asarray(raw_h), np.asarray(raw_dp), atol=3e-5
         )
+
+    def test_fit_voxels_dp_sp_and_cli(self, tmp_path):
+        """Product entry for the hybrid: library fit converges and the CLI
+        flag (--voxel_sp --voxel_dp 2) trains end-to-end on the 2x4 mesh."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        import os
+        import sys
+
+        from focnerf_tpu.parallel.voxel_sp import fit_voxels_dp_sp
+
+        gt_vol = _gt_volume()
+        H = 32
+        intr = (1.2 * H, 1.2 * H, H / 2.0, H / 2.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(7), 10, radius=2.5))
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, H)[0]) for p in poses]
+        )
+        vol, info = fit_voxels_dp_sp(
+            poses, imgs, intr, resolution=16, dp=2, iters=48, lr=0.1,
+            tv_weight=1e-5, block=2,
+        )
+        assert info["mesh"] == {"data": 2, "slice": 4}
+        assert np.isfinite(info["psnr"]) and info["psnr"] > 10.0
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+        from helpers import make_synthetic_scene
+
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+
+        scene = make_synthetic_scene(str(tmp_path / "scene"))
+        ws = str(tmp_path / "dpspws")
+        voxel_main([
+            scene, "--workspace", ws, "--iters", "24", "--bake_res", "16",
+            "--voxel_sp", "--voxel_dp", "2", "--scale", "1.0", "--bound", "1.0",
+        ])
+        assert os.path.exists(os.path.join(ws, "baked_16_sh0.npz"))
