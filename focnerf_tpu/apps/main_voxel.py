@@ -78,6 +78,21 @@ def main(argv=None):
                 "--voxel_sp trains with intermediate-plane supervision only "
                 "(parallel/voxel_sp.py, parallel/kplanes_sp.py)"
             )
+        if opt.voxel_kplanes > 0:
+            import jax as _jax
+
+            if opt.voxel_dp > 0:
+                raise ValueError(
+                    "--voxel_dp is the dense family's hybrid mesh; the "
+                    "K-planes SP step shards the collapse over ALL local "
+                    "devices — drop --voxel_dp"
+                )
+            _n_dev = len(_jax.devices())
+            if opt.bake_res % _n_dev != 0:
+                raise ValueError(
+                    f"--bake_res {opt.bake_res} must divide evenly over "
+                    f"the {_n_dev} local devices for collapse sharding"
+                )
     os.makedirs(opt.workspace, exist_ok=True)
 
     import jax.numpy as jnp
@@ -133,7 +148,8 @@ def main(argv=None):
             )
             if opt.voxel_sp:
                 # collapse-sharded over all local devices (the dense grid a
-                # device materializes is R_loc x R x R — parallel/kplanes_sp)
+                # device materializes is R_loc x R x R — parallel/kplanes_sp;
+                # flag guards run fail-fast at the top of main)
                 from focnerf_tpu.parallel.kplanes_sp import (
                     fit_kplanes_sp,
                     fit_kplanes_sp_c2f,

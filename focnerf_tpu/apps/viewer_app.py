@@ -219,15 +219,22 @@ def _view_only(opt):
                 # quantization loss while the format claims full precision
                 # (ADVICE r2) — fall through and re-bake from the checkpoint
                 print("[viewer] quantized cache + fp16 requested: re-baking")
+            elif opt.bake_quantize and cache_is_q:
+                # already uint8 on disk: serve it resident as-is
+                vol = load_volume(cache, resident=True)
+                print(f"[viewer] loaded baked volume cache {cache} "
+                      "(uint8-resident)")
             else:
-                vol = load_volume(cache, resident=opt.bake_quantize)
-                print(f"[viewer] loaded baked volume cache {cache}"
-                      + (" (uint8-resident)" if opt.bake_quantize else ""))
-                if opt.bake_quantize and not cache_is_q:
-                    # fp16 -> uint8 is a fresh (requested) quantization of
-                    # full-precision data; safe to convert in place
+                vol = load_volume(cache)
+                print(f"[viewer] loaded baked volume cache {cache}")
+                if opt.bake_quantize:
+                    # fp16 cache + uint8 requested: convert the full-
+                    # precision data in place, then serve it resident
+                    from focnerf_tpu.render.baked import quantize_volume
+
                     save_volume(cache, vol, quantize=True)
-                    print("[viewer] re-saved cache as uint8")
+                    vol = quantize_volume(vol)
+                    print("[viewer] re-saved cache as uint8 (resident)")
         if vol is None:
             t0 = time.time()
             vol = bake_field(

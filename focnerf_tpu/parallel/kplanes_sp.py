@@ -221,7 +221,6 @@ def fit_kplanes_sp(
     from jax.sharding import Mesh
 
     from focnerf_tpu.render.baked import warp_gt_to_intermediate
-    from focnerf_tpu.train.voxel import _pose_variant
     from focnerf_tpu.train.voxel_kplanes import init_kplanes_field
 
     if mesh is None:
@@ -234,16 +233,9 @@ def fit_kplanes_sp(
     intr_dev = jnp.asarray(intrinsics, jnp.float32)
     ri = resolution * intermediate_scale
 
-    groups: Dict[Tuple[int, bool], list] = {}
-    for v in range(V):
-        groups.setdefault(_pose_variant(poses[v], bound), []).append(v)
-    keys = sorted(groups)
-    sizes = np.array([len(groups[k]) for k in keys], np.float64)
-    quota = sizes / sizes.sum() * iters
-    base = np.floor(quota).astype(int)
-    for i in np.argsort(-(quota - base))[: iters - int(base.sum())]:
-        base[i] += 1
-    remaining = dict(zip(keys, base.tolist()))
+    from focnerf_tpu.parallel.voxel_sp import _apportion_views
+
+    groups, keys, remaining = _apportion_views(poses, bound, iters)
 
     steps = {}
     warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}

@@ -43,6 +43,27 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def _apportion_views(poses, bound, iters):
+    """Group views by (warp_axis, flip) pose variant and apportion ``iters``
+    across groups proportionally to view count with largest-remainder
+    rounding — counts sum to EXACTLY ``iters`` and no group with a >=1
+    quota is starved by earlier rounding overshoot. Shared by every
+    variant-grouped fit driver (dense SP, hybrid DP x SP, K-planes SP).
+    Returns (groups {key: [view-idx]}, keys sorted, remaining {key: n})."""
+    from focnerf_tpu.train.voxel import _pose_variant
+
+    groups = {}
+    for v in range(len(poses)):
+        groups.setdefault(_pose_variant(poses[v], bound), []).append(v)
+    keys = sorted(groups)
+    sizes = np.array([len(groups[k]) for k in keys], np.float64)
+    quota = sizes / sizes.sum() * iters
+    base = np.floor(quota).astype(int)
+    for i in np.argsort(-(quota - base))[: iters - int(base.sum())]:
+        base[i] += 1
+    return groups, keys, dict(zip(keys, base.tolist()))
+
+
 def _sp_slab_strip_mse(
     raw_loc,
     pose,
@@ -360,11 +381,7 @@ def fit_voxels_sp(
     from jax.sharding import Mesh
 
     from focnerf_tpu.render.baked import warp_gt_to_intermediate
-    from focnerf_tpu.train.voxel import (
-        _pose_variant,
-        field_to_volume,
-        init_voxel_field,
-    )
+    from focnerf_tpu.train.voxel import field_to_volume, init_voxel_field
 
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), ("slice",))
@@ -378,16 +395,7 @@ def fit_voxels_sp(
     # group views by pose variant; apportion iterations by group size with
     # largest-remainder rounding so the counts sum to EXACTLY ``iters`` and
     # no group with a >=1 quota is starved by earlier rounding overshoot
-    groups: Dict[Tuple[int, bool], list] = {}
-    for v in range(V):
-        groups.setdefault(_pose_variant(poses[v], bound), []).append(v)
-    keys = sorted(groups)
-    sizes = np.array([len(groups[k]) for k in keys], np.float64)
-    quota = sizes / sizes.sum() * iters
-    base = np.floor(quota).astype(int)
-    for i in np.argsort(-(quota - base))[: iters - int(base.sum())]:
-        base[i] += 1
-    remaining = dict(zip(keys, base.tolist()))
+    groups, keys, remaining = _apportion_views(poses, bound, iters)
 
     steps = {}  # (axis, flip) -> (step, shard_fn)
     warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}
@@ -678,11 +686,7 @@ def fit_voxels_dp_sp(
     from jax.sharding import Mesh
 
     from focnerf_tpu.render.baked import warp_gt_to_intermediate
-    from focnerf_tpu.train.voxel import (
-        _pose_variant,
-        field_to_volume,
-        init_voxel_field,
-    )
+    from focnerf_tpu.train.voxel import field_to_volume, init_voxel_field
 
     if mesh is None:
         devs = jax.devices()
@@ -698,16 +702,7 @@ def fit_voxels_dp_sp(
     intr_dev = jnp.asarray(intrinsics, jnp.float32)
     ri = resolution * intermediate_scale
 
-    groups: Dict[Tuple[int, bool], list] = {}
-    for v in range(V):
-        groups.setdefault(_pose_variant(poses[v], bound), []).append(v)
-    keys = sorted(groups)
-    sizes = np.array([len(groups[k]) for k in keys], np.float64)
-    quota = sizes / sizes.sum() * iters
-    base = np.floor(quota).astype(int)
-    for i in np.argsort(-(quota - base))[: iters - int(base.sum())]:
-        base[i] += 1
-    remaining = dict(zip(keys, base.tolist()))
+    groups, keys, remaining = _apportion_views(poses, bound, iters)
 
     steps = {}
     warped: Dict[int, Tuple[jax.Array, jax.Array]] = {}

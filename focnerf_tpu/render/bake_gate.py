@@ -93,7 +93,8 @@ def bake_quality_report(
         "per_view": rows,
     }
     if out_path is not None:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        if os.path.dirname(out_path):
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
     return report
@@ -155,7 +156,8 @@ def volume_quantization_report(
         "per_view": rows,
     }
     if out_path is not None:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        if os.path.dirname(out_path):
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
     return report

@@ -68,8 +68,11 @@ class QuantizedVolume(NamedTuple):
     sh_deg: int = 0
 
 
-def quantize_volume(vol: BakedVolume) -> QuantizedVolume:
-    """In-memory uint8 quantization (same math as save_volume(quantize=True))."""
+def quantize_volume(vol) -> QuantizedVolume:
+    """In-memory uint8 quantization (same math as save_volume(quantize=True));
+    idempotent on an already-quantized volume."""
+    if isinstance(vol, QuantizedVolume):
+        return vol
     rgba = np.asarray(vol.rgba, np.float32)
     payload, sigma = rgba[..., :-1], rgba[..., -1:]
     lo = payload.min(axis=(0, 1, 2))
@@ -217,7 +220,7 @@ def bake_field(
     )
 
 
-def save_volume(path: str, vol: BakedVolume, quantize: bool = False) -> None:
+def save_volume(path: str, vol, quantize: bool = False) -> None:
     """Persist a baked volume.
 
     Default: npz with float16 payload (1/2 the bytes; the shear-warp path
@@ -226,7 +229,12 @@ def save_volume(path: str, vol: BakedVolume, quantize: bool = False) -> None:
     payload channels quantize over their own [min, max]; density quantizes
     over [0, max] in SQRT space (sigma spans orders of magnitude and the
     render is most sensitive near the transparent end). Quality gate in
-    tests/test_baked.py (sphere-scene render within ~0.5 dB of fp16)."""
+    tests/test_baked.py (sphere-scene render within ~0.5 dB of fp16).
+
+    Accepts a QuantizedVolume too: saved directly when quantize=True,
+    dequantized first for the fp16 format."""
+    if isinstance(vol, QuantizedVolume) and not quantize:
+        vol = dequantize_volume(vol)
     if not quantize:
         np.savez_compressed(
             path,

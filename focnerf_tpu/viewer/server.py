@@ -65,8 +65,11 @@ function ctl(k, v){ fetch('/control', {method:'POST', body: JSON.stringify({[k]:
 document.getElementById('fovy').oninput = e=>ctl('fovy', +e.target.value);
 document.getElementById('bg').onchange = e=>ctl('bg', +e.target.value);
 document.getElementById('tsl').oninput = e=>{ t = +e.target.value; dirty=true; };
-document.getElementById('dtg').oninput = e=>ctl('dt_gamma', +e.target.value);
-document.getElementById('mst').oninput = e=>ctl('max_steps', +e.target.value);
+// dt_gamma/max_steps are STATIC compile keys in the render program —
+// onchange (release), not oninput (every drag tick), or a single drag
+// forces a recompile per tick and thrashes the 16-entry jit cache
+document.getElementById('dtg').onchange = e=>ctl('dt_gamma', +e.target.value);
+document.getElementById('mst').onchange = e=>ctl('max_steps', +e.target.value);
 document.getElementById('spp').oninput = e=>ctl('max_spp', +e.target.value);
 document.getElementById('aabb').onchange = e=>{
   const v = e.target.value.split(',').map(Number);

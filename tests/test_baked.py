@@ -413,3 +413,26 @@ class TestQuantizedResident:
         )
         mse = np.mean((img_q - img_f) ** 2)
         assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 28.0, mse
+
+    def test_save_volume_accepts_quantized(self, tmp_path):
+        """Regression (round-3 review finding 1): save_volume must accept a
+        QuantizedVolume in both formats — the viewer's warm fp16 cache +
+        --bake_quantize path crashed on .rgba before."""
+        from focnerf_tpu.render.baked import (
+            dequantize_volume, load_volume, quantize_volume, save_volume,
+        )
+
+        qvol = quantize_volume(self._vol(seed=4))
+        pq = str(tmp_path / "q.npz")
+        save_volume(pq, qvol, quantize=True)  # direct uint8 serialization
+        back = load_volume(pq, resident=True)
+        np.testing.assert_array_equal(np.asarray(back.q), np.asarray(qvol.q))
+        p16 = str(tmp_path / "f16.npz")
+        save_volume(p16, qvol, quantize=False)  # dequantizes first
+        dense = load_volume(p16)
+        np.testing.assert_allclose(
+            np.asarray(dense.rgba),
+            np.asarray(dequantize_volume(qvol).rgba), atol=0.05,
+        )
+        # idempotent quantize
+        assert quantize_volume(qvol) is qvol

@@ -243,7 +243,7 @@ def main():
                     f"| {deltas['exact'] - deltas['O']:+.2f} dB | - |"
                 )
         else:
-            res = min(args.res, 256 if fam == "dense" else 256)
+            res = min(args.res, 256)  # voxel families cap at 256^3 single-chip
             rows = [
                 run_voxel(scene, fam, args.iters, s, args.workspace, res=res)
                 for s in seeds
