@@ -485,8 +485,13 @@ def _encode_fwd(table, x, u, spec: HashGridSpec):
 #          1.69 s -> 0.33 s per train step on v5e, identical train quality);
 #   "sort": argsort + sorted scatter-add (exact fp32; faster on CPU where the
 #           matmul formulation's ~26 TFLOP has no MXU to run on);
+#   "hybrid": MXU one-hots for levels up to BACKWARD_HYBRID_MAX_ROWS (small
+#           n_hi -> cheap one-hot build) + ONE sort over only the big-level
+#           entries (~60% fewer rows through the pass-dominated TPU sort);
+#           round-3 A/B candidate (bench.py --hash --bwd hybrid);
 #   None (default): auto — "mxu" on TPU, "sort" elsewhere.
 BACKWARD_MODE = None
+BACKWARD_HYBRID_MAX_ROWS = 1 << 16  # "small level" cutoff for "hybrid"
 
 # int8 variant of the "mxu" backward: contributions are quantized per
 # (chunk, channel) with a symmetric max-abs scale and the one-hot matmuls run
@@ -558,8 +563,12 @@ def _contribs(spec: HashGridSpec, layout, weights, g32):
     ]  # each [N, total_cols]
 
 
-def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
+def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows, levels=None):
     """d_table via per-level one-hot matmuls.
+
+    ``levels``: optional level subset (the "hybrid" mode resolves small
+    levels here and big ones through the sort); skipped levels contribute
+    zero blocks.
 
     For level l with S_l rows, decompose the in-level row r = hi*_LO + lo;
     then d_T[hi, lo] = sum_i onehot_hi[i, hi] * onehot_lo[i, lo] * contrib[i]
@@ -576,6 +585,9 @@ def _encode_bwd_mxu(spec: HashGridSpec, rows, weights, g, n_rows):
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LO), 1)
     for lvl in range(spec.num_levels):
         size = spec.level_size(lvl)
+        if levels is not None and lvl not in levels:
+            d_parts.append(jnp.zeros((size, spec.level_dim), jnp.float32))
+            continue
         n_hi = -(-size // _LO)
         start, ncols = layout[lvl]
         sl = slice(start, start + ncols)
@@ -669,16 +681,48 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
     rows, weights, n_rows, u_shape = residuals  # rows/weights [N, total_cols]
     n = rows.shape[0]
     d_u = jnp.zeros(u_shape, jnp.float32)
-    if _backward_mode() == "mxu":
+    mode = _backward_mode()
+    if mode == "mxu":
         d_table = _encode_bwd_mxu(spec, rows, weights, g, n_rows)
         return d_table, jnp.zeros((n, spec.input_dim), g.dtype), d_u
+
+    layout = _col_layout(spec)
+    if mode == "hybrid":
+        # small levels (cheap one-hot builds) on the MXU; ONE sort over
+        # only the big-level entries — the TPU sort is pass-dominated, so
+        # shrinking its input is the lever (PERF.md round-2 close-out)
+        small = [
+            l for l in range(spec.num_levels)
+            if spec.level_size(l) <= BACKWARD_HYBRID_MAX_ROWS
+        ]
+        big = [l for l in range(spec.num_levels) if l not in small]
+        d_small = _encode_bwd_mxu(spec, rows, weights, g, n_rows, levels=small)
+        if not big:
+            return d_small, jnp.zeros((n, spec.input_dim), g.dtype), d_u
+        cols = np.concatenate(
+            [np.arange(layout[l][0], layout[l][0] + layout[l][1]) for l in big]
+        )
+        contribs_all = _contribs(spec, layout, weights, g.astype(jnp.float32))
+        rows_b = rows[:, cols].reshape(-1)
+        order = jnp.argsort(rows_b)
+        sorted_rows = rows_b[order]
+        d_big = (
+            jnp.zeros((n_rows, spec.level_dim), jnp.float32)
+            .at[sorted_rows]
+            .add(
+                jnp.stack(
+                    [c[:, cols].reshape(-1)[order] for c in contribs_all], -1
+                )
+            )
+        )
+        return d_small + d_big, jnp.zeros((n, spec.input_dim), g.dtype), d_u
 
     flat_rows = rows.reshape(-1)
     order = jnp.argsort(flat_rows)
     sorted_rows = flat_rows[order]
     contribs = [
         c.reshape(-1)[order]
-        for c in _contribs(spec, _col_layout(spec), weights, g.astype(jnp.float32))
+        for c in _contribs(spec, layout, weights, g.astype(jnp.float32))
     ]
     d_table = (
         jnp.zeros((n_rows, spec.level_dim), jnp.float32)

@@ -682,3 +682,51 @@ class TestUniformKFastPaths:
         err = np.abs(acc / reps - np.asarray(exact))
         scale = np.abs(np.asarray(exact)).mean() + 1e-6
         assert err.mean() / scale < 0.12, err.mean() / scale
+
+    @pytest.mark.parametrize("stoch", [True, False])
+    def test_hybrid_backward_matches_sort(self, stoch):
+        """'hybrid' (small levels on MXU one-hots + one sort over only the
+        big-level entries) must match the pure sort backward on both the
+        uniform-K and the exact (mixed-corner) layouts."""
+        import dataclasses
+
+        import focnerf_tpu.ops.hashgrid as hg
+
+        # log2=12 gives genuinely mixed level sizes (128/736/4096/4096)
+        spec = hg.HashGridSpec.create(
+            num_levels=4, base_resolution=4, log2_hashmap_size=12,
+            per_level_scale=2.0,
+        )
+        if stoch:
+            spec = dataclasses.replace(
+                spec, stochastic_k=1, stochastic_min_size=1
+            )
+        rng_np = np.random.default_rng(0)
+        table = jnp.asarray(
+            rng_np.normal(size=(spec.table_rows, spec.level_dim)), jnp.float32
+        )
+        x = jnp.asarray(rng_np.uniform(0, 1, (64, 3)), jnp.float32)
+        cot = jnp.asarray(
+            rng_np.normal(size=(64, spec.output_dim)), jnp.float32
+        )
+        key = jax.random.key(9) if stoch else None
+
+        def gradfn(t):
+            return (hg.hashgrid_encode(t, x, spec, rng=key) * cot).sum()
+
+        old_m, old_h = hg.BACKWARD_MODE, hg.BACKWARD_HYBRID_MAX_ROWS
+        try:
+            hg.BACKWARD_MODE = "sort"
+            g_sort = jax.grad(gradfn)(table)
+            hg.BACKWARD_MODE = "hybrid"
+            hg.BACKWARD_HYBRID_MAX_ROWS = 1000  # splits 128/736 vs 4096
+            sizes = [spec.level_size(l) for l in range(spec.num_levels)]
+            small = [l for l, s in enumerate(sizes) if s <= 1000]
+            assert 0 < len(small) < spec.num_levels, (sizes, small)
+            g_hyb = jax.grad(gradfn)(table)
+        finally:
+            hg.BACKWARD_MODE, hg.BACKWARD_HYBRID_MAX_ROWS = old_m, old_h
+        assert float(jnp.abs(g_sort).sum()) > 0
+        np.testing.assert_allclose(
+            np.asarray(g_hyb), np.asarray(g_sort), atol=8e-3
+        )
