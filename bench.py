@@ -401,16 +401,41 @@ def bench_hash(emit: bool = True):
         params = optax.apply_updates(state.params, updates)
         return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
 
-    # warmup + compile
-    for i in range(WARMUP_STEPS):
-        state, loss = train_step(state, jax.random.key(i))
-    jax.block_until_ready(loss)
+    fold = "--fold" in sys.argv
+    if fold:
+        # folded fori_loop dispatch (one compiled program of BENCH_STEPS
+        # steps, scalar fetch per dispatch). Round-2 measured this 10x
+        # SLOWER for the MXU backward (its chunk scan compiles
+        # pathologically inside an outer loop) — viable for scan-free
+        # configs only (--minsize 1 --bwd sort): pure-gather forward +
+        # argsort backward, no nested scan. A/B flag, not the default.
+        @jax.jit
+        def fold_steps(state, base):
+            def body(i, carry):
+                st, _ = carry
+                return train_step(st, jax.random.fold_in(base, i))
 
-    t0 = time.time()
-    for i in range(BENCH_STEPS):
-        state, loss = train_step(state, jax.random.key(100 + i))
-        loss = float(loss)  # full fetch: honest sync, defeats relay dedup
-    dt = time.time() - t0
+            return jax.lax.fori_loop(
+                0, BENCH_STEPS, body, (state, jnp.float32(0.0))
+            )
+
+        state, loss = fold_steps(state, jax.random.key(0))
+        _ = float(loss)  # warmup/compile
+        t0 = time.time()
+        state, loss = fold_steps(state, jax.random.key(1))
+        _ = float(loss)
+        dt = time.time() - t0
+    else:
+        # warmup + compile
+        for i in range(WARMUP_STEPS):
+            state, loss = train_step(state, jax.random.key(i))
+        jax.block_until_ready(loss)
+
+        t0 = time.time()
+        for i in range(BENCH_STEPS):
+            state, loss = train_step(state, jax.random.key(100 + i))
+            loss = float(loss)  # full fetch: honest sync, defeats relay dedup
+        dt = time.time() - t0
 
     rays_per_sec = N_RAYS * BENCH_STEPS / dt
     result = {
@@ -425,6 +450,7 @@ def bench_hash(emit: bool = True):
             "bwd": hashgrid._backward_mode(),
             "build": hashgrid._onehot_build(),
             "int8": hashgrid._backward_int8(),
+            "fold": fold,
         },
         "step_ms": round(dt / BENCH_STEPS * 1e3, 2),
     }
