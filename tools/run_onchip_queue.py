@@ -50,17 +50,17 @@ QUEUE = [
     # 3. quality gates for promoted variants
     ("quality", [sys.executable, "tools/quality_exp.py", "--variants",
                  "fast,allstoch", "--seeds", "0,1,2"], 5400),
-    # 5. production parity ladders (hard procedural scene)
-    ("parity", [sys.executable, "tools/parity.py", "--family", "all",
-                "--preset", "both", "--seeds", "0,1,2", "--iters", "10000",
-                "--res", "800", "--views", "50", "--workspace",
-                "/tmp/parity_prod"], None),
     # 6. uint8-resident render A/B at 512^3
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
                 "800", "--objects", "4", "--bake_res", "512"], 3600),
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
                 "800", "--objects", "4", "--bake_res", "512", "--resident"],
      3600),
+    # LAST (multi-hour): production parity ladders on the hard scene
+    ("parity", [sys.executable, "tools/parity.py", "--family", "all",
+                "--preset", "both", "--seeds", "0,1,2", "--iters", "10000",
+                "--res", "800", "--views", "50", "--workspace",
+                "/tmp/parity_prod"], None),
 ]
 
 OUT = os.path.join(REPO, "ONCHIP_QUEUE_RESULTS.md")
