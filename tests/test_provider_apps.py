@@ -437,3 +437,67 @@ class TestOccupancyTrainerCLI:
         # log shows finite losses
         log = open(os.path.join(f"{ws}_background", "log_ngp.txt")).read()
         assert "loss=" in log and "nan" not in log
+
+
+@pytest.mark.slow
+class TestKillResume:
+    def test_sigkill_mid_train_resumes_from_latest(self, scene, tmp_path):
+        """Elastic recovery: a training process killed WITHOUT warning
+        (SIGKILL — no atexit, no finally) must resume from the last orbax
+        checkpoint on the next invocation and train to completion."""
+        import signal
+        import subprocess
+        import time as _t
+
+        ws = str(tmp_path / "krws")
+        argv = [
+            sys.executable, "-c",
+            (
+                "import os, sys;"
+                "os.environ['JAX_PLATFORMS']='cpu';"
+                "import jax; jax.config.update('jax_platforms','cpu');"
+                f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r});"
+                "from focnerf_tpu.apps.main_nerf import main;"
+                f"main([{scene!r}, '--workspace', {ws!r}, '--iters', '200',"
+                " '--num_steps', '16', '--disable_yolo', '--scale', '1.0',"
+                " '--num_rays', '64', '--bound', '1.0',"
+                " '--max_ray_batch', '128'])"
+            ),
+        ]
+        env = {**os.environ}
+        env.pop("XLA_FLAGS", None)
+        env["PYTHONPATH"] = ":".join(
+            p for p in env.get("PYTHONPATH", "").split(":")
+            if p and "axon" not in p
+        )
+        proc = subprocess.Popen(argv, env=env, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.STDOUT)
+        ckpt_dir = os.path.join(ws + "_background", "checkpoints")
+        # wait for the first checkpoint to land, then SIGKILL mid-training
+        deadline = _t.time() + 240
+        found = False
+        while _t.time() < deadline and proc.poll() is None:
+            if os.path.isdir(ckpt_dir) and any(
+                d.isdigit() for d in os.listdir(ckpt_dir)
+            ):
+                found = True
+                break
+            _t.sleep(1.0)
+        assert found, "no checkpoint appeared before the deadline"
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+
+        # second invocation must RESUME (not restart) and finish
+        from focnerf_tpu.apps.main_nerf import main as nerf_main
+
+        nerf_main([
+            scene, "--workspace", ws, "--iters", "200", "--num_steps", "16",
+            "--disable_yolo", "--scale", "1.0", "--num_rays", "64",
+            "--bound", "1.0", "--max_ray_batch", "128",
+        ])
+        log = open(os.path.join(ws + "_background", "log_ngp.txt")).read()
+        assert "resumed" in log, log[-500:]
+        import re as _re
+
+        m = _re.search(r"resumed \(latest\) from step (\d+)", log)
+        assert m and int(m.group(1)) > 0, log[-500:]
