@@ -459,3 +459,13 @@ class TestMSSSIM:
         assert m.measure() > 0.0
         m.update(a, a)
         assert m.vals[-1] < 1e-5
+
+
+class TestGraftEntry:
+    def test_entry_lowers(self):
+        """The driver compile-checks entry() single-chip; lowering the
+        jitted fn against its example args catches signature/shape rot."""
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        jax.jit(fn).lower(*args)  # tracing succeeds = shapes consistent
