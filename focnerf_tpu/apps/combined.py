@@ -173,7 +173,8 @@ def _ws_prefix(opt: Options) -> str:
 
 
 def evaluate_composition(
-    opt: Options, offsets=None, write_video: bool = False, feats_mode: str = "avg"
+    opt: Options, offsets=None, write_video: bool = False,
+    feats_mode: str = "avg", rotations=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -194,6 +195,11 @@ def evaluate_composition(
             "march per sample — compose them with --baked"
         )
 
+    if rotations is not None and np.any(np.asarray(rotations)) and not opt.baked:
+        raise SystemExit(
+            "--rotate_x/y/z edit the baked volume — add --baked (the "
+            "per-sample path would need per-object ray rotation)"
+        )
     baked_vol = None
     if opt.baked:
         # bake once, merge by max density, render every view in real time
@@ -256,6 +262,13 @@ def evaluate_composition(
                         f"{rep['psnr_baked_vs_exact_min']} dB min -> {gate_path}"
                     )
                 ki += 1
+            if rotations is not None and np.any(np.asarray(rotations[k])):
+                # rotate about the object's own center, THEN translate
+                from focnerf_tpu.render.baked import rotate_volume
+
+                for ax_i, dg in enumerate(np.asarray(rotations[k])):
+                    if float(dg):
+                        vol = rotate_volume(vol, ax_i, float(dg))
             if offsets is not None:
                 # compose offsets query the field at x+off -> scene pos -off
                 vol = shift_volume(vol, -np.asarray(offsets[k]))

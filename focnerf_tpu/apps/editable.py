@@ -38,6 +38,7 @@ def main(argv=None):
 
     objs = discover_objects(opt)
     offsets = np.zeros((len(objs), 3), np.float32)
+    rotations = np.zeros((len(objs), 3), np.float32)
     if opt.edit_object:
         if opt.edit_object not in objs:
             raise SystemExit(
@@ -46,11 +47,15 @@ def main(argv=None):
         k = objs.index(opt.edit_object)
         offsets[k] = [opt.offset_x, opt.offset_y, opt.offset_z]
         print(f"[editable] translating {opt.edit_object} by {offsets[k]}")
+        rotations[k] = [opt.rotate_x, opt.rotate_y, opt.rotate_z]
+        if rotations[k].any():
+            print(f"[editable] rotating {opt.edit_object} by {rotations[k]} deg")
 
     # pose-distance-weighted per-view features (calculate_feats2_inference,
     # editable.py:781) — the editing flow's signature feature synthesis
     frames = evaluate_composition(
-        opt, offsets=jnp.asarray(offsets), write_video=True, feats_mode="pose"
+        opt, offsets=jnp.asarray(offsets), write_video=True,
+        feats_mode="pose", rotations=rotations,
     )
     print(f"[editable] rendered {len(frames)} edited frames into {opt.workspace}")
 

@@ -116,6 +116,12 @@ class Options:
     offset_x: float = 0.0
     offset_y: float = 0.0
     offset_z: float = 0.0
+    # TPU addition beyond the reference (translation-only editing,
+    # editable.py:443-471): rigid ROTATION of the edited object in degrees
+    # about each world axis, applied at bake time (--baked only)
+    rotate_x: float = 0.0
+    rotate_y: float = 0.0
+    rotate_z: float = 0.0
 
     # baked real-time inference (render/baked.py): --baked routes the
     # composition/editing apps through the shear-warp renderer

@@ -327,6 +327,62 @@ def shift_volume(vol: BakedVolume, offset_world: Sequence[float]) -> BakedVolume
     return BakedVolume(rgba=rgba, bound=vol.bound, sh_deg=vol.sh_deg)
 
 
+def rotate_volume(
+    vol: BakedVolume,
+    axis: int,
+    degrees: float,
+    center: Sequence[float] = (0.0, 0.0, 0.0),
+) -> BakedVolume:
+    """Rigid-rotate a baked object about one axis (editing extension beyond
+    the reference, whose editing is translation-only — editable.py:443-471).
+
+    Exact multiples of 90 degrees are lossless axis permutations/flips;
+    arbitrary angles resample trilinearly (the object ROTATES by +degrees
+    right-handed about ``axis`` through ``center`` in world units; source
+    coordinates outside the cube read as empty). Edit-time cost, not
+    per-frame: the rotated volume feeds the same merge/render path.
+    """
+    R = vol.rgba.shape[0]
+    b = float(vol.bound)
+    others = [a for a in range(3) if a != axis]
+    deg = float(degrees) % 360.0
+
+    if deg % 90.0 == 0.0 and all(abs(c) < 1e-9 for c in center):
+        k = int(deg // 90) % 4
+        rgba = vol.rgba
+        # +90 deg right-handed about `axis`: (u, v) -> (-v, u) for the
+        # ordered pair of the other two axes
+        for _ in range(k):
+            rgba = jnp.flip(jnp.swapaxes(rgba, others[0], others[1]), others[0])
+        return BakedVolume(rgba=rgba, bound=vol.bound, sh_deg=vol.sh_deg)
+
+    th = np.deg2rad(deg)
+    c_, s_ = np.cos(th), np.sin(th)
+    centers = (jnp.arange(R, dtype=jnp.float32) + 0.5) / R * (2 * b) - b
+    grids = jnp.meshgrid(centers, centers, centers, indexing="ij")
+    u = grids[others[0]] - center[others[0]]
+    v = grids[others[1]] - center[others[1]]
+    # inverse rotation: destination (u, v) samples source at R(-th) (u, v)
+    su = c_ * u + s_ * v + center[others[0]]
+    sv = -s_ * u + c_ * v + center[others[1]]
+    src = [None, None, None]
+    src[axis] = grids[axis]
+    src[others[0]] = su
+    src[others[1]] = sv
+    coords = [(g + b) / (2 * b) * R - 0.5 for g in src]  # voxel coords
+
+    from jax.scipy.ndimage import map_coordinates
+
+    ch = [
+        map_coordinates(vol.rgba[..., c], coords, order=1, mode="constant",
+                        cval=0.0)
+        for c in range(vol.rgba.shape[-1])
+    ]
+    return BakedVolume(
+        rgba=jnp.stack(ch, -1), bound=vol.bound, sh_deg=vol.sh_deg
+    )
+
+
 def merge_volumes(vols: List[BakedVolume]) -> BakedVolume:
     """Max-density argmax fusion of per-object volumes — the voxel-space
     equivalent of best_densities_and_colors_v3 (COMBINED.py:247-251)."""

@@ -436,3 +436,62 @@ class TestQuantizedResident:
         )
         # idempotent quantize
         assert quantize_volume(qvol) is qvol
+
+
+class TestRotateVolume:
+    """Rotation editing (beyond the reference's translation-only editing)."""
+
+    def _vol(self, R=16, seed=0):
+        rng = np.random.default_rng(seed)
+        rgba = rng.random((R, R, R, 4)).astype(np.float32)
+        return BakedVolume(rgba=jnp.asarray(rgba), bound=1.0)
+
+    def test_90deg_is_lossless_permutation(self):
+        from focnerf_tpu.render.baked import rotate_volume
+
+        vol = self._vol()
+        for axis in range(3):
+            others = [a for a in range(3) if a != axis]
+            r = rotate_volume(vol, axis, 90.0)
+            want = np.flip(
+                np.swapaxes(np.asarray(vol.rgba), others[0], others[1]),
+                others[0],
+            )
+            np.testing.assert_array_equal(np.asarray(r.rgba), want)
+            # four quarter turns come back exactly
+            r4 = vol
+            for _ in range(4):
+                r4 = rotate_volume(r4, axis, 90.0)
+            np.testing.assert_array_equal(
+                np.asarray(r4.rgba), np.asarray(vol.rgba)
+            )
+
+    def test_arbitrary_angle_moves_mass_correctly(self):
+        """A bar along +x rotated +90 deg about z must land along +y; the
+        trilinear path (non-multiple-of-90 goes through map_coordinates)
+        is checked at 45 deg via the density center of mass."""
+        from focnerf_tpu.render.baked import rotate_volume
+
+        R = 32
+        rgba = np.zeros((R, R, R, 4), np.float32)
+        c = (np.arange(R) + 0.5) / R * 2 - 1
+        X, Y, Z = np.meshgrid(c, c, c, indexing="ij")
+        bar = (X > 0.2) & (X < 0.8) & (np.abs(Y) < 0.1) & (np.abs(Z) < 0.1)
+        rgba[..., 3] = np.where(bar, 10.0, 0.0)
+        vol = BakedVolume(rgba=jnp.asarray(rgba), bound=1.0)
+
+        def com(v):
+            s = np.asarray(v.rgba[..., 3])
+            w = s / s.sum()
+            return np.array([np.sum(w * A) for A in (X, Y, Z)])
+
+        c0 = com(vol)
+        assert c0[0] > 0.3 and abs(c0[1]) < 0.05
+        r45 = rotate_volume(vol, 2, 45.0)
+        c45 = com(r45)
+        # +45 deg right-handed about z: +x mass rotates toward +y
+        np.testing.assert_allclose(c45[0], c0[0] / np.sqrt(2), atol=0.05)
+        np.testing.assert_allclose(c45[1], c0[0] / np.sqrt(2), atol=0.05)
+        # inverse rotation restores the interior mass distribution
+        back = rotate_volume(r45, 2, -45.0)
+        np.testing.assert_allclose(com(back), c0, atol=0.05)

@@ -501,3 +501,34 @@ class TestKillResume:
 
         m = _re.search(r"resumed \(latest\) from step (\d+)", log)
         assert m and int(m.group(1)) > 0, log[-500:]
+
+    def test_editable_rotation(self, scene, tmp_path):
+        """--rotate_z edits the baked object (rotation is a TPU-side
+        extension — the reference edits by translation only); the
+        per-sample path refuses rotation with a clear message."""
+        from focnerf_tpu.apps import editable
+        from focnerf_tpu.apps.main_voxel import main as voxel_main
+
+        root = str(tmp_path / "objs")
+        os.makedirs(root, exist_ok=True)
+        voxel_main([
+            scene, "--workspace", os.path.join(root, "ws_background"),
+            "--iters", "30", "--bake_res", "16",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        edit_ws = str(tmp_path / "rot")
+        editable.main([
+            scene, "--ckpt_dir", root, "--workspace", edit_ws, "--baked",
+            "--bake_res", "16", "--edit_object", "background",
+            "--rotate_z", "90", "--offset_x", "0.1",
+            "--scale", "1.0", "--bound", "1.0",
+        ])
+        assert os.path.exists(os.path.join(edit_ws, "rgbs_w", "0000.png"))
+
+        with pytest.raises(SystemExit, match="rotate|baked"):
+            editable.main([
+                scene, "--ckpt_dir", root, "--workspace",
+                str(tmp_path / "rot2"), "--edit_object", "background",
+                "--bake_res", "16", "--rotate_z", "45",
+                "--scale", "1.0", "--bound", "1.0",
+            ])
