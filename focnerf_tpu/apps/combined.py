@@ -195,11 +195,11 @@ def evaluate_composition(
             "march per sample — compose them with --baked"
         )
 
-    if rotations is not None and np.any(np.asarray(rotations)) and not opt.baked:
-        raise SystemExit(
-            "--rotate_x/y/z edit the baked volume — add --baked (the "
-            "per-sample path would need per-object ray rotation)"
-        )
+    rot_mats = None
+    if rotations is not None and np.any(np.asarray(rotations)):
+        from focnerf_tpu.render.compose import rotation_matrices
+
+        rot_mats = rotation_matrices(rotations)
     baked_vol = None
     if opt.baked:
         # bake once, merge by max density, render every view in real time
@@ -287,6 +287,12 @@ def evaluate_composition(
         print(msg)
     # march on the union of object occupancies (occ-accelerated composition)
     occ_kwargs = {}
+    if rot_mats is not None and stacked_occ is not None and baked_vol is None:
+        print(
+            "[combined] rotation edit active: the union occupancy bitfield "
+            "ignores rotation — using uniform sampling for this run"
+        )
+        stacked_occ = None
     if stacked_occ is not None and baked_vol is None:
         # per-sample path only (and then objs == ckpt objs, so the offset
         # alignment with the stacked bitfields is exact)
@@ -330,7 +336,7 @@ def evaluate_composition(
         else:
             rgba, depth = compose_image(
                 stacked, cfg, jnp.asarray(view["pose"]), dataset.intrinsics,
-                dataset.H, dataset.W, feats_v, offsets,
+                dataset.H, dataset.W, feats_v, offsets, rot_mats,
                 num_steps=opt.num_steps, max_ray_batch=opt.max_ray_batch,
                 bg_color=0.0, aabb=aabb, min_near=opt.min_near, **occ_kwargs,
             )

@@ -85,6 +85,34 @@ def union_occupancy_bits(
     return jnp.stack(out)
 
 
+
+def rotation_matrices(rotations_deg) -> jax.Array:
+    """Per-object forward rotation matrices [K, 3, 3] from per-axis degrees
+    [K, 3] (right-handed, applied x then y then z — matching the baked
+    path's sequential rotate_volume calls). Row-vector convention: a world
+    point queries object k's field at ``(x + offset_k) @ R_k`` — for an
+    orthonormal R, ``x_row @ R == (R^-1 x)_col``, so this IS the inverse
+    transform that places the object rotated by +deg in the scene."""
+    import numpy as _np
+
+    rotations_deg = _np.asarray(rotations_deg, _np.float32)
+    out = []
+    for rx, ry, rz in rotations_deg:
+        R = _np.eye(3, dtype=_np.float32)
+        for ax, dg in ((0, rx), (1, ry), (2, rz)):
+            th = _np.deg2rad(float(dg))
+            c, s = _np.cos(th), _np.sin(th)
+            i, j = [a for a in range(3) if a != ax]
+            A = _np.eye(3, dtype=_np.float32)
+            A[i, i] = c
+            A[j, j] = c
+            A[i, j] = -s
+            A[j, i] = s
+            R = A @ R
+        out.append(R)
+    return jnp.asarray(_np.stack(out))
+
+
 def compose_rays(
     stacked_params,
     cfg: NeRFConfig,
@@ -92,6 +120,7 @@ def compose_rays(
     rays_d: jax.Array,
     obj_feats: Optional[jax.Array] = None,  # [K, F] per-object conditioning
     offsets: Optional[jax.Array] = None,  # [K, 3] rigid edit translations
+    rots: Optional[jax.Array] = None,  # [K, 3, 3] rigid edit rotations
     *,
     num_steps: int = 512,
     bg_color=1.0,
@@ -122,21 +151,27 @@ def compose_rays(
     K = jax.tree.leaves(stacked_params)[0].shape[0]
     if offsets is None:
         offsets = jnp.zeros((K, 3), jnp.float32)
+    if rots is None:
+        rots = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
     if obj_feats is None and cfg.use_objfeat:
         raise ValueError("cfg.use_objfeat=True requires per-object obj_feats [K, F]")
 
     def fold_object(carry, xs):
         best_sigma, best_rgb = carry
-        params_k, offset_k, feat_k = xs
-        # rigid edit: translate the object's field by shifting ray origins
+        params_k, offset_k, rot_k, feat_k = xs
+        # rigid edit: translate by shifting ray origins, rotate by mapping
+        # sample points (and view dirs) into the object frame — the
+        # per-sample equivalent of rotate_volume + shift_volume
         o_k = rays_o + offset_k[None, :]
         xyzs = o_k[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyzs = xyzs @ rot_k
         xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+        dirs_k = dirs @ rot_k
         sigma_k, geo_k = density_fn(params_k, cfg, xyzs)
         objfeat_enc = (
             encode_objfeat(params_k, cfg, feat_k) if cfg.use_objfeat else None
         )
-        rgb_k = color_fn(params_k, cfg, dirs, geo_k, objfeat_enc)
+        rgb_k = color_fn(params_k, cfg, dirs_k, geo_k, objfeat_enc)
         take = sigma_k > best_sigma  # max-density argmax selection (:247-251)
         best_sigma = jnp.where(take, sigma_k, best_sigma)
         best_rgb = jnp.where(take[..., None], rgb_k, best_rgb)
@@ -148,7 +183,7 @@ def compose_rays(
     )
     feats = obj_feats if obj_feats is not None else jnp.zeros((K, 1), jnp.float32)
     (fused_sigma, fused_rgb), _ = jax.lax.scan(
-        fold_object, init, (stacked_params, offsets, feats)
+        fold_object, init, (stacked_params, offsets, rots, feats)
     )
 
     ori_z = jnp.clip((z_vals - nears[:, None]) / jnp.maximum(fars - nears, 1e-10)[:, None], 0, 1)
@@ -175,6 +210,7 @@ def compose_rays_occupancy(
     occ_bits: jax.Array,  # [CAS, H^3] scene-space UNION bitfield
     obj_feats: Optional[jax.Array] = None,
     offsets: Optional[jax.Array] = None,
+    rots: Optional[jax.Array] = None,  # [K, 3, 3] rigid edit rotations
     *,
     dt_gamma: float = 0.0,
     max_steps: int = 1024,
@@ -217,21 +253,25 @@ def compose_rays_occupancy(
     K = jax.tree.leaves(stacked_params)[0].shape[0]
     if offsets is None:
         offsets = jnp.zeros((K, 3), jnp.float32)
+    if rots is None:
+        rots = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
     if obj_feats is None and cfg.use_objfeat:
         raise ValueError("cfg.use_objfeat=True requires per-object obj_feats [K, F]")
 
     def fold_object(carry, xs):
         best_sigma, best_rgb = carry
-        params_k, offset_k, feat_k = xs
+        params_k, offset_k, rot_k, feat_k = xs
         o_k = rays_o + offset_k[None, :]
         xyzs = o_k[:, None, :] + rays_d[:, None, :] * m.ts[..., None]
+        xyzs = xyzs @ rot_k
         xyzs = jnp.clip(xyzs, aabb[:3], aabb[3:])
+        dirs_k = dirs @ rot_k
         sigma_k, geo_k = density_fn(params_k, cfg, xyzs)
         sigma_k = jnp.where(m.valid, sigma_k, 0.0)
         objfeat_enc = (
             encode_objfeat(params_k, cfg, feat_k) if cfg.use_objfeat else None
         )
-        rgb_k = color_fn(params_k, cfg, dirs, geo_k, objfeat_enc)
+        rgb_k = color_fn(params_k, cfg, dirs_k, geo_k, objfeat_enc)
         take = sigma_k > best_sigma
         best_sigma = jnp.where(take, sigma_k, best_sigma)
         best_rgb = jnp.where(take[..., None], rgb_k, best_rgb)
@@ -243,7 +283,7 @@ def compose_rays_occupancy(
     )
     feats = obj_feats if obj_feats is not None else jnp.zeros((K, 1), jnp.float32)
     (fused_sigma, fused_rgb), _ = jax.lax.scan(
-        fold_object, init, (stacked_params, offsets, feats)
+        fold_object, init, (stacked_params, offsets, rots, feats)
     )
 
     out = composite_rays(
@@ -277,6 +317,7 @@ def compose_image(
     W: int,
     obj_feats=None,
     offsets=None,
+    rots=None,  # [K, 3, 3] rigid edit rotations (rotation_matrices)
     *,
     num_steps: int = 512,
     max_ray_batch: int = 4096,
@@ -312,16 +353,17 @@ def compose_image(
     if key not in _compose_chunk_cache:
         use_occ = occ_bits is not None
 
-        def chunk_run(stacked_params, o, d, occ_bits, obj_feats, offsets, aabb, bg_color):
+        def chunk_run(stacked_params, o, d, occ_bits, obj_feats, offsets,
+                      rots, aabb, bg_color):
             if use_occ:
                 res = compose_rays_occupancy(
                     stacked_params, cfg, o, d, occ_bits, obj_feats, offsets,
-                    dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
+                    rots, dt_gamma=dt_gamma, max_steps=max_steps, slab=slab,
                     bg_color=bg_color, aabb=aabb, min_near=min_near,
                 )
             else:
                 res = compose_rays(
-                    stacked_params, cfg, o, d, obj_feats, offsets,
+                    stacked_params, cfg, o, d, obj_feats, offsets, rots,
                     num_steps=num_steps, bg_color=bg_color, aabb=aabb,
                     min_near=min_near,
                 )
@@ -331,7 +373,7 @@ def compose_image(
     chunk_jit = _compose_chunk_cache[key]
     outs = [
         chunk_jit(stacked_params, ro[i], rd[i], occ_bits, obj_feats, offsets,
-                  aabb, bg_color)
+                  rots, aabb, bg_color)
         for i in range(ro.shape[0])
     ]
     rgba = jnp.concatenate(

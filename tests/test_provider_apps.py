@@ -503,9 +503,12 @@ class TestKillResume:
         assert m and int(m.group(1)) > 0, log[-500:]
 
     def test_editable_rotation(self, scene, tmp_path):
-        """--rotate_z edits the baked object (rotation is a TPU-side
-        extension — the reference edits by translation only); the
-        per-sample path refuses rotation with a clear message."""
+        """--rotate_z edits the object (a TPU-side extension — the
+        reference edits by translation only). Checkpointed objects rotate
+        on BOTH paths (baked volume rotation / per-sample ray rotation,
+        oracle in test_compose_utils); voxel-trained objects have no
+        network, so the non-baked run still refuses with the
+        compose-with---baked message."""
         from focnerf_tpu.apps import editable
         from focnerf_tpu.apps.main_voxel import main as voxel_main
 
