@@ -345,7 +345,7 @@ def bench_hash(emit: bool = True):
       --minsize N   stochastic_min_size (default 1<<13; 1 = ALL levels
                     sample K=1 corners -> pure-gather forward, uniform-K
                     lean backward)
-      --bwd MODE    hashgrid.BACKWARD_MODE: mxu | sort
+      --bwd MODE    hashgrid.BACKWARD_MODE: mxu | sort | hybrid
       --build MODE  hashgrid.BACKWARD_ONEHOT_BUILD: where | scatter
       --int8        opt-in int8 one-hot backward
     """
@@ -358,7 +358,11 @@ def bench_hash(emit: bool = True):
     if "--minsize" in sys.argv:
         min_size = int(sys.argv[sys.argv.index("--minsize") + 1])
     if "--bwd" in sys.argv:
-        hashgrid.BACKWARD_MODE = sys.argv[sys.argv.index("--bwd") + 1]
+        mode = sys.argv[sys.argv.index("--bwd") + 1]
+        if mode not in ("mxu", "sort", "hybrid"):  # fail FAST: a typo must
+            raise SystemExit(f"--bwd {mode!r}: pick mxu | sort | hybrid")
+            # not silently benchmark the sort fallback in a queued run
+        hashgrid.BACKWARD_MODE = mode
     if "--build" in sys.argv:
         hashgrid.BACKWARD_ONEHOT_BUILD = sys.argv[sys.argv.index("--build") + 1]
     if "--int8" in sys.argv:

@@ -118,7 +118,8 @@ class Options:
     offset_z: float = 0.0
     # TPU addition beyond the reference (translation-only editing,
     # editable.py:443-471): rigid ROTATION of the edited object in degrees
-    # about each world axis, applied at bake time (--baked only)
+    # about each world axis (right-handed, applied x then y then z) — the
+    # baked path rotates the volume, the per-sample path rotates rays
     rotate_x: float = 0.0
     rotate_y: float = 0.0
     rotate_z: float = 0.0

@@ -344,42 +344,68 @@ def rotate_volume(
     """
     R = vol.rgba.shape[0]
     b = float(vol.bound)
-    others = [a for a in range(3) if a != axis]
+    # RIGHT-HANDED in-plane pair about +axis is the CYCLIC pair, not the
+    # ascending one — about +y it is (z, x); using ascending (x, z) there
+    # silently negates the y rotation (round-3 review finding)
+    u_ax, v_ax = ((1, 2), (2, 0), (0, 1))[axis]
     deg = float(degrees) % 360.0
 
     if deg % 90.0 == 0.0 and all(abs(c) < 1e-9 for c in center):
         k = int(deg // 90) % 4
         rgba = vol.rgba
-        # +90 deg right-handed about `axis`: (u, v) -> (-v, u) for the
-        # ordered pair of the other two axes
+        # +90 deg right-handed about `axis`: (u, v) -> (-v, u)
         for _ in range(k):
-            rgba = jnp.flip(jnp.swapaxes(rgba, others[0], others[1]), others[0])
+            rgba = jnp.flip(jnp.swapaxes(rgba, u_ax, v_ax), u_ax)
         return BakedVolume(rgba=rgba, bound=vol.bound, sh_deg=vol.sh_deg)
 
     th = np.deg2rad(deg)
-    c_, s_ = np.cos(th), np.sin(th)
+    c_, s_ = float(np.cos(th)), float(np.sin(th))
     centers = (jnp.arange(R, dtype=jnp.float32) + 0.5) / R * (2 * b) - b
-    grids = jnp.meshgrid(centers, centers, centers, indexing="ij")
-    u = grids[others[0]] - center[others[0]]
-    v = grids[others[1]] - center[others[1]]
-    # inverse rotation: destination (u, v) samples source at R(-th) (u, v)
-    su = c_ * u + s_ * v + center[others[0]]
-    sv = -s_ * u + c_ * v + center[others[1]]
-    src = [None, None, None]
-    src[axis] = grids[axis]
-    src[others[0]] = su
-    src[others[1]] = sv
-    coords = [(g + b) / (2 * b) * R - 0.5 for g in src]  # voxel coords
+    # 2-D source-coordinate planes over (u, v) — the axis coordinate is
+    # invariant under an about-axis rotation, so each axis-slice block
+    # resamples independently from ITSELF (keeps transients at
+    # O(block * R^2) instead of O(R^3) — a 512^3 edit stays inside HBM)
+    u = centers[:, None] - center[u_ax]
+    v = centers[None, :] - center[v_ax]
+    su = c_ * u + s_ * v + center[u_ax]  # inverse rotation R(-th)(u, v)
+    sv = -s_ * u + c_ * v + center[v_ax]
+    to_vox = lambda g: (g + b) / (2 * b) * R - 0.5
 
     from jax.scipy.ndimage import map_coordinates
 
-    ch = [
-        map_coordinates(vol.rgba[..., c], coords, order=1, mode="constant",
-                        cval=0.0)
-        for c in range(vol.rgba.shape[-1])
-    ]
+    # move the invariant axis to the front, resample plane-block by block
+    perm = (axis, u_ax, v_ax)
+    inv_perm = tuple(np.argsort(perm))
+    V = jnp.transpose(vol.rgba, perm + (3,))  # [R(axis), R(u), R(v), CH]
+    cu = jnp.broadcast_to(to_vox(su)[None], (1, R, R))
+    cv = jnp.broadcast_to(to_vox(sv)[None], (1, R, R))
+    c0 = jnp.zeros((1, R, R), jnp.float32)
+
+    @jax.jit
+    def rot_block(block):  # [K, R, R, CH] -> same, rotated in-plane
+        def one(sl):  # [R, R, CH]
+            return jnp.stack(
+                [
+                    map_coordinates(
+                        sl[None, :, :, c], [c0, cu, cv], order=1,
+                        mode="constant", cval=0.0,
+                    )[0]
+                    for c in range(sl.shape[-1])
+                ],
+                -1,
+            )
+
+        return jax.vmap(one)(block)
+
+    K = 32
+    out = []
+    for i in range(0, R, K):
+        out.append(rot_block(V[i : i + K]))
+    V = jnp.concatenate(out, 0)
     return BakedVolume(
-        rgba=jnp.stack(ch, -1), bound=vol.bound, sh_deg=vol.sh_deg
+        rgba=jnp.transpose(V, inv_perm + (3,)),
+        bound=vol.bound,
+        sh_deg=vol.sh_deg,
     )
 
 

@@ -102,7 +102,9 @@ def rotation_matrices(rotations_deg) -> jax.Array:
         for ax, dg in ((0, rx), (1, ry), (2, rz)):
             th = _np.deg2rad(float(dg))
             c, s = _np.cos(th), _np.sin(th)
-            i, j = [a for a in range(3) if a != ax]
+            # right-handed in-plane pair about +ax is the CYCLIC pair —
+            # about +y it is (z, x); ascending (x, z) negates the rotation
+            i, j = ((1, 2), (2, 0), (0, 1))[ax]
             A = _np.eye(3, dtype=_np.float32)
             A[i, i] = c
             A[j, j] = c

@@ -451,11 +451,12 @@ class TestRotateVolume:
 
         vol = self._vol()
         for axis in range(3):
-            others = [a for a in range(3) if a != axis]
+            # RIGHT-HANDED in-plane pair is the cyclic one (about +y it is
+            # (z, x) — the round-3 review's handedness finding)
+            u_ax, v_ax = ((1, 2), (2, 0), (0, 1))[axis]
             r = rotate_volume(vol, axis, 90.0)
             want = np.flip(
-                np.swapaxes(np.asarray(vol.rgba), others[0], others[1]),
-                others[0],
+                np.swapaxes(np.asarray(vol.rgba), u_ax, v_ax), u_ax
             )
             np.testing.assert_array_equal(np.asarray(r.rgba), want)
             # four quarter turns come back exactly
@@ -465,6 +466,58 @@ class TestRotateVolume:
             np.testing.assert_array_equal(
                 np.asarray(r4.rgba), np.asarray(vol.rgba)
             )
+
+    def test_handedness_all_axes(self):
+        """+90 deg right-handed: about +x, +y mass -> +z; about +y,
+        +x mass -> -z (the sign ascending-pair code got wrong); about +z,
+        +x mass -> +y. Checked for BOTH the lossless 90-degree path and
+        the trilinear arbitrary-angle path, and against the per-sample
+        path's rotation_matrices (the two edit paths must agree)."""
+        from focnerf_tpu.render.baked import rotate_volume
+        from focnerf_tpu.render.compose import rotation_matrices
+
+        R = 24
+        c = (np.arange(R) + 0.5) / R * 2 - 1
+        X, Y, Z = np.meshgrid(c, c, c, indexing="ij")
+
+        def blob(ax_val, ax):
+            A = (X, Y, Z)[ax]
+            others = [(X, Y, Z)[a] for a in range(3) if a != ax]
+            m = (np.abs(A - ax_val) < 0.2) & (np.abs(others[0]) < 0.15) & (
+                np.abs(others[1]) < 0.15
+            )
+            rgba = np.zeros((R, R, R, 4), np.float32)
+            rgba[..., 3] = np.where(m, 10.0, 0.0)
+            return BakedVolume(rgba=jnp.asarray(rgba), bound=1.0)
+
+        def com(v):
+            s = np.asarray(v.rgba[..., 3])
+            w = s / s.sum()
+            return np.array([np.sum(w * A) for A in (X, Y, Z)])
+
+        # (axis, source blob axis, expected destination axis+sign)
+        cases = [
+            (0, 1, 2, +1.0),  # Rx(+90): +y -> +z
+            (1, 0, 2, -1.0),  # Ry(+90): +x -> -z
+            (2, 0, 1, +1.0),  # Rz(+90): +x -> +y
+        ]
+        for axis, src_ax, dst_ax, sign in cases:
+            vol = blob(0.6, src_ax)
+            for deg, tol in ((90.0, 0.02), (89.0, 0.06)):
+                r = rotate_volume(vol, axis, deg)
+                cm = com(r)
+                assert sign * cm[dst_ax] > 0.5, (axis, deg, cm)
+            # the per-sample matrices predict the same destination: M is
+            # the FORWARD rotation in column convention (compose queries
+            # x @ M == M^-1 x, i.e. the inverse), so the object moves by
+            # M @ src
+            deg3 = [0.0, 0.0, 0.0]
+            deg3[axis] = 90.0
+            M = np.asarray(rotation_matrices([deg3])[0])
+            src_vec = np.zeros(3)
+            src_vec[src_ax] = 1.0
+            fwd = M @ src_vec
+            assert sign * fwd[dst_ax] > 0.99, (axis, fwd)
 
     def test_arbitrary_angle_moves_mass_correctly(self):
         """A bar along +x rotated +90 deg about z must land along +y; the

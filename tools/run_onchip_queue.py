@@ -56,11 +56,13 @@ QUEUE = [
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
                 "800", "--objects", "4", "--bake_res", "512", "--resident"],
      3600),
-    # LAST (multi-hour): production parity ladders on the hard scene
+    # LAST (multi-hour): production parity ladders on the hard scene —
+    # explicit 8 h timeout (tmo=None would fall back to the 2 h default
+    # and SIGKILL the most important measurement mid-ladder)
     ("parity", [sys.executable, "tools/parity.py", "--family", "all",
                 "--preset", "both", "--seeds", "0,1,2", "--iters", "10000",
                 "--res", "800", "--views", "50", "--workspace",
-                "/tmp/parity_prod"], None),
+                "/tmp/parity_prod"], 28800),
 ]
 
 OUT = os.path.join(REPO, "ONCHIP_QUEUE_RESULTS.md")
