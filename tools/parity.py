@@ -82,6 +82,10 @@ def run_voxel(scene, family, iters, seed, workspace, *, res=128, extra=()):
     ] + list(extra)
     if family == "vm":
         args += ["--voxel_vm", "16"]
+    elif family == "kplanes":
+        args += ["--voxel_kplanes", "8"]
+    elif family == "dynvoxel":
+        args += ["--voxel_dynamic"]
     buf = io.StringIO()
     t0 = time.time()
     with redirect_stdout(buf):
@@ -223,6 +227,19 @@ def main():
         if args.family == "all"
         else args.family.split(",")
     )
+    dyn_fams = [f for f in fams if f in ("kplanes", "dynvoxel")]
+    dyn_scene = None
+    if dyn_fams and args.data is None:
+        # multi-view-per-timestamp DYNAMIC stand-in: per-t held-out PSNR is
+        # unambiguous by construction (>= 2 views supervise each timestamp)
+        from focnerf_tpu.data.procedural import make_hard_dynamic_scene
+
+        gt = args.gt_res or min(128, max(32, (args.res // 3) // 32 * 32))
+        dyn_scene = make_hard_dynamic_scene(
+            os.path.join(args.workspace, f"harddyn_{args.res}_{gt}"),
+            n_times=max(4, args.views // 4), views_per_time=4,
+            H=args.res, W=args.res, gt_res=gt,
+        )
     deltas = {}
     for fam in fams:
         if fam == "hash":
@@ -244,11 +261,17 @@ def main():
                 )
         else:
             res = min(args.res, 256)  # voxel families cap at 256^3 single-chip
+            fam_scene = dyn_scene if fam in ("kplanes", "dynvoxel") else scene
+            fam_ds = (
+                os.path.basename(os.path.normpath(fam_scene))
+                if fam_scene is not None else dataset
+            )
             rows = [
-                run_voxel(scene, fam, args.iters, s, args.workspace, res=res)
+                run_voxel(fam_scene or scene, fam, args.iters, s,
+                          args.workspace, res=res)
                 for s in seeds
             ]
-            _aggregate(fam, dataset, args.iters, rows)
+            _aggregate(fam, fam_ds, args.iters, rows)
 
 
 if __name__ == "__main__":
