@@ -56,6 +56,12 @@ QUEUE = [
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
                 "800", "--objects", "4", "--bake_res", "512", "--resident"],
      3600),
+    # dynamic-family parity on the multi-view-per-t scene (unambiguous
+    # per-t held-out PSNR; ~30-60 min)
+    ("parity", [sys.executable, "tools/parity.py", "--family",
+                "kplanes,dynvoxel", "--seeds", "0,1,2", "--iters", "3000",
+                "--res", "400", "--views", "32", "--workspace",
+                "/tmp/parity_dyn"], 7200),
     # LAST (multi-hour): production parity ladders on the hard scene —
     # explicit 8 h timeout (tmo=None would fall back to the 2 h default
     # and SIGKILL the most important measurement mid-ladder)
