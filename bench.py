@@ -342,9 +342,10 @@ def bench_hash(emit: bool = True):
     """Reference-parity family throughput.
 
     A/B variant flags (round-3 backward campaign, PERF.md):
-      --minsize N   stochastic_min_size (default 1<<13; 1 = ALL levels
-                    sample K=1 corners -> pure-gather forward, uniform-K
-                    lean backward)
+      --minsize N   stochastic_min_size (default 1 = the promoted -O config:
+                    ALL levels sample K=1 corners -> pure-gather forward,
+                    uniform-K lean backward; N>1 restores the round-2 mixed
+                    encode for A/B)
       --bwd MODE    hashgrid.BACKWARD_MODE: mxu | sort | hybrid
       --build MODE  hashgrid.BACKWARD_ONEHOT_BUILD: where | scatter
       --int8        opt-in int8 one-hot backward
@@ -354,7 +355,7 @@ def bench_hash(emit: bool = True):
     from focnerf_tpu.ops import hashgrid
     from focnerf_tpu.render.renderer import render_rays_occupancy
 
-    min_size = 1 << 13
+    min_size = 1  # promoted -O value (round-3 on-chip ladder, PERF.md)
     if "--minsize" in sys.argv:
         min_size = int(sys.argv[sys.argv.index("--minsize") + 1])
     if "--bwd" in sys.argv:

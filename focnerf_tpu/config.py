@@ -279,9 +279,12 @@ def parse_options(argv=None, **parser_kw) -> Options:
         opt.preload = True
         # TPU-native accelerations beyond the reference's -O (measured
         # faster AND quality-neutral-or-better on synthetic scenes; PERF.md):
-        # stochastic-corner hash encode for training, bucketed slab schedule
+        # stochastic-corner hash encode for training, bucketed slab schedule.
+        # min_size=1 = uniform-K (ALL levels sample one corner): promoted
+        # round 3 after the on-chip ladder (190.2k vs 171.6k rays/s) and the
+        # 3-seed quality gate (allstoch within seed spread of fast; PERF.md).
         opt.stochastic_corners = 1
-        opt.stochastic_min_size = 1 << 13
+        opt.stochastic_min_size = 1
         opt.bucket_slabs = True
         opt.skip_march = True
     if opt.grid_int8:
