@@ -63,6 +63,14 @@ def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
     ] + list(extra)
     if fast:
         args.insert(1, "-O")
+    else:
+        # exact preset rides the SAME occupancy renderer as -O (fp32, exact
+        # 8-corner encode, exact lattice march, uniform slabs) so the
+        # exact-vs-O delta isolates the TPU fast stack (stochastic corners,
+        # bucketed slabs, skip march, bf16) rather than conflating it with
+        # the uniform-num_steps path, which is separately attested
+        # (tests/test_model_render.py uniform-vs-occupancy parity).
+        args.insert(1, "--cuda_ray")
     t0 = time.time()
     train_main(args)
     return {

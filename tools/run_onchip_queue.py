@@ -47,9 +47,15 @@ QUEUE = [
     ("hash", [sys.executable, "bench.py", "--hash", "--int8"], 1200),
     ("hash", [sys.executable, "bench.py", "--hash", "--minsize", "1",
               "--bwd", "sort", "--fold"], 1200),
-    # 3. quality gates for promoted variants
-    ("quality", [sys.executable, "tools/quality_exp.py", "--variants",
-                 "fast,allstoch", "--seeds", "0,1,2"], 5400),
+    # FIRST of the long tail (most important evidence, VERDICT item 2a):
+    # production parity ladders on the hard scene — explicit multi-hour
+    # timeout (tmo=None would fall back to the 2 h default and SIGKILL the
+    # most important measurement mid-ladder). Runs before render/quality so
+    # a wall-clock overrun elsewhere cannot starve it.
+    ("parity_prod", [sys.executable, "tools/parity.py", "--family", "all",
+                     "--preset", "both", "--seeds", "0,1,2", "--iters",
+                     "10000", "--res", "800", "--views", "50", "--workspace",
+                     "/tmp/parity_prod"], 21600),
     # 6. uint8-resident render A/B at 512^3
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
                 "800", "--objects", "4", "--bake_res", "512"], 3600),
@@ -62,13 +68,10 @@ QUEUE = [
                 "kplanes,dynvoxel", "--seeds", "0,1,2", "--iters", "3000",
                 "--res", "400", "--views", "32", "--workspace",
                 "/tmp/parity_dyn"], 7200),
-    # LAST (multi-hour): production parity ladders on the hard scene —
-    # explicit 8 h timeout (tmo=None would fall back to the 2 h default
-    # and SIGKILL the most important measurement mid-ladder)
-    ("parity", [sys.executable, "tools/parity.py", "--family", "all",
-                "--preset", "both", "--seeds", "0,1,2", "--iters", "10000",
-                "--res", "800", "--views", "50", "--workspace",
-                "/tmp/parity_prod"], 28800),
+    # 3. quality gates for promoted variants (on-chip confirmation of the
+    # CPU 3-seed gate; chip-independent math, lowest priority)
+    ("quality", [sys.executable, "tools/quality_exp.py", "--variants",
+                 "fast,allstoch", "--seeds", "0,1,2"], 5400),
 ]
 
 OUT = os.path.join(REPO, "ONCHIP_QUEUE_RESULTS.md")
