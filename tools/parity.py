@@ -253,12 +253,18 @@ def main():
         if fam == "hash":
             presets = ["O", "exact"] if args.preset == "both" else [args.preset]
             for pr in presets:
-                rows = [
-                    run_hash(scene, args.iters, s, args.workspace,
-                             fast=(pr == "O"), num_rays=args.num_rays,
-                             num_steps=args.num_steps)
-                    for s in seeds
-                ]
+                rows = []
+                for s in seeds:
+                    r = run_hash(scene, args.iters, s, args.workspace,
+                                 fast=(pr == "O"), num_rays=args.num_rays,
+                                 num_steps=args.num_steps)
+                    # land evidence incrementally: a wall-clock overrun (or
+                    # a relay blip) mid-preset must not lose finished seeds
+                    _append_row(
+                        f"| hash/{pr} seed {s} | {dataset} | {args.iters} "
+                        f"| {r['psnr']} dB | {r['train_s']:.0f}s |"
+                    )
+                    rows.append(r)
                 deltas[pr] = _aggregate(
                     f"hash/{pr}", dataset, args.iters, rows
                 )
@@ -274,11 +280,15 @@ def main():
                 os.path.basename(os.path.normpath(fam_scene))
                 if fam_scene is not None else dataset
             )
-            rows = [
-                run_voxel(fam_scene or scene, fam, args.iters, s,
-                          args.workspace, res=res)
-                for s in seeds
-            ]
+            rows = []
+            for s in seeds:
+                r = run_voxel(fam_scene or scene, fam, args.iters, s,
+                              args.workspace, res=res)
+                _append_row(
+                    f"| {fam} seed {s} | {fam_ds} | {args.iters} "
+                    f"| {r['psnr']} dB | {r['train_s']:.0f}s |"
+                )
+                rows.append(r)
             _aggregate(fam, fam_ds, args.iters, rows)
 
 
