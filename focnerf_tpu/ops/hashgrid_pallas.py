@@ -38,7 +38,7 @@ _SUB = 1024  # entries per grid step (the MXU contraction depth)
 _SEG = 128  # hi rows per segment (the one-hot height; static for Mosaic)
 
 
-def _bwd_level_kernel(r_ref, rcol_ref, c_ref, out_ref, *, C):
+def _bwd_level_kernel(r_ref, rcol_ref, c_ref, out_ref, *, C, use_int8):
     """One grid step: accumulate _SUB pairs into segment s of the table.
 
     Grid is (n_seg, n_stripes); program (s, i) folds entry stripe i into
@@ -46,6 +46,11 @@ def _bwd_level_kernel(r_ref, rcol_ref, c_ref, out_ref, *, C):
     lanes), rcol_ref [1, _SUB, 1] int32 (entries on sublanes), c_ref
     [1, 1, _SUB, C] f32. out_ref [C, _SEG, _LO] f32 — the segment's block,
     resident across the inner (stripe) grid dimension.
+
+    ``use_int8``: int8 one-hots ride the 2x-peak int8 MXU path when the
+    stack lowers int8 dot_general to the MXU (round-2: it fell back to a
+    ~500x VPU loop); the bf16 variant is exact (one-hots and bf16-rounded
+    contribs, fp32 accumulation) and matches the XLA path's precision.
     """
     s = pl.program_id(0)
 
@@ -59,35 +64,50 @@ def _bwd_level_kernel(r_ref, rcol_ref, c_ref, out_ref, *, C):
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (_SEG, 1), 0)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LO), 1)
     oh_hi = hi_iota == hi_t  # [SEG, SUB] bool; rows outside the segment miss
-    oh_lo = (lo_col == lo_iota).astype(jnp.int8)  # [SUB, LO]
 
-    for ch in range(C):
-        c_ch = c_ref[0, 0, :, ch].reshape(1, -1)  # [1, SUB]
-        # per-(stripe, channel) symmetric int8 quantization
-        scale = jnp.maximum(jnp.max(jnp.abs(c_ch)), 1e-30) / 127.0
-        q_t = jnp.round(c_ch / scale).astype(jnp.int8)
-        lhs = jnp.where(oh_hi, q_t, jnp.int8(0))  # [SEG, SUB] int8
-        prod = jax.lax.dot_general(
-            lhs,
-            oh_lo,
-            dimension_numbers=(((1,), (0,)), ((), ())),  # canonical MXU form
-            preferred_element_type=jnp.int32,
-        )  # [SEG, LO]
-        out_ref[ch] += scale * prod.astype(jnp.float32)
+    if use_int8:
+        oh_lo = (lo_col == lo_iota).astype(jnp.int8)  # [SUB, LO]
+        for ch in range(C):
+            c_ch = c_ref[0, 0, :, ch].reshape(1, -1)  # [1, SUB]
+            # per-(stripe, channel) symmetric int8 quantization
+            scale = jnp.maximum(jnp.max(jnp.abs(c_ch)), 1e-30) / 127.0
+            q_t = jnp.round(c_ch / scale).astype(jnp.int8)
+            lhs = jnp.where(oh_hi, q_t, jnp.int8(0))  # [SEG, SUB] int8
+            prod = jax.lax.dot_general(
+                lhs,
+                oh_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),  # canonical MXU
+                preferred_element_type=jnp.int32,
+            )  # [SEG, LO]
+            out_ref[ch] += scale * prod.astype(jnp.float32)
+    else:
+        oh_lo = (lo_col == lo_iota).astype(jnp.bfloat16)  # [SUB, LO]
+        for ch in range(C):
+            c_ch = c_ref[0, 0, :, ch].reshape(1, -1).astype(jnp.bfloat16)
+            lhs = jnp.where(oh_hi, c_ch, jnp.bfloat16(0))  # [SEG, SUB]
+            prod = jax.lax.dot_general(
+                lhs,
+                oh_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [SEG, LO] fp32
+            out_ref[ch] += prod
 
 
-@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("size", "interpret", "use_int8"))
 def hashgrid_bwd_level(
     r: jax.Array,  # [m] int32, in-level row ids in [0, size)
     c: jax.Array,  # [m, C] float32 contributions
     *,
     size: int,
     interpret: bool = False,
+    use_int8: bool = True,
 ) -> jax.Array:
     """d_T[s, ch] = sum over i of (r[i] == s) * c[i, ch], as [size, C] f32.
 
     Zero-contribution padding is the caller's tool for ragged m: rows with
     c == 0 land anywhere (conventionally row 0) without effect.
+    ``use_int8=False`` selects the exact bf16 variant (see kernel doc).
     """
     m = r.shape[0]
     C = c.shape[1]
@@ -104,7 +124,7 @@ def hashgrid_bwd_level(
     c2 = c.reshape(n_stripes, 1, _SUB, C)
 
     out = pl.pallas_call(
-        functools.partial(_bwd_level_kernel, C=C),
+        functools.partial(_bwd_level_kernel, C=C, use_int8=use_int8),
         grid=(n_seg, n_stripes),
         in_specs=[
             pl.BlockSpec(

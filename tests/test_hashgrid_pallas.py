@@ -14,6 +14,7 @@ import pytest
 from focnerf_tpu.ops.hashgrid_pallas import hashgrid_bwd_level
 
 
+@pytest.mark.parametrize("use_int8", [True, False])
 @pytest.mark.parametrize(
     "size,m",
     [
@@ -22,18 +23,22 @@ from focnerf_tpu.ops.hashgrid_pallas import hashgrid_bwd_level
         (4920, 50000),  # heavy collisions (m >> size)
     ],
 )
-def test_matches_numpy_scatter(size, m):
+def test_matches_numpy_scatter(size, m, use_int8):
     rng = np.random.default_rng(size)
     r = rng.integers(0, size, m).astype(np.int32)
     c = rng.normal(size=(m, 2)).astype(np.float32)
     out = np.asarray(
-        hashgrid_bwd_level(jnp.asarray(r), jnp.asarray(c), size=size, interpret=True)
+        hashgrid_bwd_level(
+            jnp.asarray(r), jnp.asarray(c), size=size, interpret=True,
+            use_int8=use_int8,
+        )
     )
     ref = np.zeros((size, 2), np.float32)
     np.add.at(ref, r, c)
-    # int8 symmetric quantization per 1024-entry stripe: ~1% relative
+    # int8: ~1% relative (symmetric per-stripe quantization);
+    # bf16: contribs rounded to bf16, fp32 accumulation — ~0.5% worst-case
     rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-9)
-    assert rel < 0.02, f"rel err {rel}"
+    assert rel < (0.02 if use_int8 else 0.01), f"rel err {rel}"
     # structure: rows never touched stay exactly zero
     untouched = np.setdiff1d(np.arange(size), r)
     if len(untouched):
