@@ -171,6 +171,7 @@ def bench_voxel(
     R: int = 128,
     H: int = 800,
     FOLD: int = 16,
+    ri_mult: int = 2,
 ):
     """Headline: dense voxel family train step, folded-dispatch timing.
 
@@ -198,7 +199,11 @@ def bench_voxel(
     )
 
     W = H
-    RI = 2 * R  # bandwidth-matched supervision (Nyquist of a 128^3 field)
+    # ri_mult=2: bandwidth-matched supervision (Nyquist of a 128^3 field);
+    # ri_mult=6: 768^2 ~ sensor-matched to the 800^2 image (VERDICT r3
+    # item 7 — the default artifact quotes BOTH so the headline's ray
+    # accounting is unambiguous)
+    RI = ri_mult * R
 
     # striped-sphere GT volume, views rendered on device (no d2h)
     c = (jnp.arange(R) + 0.5) / R * 2 - 1
@@ -512,7 +517,16 @@ if __name__ == "__main__":
         # config) headline + the hash-grid reference-parity row, ONE line
         headline = bench_voxel(vm=True, emit=False)
         try:
+            sm = bench_voxel(vm=True, emit=False, ri_mult=6)
+            headline["sensor_matched"] = {
+                "value": sm["value"], "unit": sm["unit"],
+                "vs_baseline": sm["vs_baseline"], "ri": sm["config"]["ri"],
+                "step_ms": sm["step_ms"],
+            }
+        except Exception as e:  # secondary rows must never erase the headline
+            headline["sensor_matched"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        try:
             headline["hash_row"] = bench_hash(emit=False)
-        except Exception as e:  # the hash row must never erase the headline
+        except Exception as e:
             headline["hash_row"] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(headline))

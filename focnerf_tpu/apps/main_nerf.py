@@ -101,6 +101,9 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         seed=opt.seed,
         rand_pose=opt.rand_pose,
         clip_text=opt.clip_text,
+        eval_interval=opt.eval_interval,
+        eval_save_images=opt.eval_save_images,
+        eval_renderer=opt.eval_renderer,
     )
     steps_per_epoch = max(train_ds.n_views, 1)
     max_epochs = max(1, int(np.ceil(opt.iters / steps_per_epoch)))
@@ -111,10 +114,11 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         f.write(f"{obj}: {train_time:.2f}s for {opt.iters} iters\n")
     if val_ds is not None:
         trainer.evaluate(val_ds)
-    try:
-        trainer.save_mesh(resolution=256, threshold=opt.density_thresh)
-    except Exception as e:  # mesh export must never kill a training run
-        trainer.log(f"[WARN] mesh export failed: {e}")
+    if opt.mesh_res > 0:
+        try:
+            trainer.save_mesh(resolution=opt.mesh_res, threshold=opt.density_thresh)
+        except Exception as e:  # mesh export must never kill a training run
+            trainer.log(f"[WARN] mesh export failed: {e}")
     return trainer
 
 

@@ -52,6 +52,18 @@ class Options:
     hyper: bool = False
     update_extra_interval: int = 16
     max_ray_batch: int = 4096
+    # epochs between intermediate evals (ref main_nerf.py --eval_interval)
+    eval_interval: int = 50
+    # --no-eval_save_images: skip intermediate-eval PNG dumps (metrics stay
+    # on device; on the tunneled chip each 800^2 image d2h costs ~58 s)
+    eval_save_images: bool = True
+    # post-train mesh export resolution (ref main_nerf.py:298 uses 256);
+    # 0 skips the export entirely (headless parity runs)
+    mesh_res: int = 256
+    # full-image eval renderer: "oneshot" ([N, slab] chunks) or "iter"
+    # (compacted alive-ray worklist, render/iterative.py — the reference's
+    # rays_alive loop; needs --cuda_ray)
+    eval_renderer: str = "oneshot"
     patch_size: int = 1
     train_slab: int = 128  # TPU addition: per-ray sample budget (occupancy path)
     # bucketed slab schedule: precompiled 16/32/.../train_slab occupancy

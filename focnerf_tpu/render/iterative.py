@@ -1,0 +1,212 @@
+"""Iterative full-image renderer with alive-ray compaction.
+
+TPU-native equivalent of the reference's inference worklist
+(raymarching.cu:701-914 ``kernel_march_rays``/``kernel_composite_rays``
+driven by the shrinking ``rays_alive`` loop, nerf/renderer.py:318-344):
+rays march a small sub-slab of samples per round, composite incrementally,
+and dead rays (opaque or out of the volume) leave the worklist, so the
+field network only ever evaluates samples that can still contribute.
+
+Why it matters here: the one-shot slab renderer pays the exact-encode
+gather floor (~128 table rows/sample) for every [ray, slab] cell, alive
+or not — ~41 M samples for one 800^2 image at slab 64. On object-centric
+scenes most rays saturate within a few samples (T < T_thresh) or exit the
+volume immediately; round-compacted marching cuts evaluated samples by
+~5-20x. The CUDA loop re-compacts with a device->host sync per iteration
+(``rays_alive = rays_alive[rays_alive >= 0]``, renderer.py:343); here the
+worklist is re-built on device with ``jnp.nonzero(size=bucket)`` into
+power-of-ladder buckets so every round reuses one of a few cached
+compiled programs, and the only host traffic is one n_alive scalar per
+round.
+
+Resume semantics: dt = clamp(t * dt_gamma, dt_min, dt_max) is memoryless
+in t, so a ray whose sub-slab filled at sample t_k resumes the EXACT CUDA
+recurrence at t_k + dt_k next round. A ray whose sub-slab did not fill
+was exhausted by the marcher (t >= far) and dies. Requires the sphere-
+trace skip field (``occupancy_skip_field``) — the dense candidate ladder
+would re-probe [bucket, max_steps] cells every round.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from focnerf_tpu.core.geometry import near_far_from_aabb
+from focnerf_tpu.models.nerf import NeRFConfig, color_fn, density_fn, encode_objfeat
+from focnerf_tpu.ops.marching import march_rays_skip
+
+_round_cache: dict = {}
+
+
+def _bucket_ladder(n: int, base: int = 4096, factor: int = 4):
+    """Bucket sizes {base, base*factor, ...} capped at n (largest = n)."""
+    sizes = []
+    b = base
+    while b < n:
+        sizes.append(b)
+        b *= factor
+    sizes.append(n)
+    return sizes
+
+
+def _make_round_step(cfg: NeRFConfig, bucket: int, n: int, sub_slab: int,
+                     dt_gamma: float, max_steps: int, grid_size: int,
+                     density_scale: float, T_thresh: float, has_objfeat: bool):
+    @jax.jit
+    def round_step(params, ro, rd, fars, t_cur, acc_od, acc_rgb, acc_dep,
+                   acc_ws, alive, occ_skip, objfeat_enc, aabb):
+        idx = jnp.nonzero(alive, size=bucket, fill_value=n)[0]  # [B]
+        in_work = idx < n
+        safe = jnp.minimum(idx, n - 1)
+        o, d = ro[safe], rd[safe]
+        t0, far_i = t_cur[safe], jnp.where(in_work, fars[safe], 0.0)
+
+        m = march_rays_skip(
+            o, d, t0, far_i, occ_skip,
+            bound=cfg.bound, dt_gamma=dt_gamma, max_steps=max_steps,
+            slab=sub_slab, grid_size=grid_size,
+        )
+        xyz = o[:, None, :] + d[:, None, :] * m.ts[..., None]
+        xyz = jnp.clip(xyz, aabb[:3], aabb[3:])
+        sigmas, geo_feat = density_fn(params, cfg, xyz)  # [B, K]
+        sigmas = jnp.where(m.valid, sigmas, 0.0)
+        dirs = jnp.broadcast_to(d[:, None, :], xyz.shape)
+        rgbs = color_fn(params, cfg, dirs, geo_feat,
+                        objfeat_enc if has_objfeat else None)
+
+        # incremental compositing: this round's samples enter at the ray's
+        # accumulated optical depth (log-space exclusive prefix — identical
+        # math to ops/composite.py::composite_weights, with acc_od as the
+        # carried prefix)
+        s = (m.dts * density_scale * sigmas.astype(jnp.float32))
+        excl = jnp.concatenate(
+            [jnp.zeros_like(s[..., :1]), jnp.cumsum(s[..., :-1], axis=-1)], -1
+        )
+        T_in = jnp.exp(-(acc_od[safe][:, None] + excl))
+        w = (1.0 - jnp.exp(-s)) * T_in
+        if T_thresh > 0.0:
+            w = jnp.where(T_in >= T_thresh, w, 0.0)
+        rgb_r = jnp.sum(w[..., None] * rgbs.astype(jnp.float32), axis=-2)
+        dep_r = jnp.sum(w * m.ts, axis=-1)
+        ws_r = jnp.sum(w, axis=-1)
+        od_r = jnp.sum(s, axis=-1)
+
+        od_end = acc_od[safe] + od_r
+        # resume position: the recurrence's next lattice point after the
+        # last recorded sample (raymarching.cu:371-377 `do t += dt`)
+        last = jnp.maximum(m.count - 1, 0)
+        take = lambda a: jnp.take_along_axis(a, last[:, None], axis=1)[:, 0]
+        t_next = jnp.where(m.count > 0, take(m.ts) + take(m.dts), far_i)
+        # a full sub-slab means the marcher stopped at capacity, not at the
+        # far plane — the ray stays in the worklist unless it saturated
+        still = in_work & (m.count >= sub_slab) & (jnp.exp(-od_end) >= T_thresh)
+
+        upd = lambda acc, v: acc.at[idx].add(jnp.where(in_work, v, 0.0),
+                                             mode="drop")
+        acc_rgb = acc_rgb.at[idx].add(
+            jnp.where(in_work[:, None], rgb_r, 0.0), mode="drop")
+        acc_dep = upd(acc_dep, dep_r)
+        acc_ws = upd(acc_ws, ws_r)
+        acc_od = upd(acc_od, od_r)
+        t_cur = t_cur.at[idx].set(jnp.where(in_work, t_next, 0.0), mode="drop")
+        alive = alive.at[idx].set(still, mode="drop")
+        return t_cur, acc_od, acc_rgb, acc_dep, acc_ws, alive
+
+    return round_step
+
+
+def render_rays_iterative(
+    params,
+    cfg: NeRFConfig,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    occ_skip: jax.Array,
+    *,
+    dt_gamma: float = 0.0,
+    max_steps: int = 1024,
+    sub_slab: int = 16,
+    bg_color=1.0,
+    aabb: Optional[jax.Array] = None,
+    min_near: float = 0.2,
+    T_thresh: float = 1e-4,
+    obj_feat=None,
+    grid_size: int = 128,
+    max_rounds: int = 256,
+    bucket_base: int = 4096,
+):
+    """Render a flat ray batch through the compacted worklist loop.
+
+    Returns dict(image [N, 3], depth [N] normalized, weights_sum [N]).
+    """
+    if aabb is None:
+        b = cfg.bound
+        aabb = jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+    n = rays_o.shape[0]
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+
+    objfeat_enc = None
+    if cfg.use_objfeat:
+        assert obj_feat is not None, "cfg.use_objfeat=True requires obj_feat"
+        objfeat_enc = encode_objfeat(params, cfg, obj_feat)
+
+    t_cur = nears
+    acc_od = jnp.zeros((n,), jnp.float32)
+    acc_rgb = jnp.zeros((n, 3), jnp.float32)
+    acc_dep = jnp.zeros((n,), jnp.float32)
+    acc_ws = jnp.zeros((n,), jnp.float32)
+    alive = nears < fars
+
+    buckets = _bucket_ladder(n, base=min(bucket_base, n))
+    key_base = (cfg, n, sub_slab, dt_gamma, max_steps, grid_size,
+                cfg.density_scale, T_thresh, objfeat_enc is not None)
+    for _ in range(max_rounds):
+        n_alive = int(jnp.sum(alive))  # one scalar d2h per round (the CUDA
+        if n_alive == 0:               # loop syncs shapes the same way)
+            break
+        bucket = next(b for b in buckets if b >= min(n_alive, buckets[-1]))
+        key = key_base + (bucket,)
+        if key not in _round_cache:
+            _round_cache[key] = _make_round_step(
+                cfg, bucket, n, sub_slab, dt_gamma, max_steps, grid_size,
+                cfg.density_scale, T_thresh, objfeat_enc is not None)
+        t_cur, acc_od, acc_rgb, acc_dep, acc_ws, alive = _round_cache[key](
+            params, rays_o, rays_d, fars, t_cur, acc_od, acc_rgb, acc_dep,
+            acc_ws, alive, occ_skip, objfeat_enc, aabb)
+
+    image = acc_rgb
+    if bg_color is not None:
+        image = image + (1.0 - acc_ws)[:, None] * bg_color
+    depth = jnp.clip(acc_dep - nears, 0.0, None) / jnp.maximum(
+        fars - nears, 1e-10)
+    return {"image": image, "depth": depth, "weights_sum": acc_ws}
+
+
+def render_image_iterative(
+    params,
+    cfg: NeRFConfig,
+    pose,
+    intrinsics,
+    H: int,
+    W: int,
+    *,
+    occ_skip: jax.Array,
+    bg_color=1.0,
+    obj_feat=None,
+    **kw,
+):
+    """Full-image iterative render -> (image [H, W, 3], depth [H, W]).
+
+    Unlike the chunked one-shot renderer there is no ray chunking: the
+    bucket ladder IS the chunking, and one worklist over the whole image
+    lets background rays vacate their slots for foreground rounds.
+    """
+    from focnerf_tpu.core.rays import get_rays
+
+    rays = get_rays(pose, intrinsics, H, W)
+    out = render_rays_iterative(
+        params, cfg, rays["rays_o"], rays["rays_d"], occ_skip,
+        bg_color=bg_color, obj_feat=obj_feat, **kw)
+    return (out["image"].reshape(H, W, 3), out["depth"].reshape(H, W))

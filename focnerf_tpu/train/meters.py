@@ -187,6 +187,19 @@ class LPIPSMeter:
 
     def __init__(self, net: str = "alex"):
         self.vals = []
+        self._jax_lpips = None
+        if net == "alex":
+            # pure-JAX path: activates the moment a weights npz lands on
+            # disk (train/lpips_jax.py documents the dump contract) — no
+            # torch or lpips package needed at eval time
+            from focnerf_tpu.train.lpips_jax import try_create
+
+            self._jax_lpips = try_create()
+        if self._jax_lpips is not None:
+            self._fn = None
+            self.available = True
+            self.name = f"LPIPS ({net}, jax)"
+            return
         try:  # pragma: no cover - depends on optional package
             import lpips
             import torch
@@ -208,6 +221,9 @@ class LPIPSMeter:
             self.vals.append(
                 1.0 - float(ms_ssim(jnp.asarray(pred), jnp.asarray(gt)))
             )
+            return
+        if self._jax_lpips is not None:
+            self.vals.append(self._jax_lpips(pred, gt))
             return
         t = self._torch
         to = lambda x: t.from_numpy(np.asarray(x)).permute(2, 0, 1)[None] * 2 - 1

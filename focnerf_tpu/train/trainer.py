@@ -63,6 +63,8 @@ class Trainer:
         bucket_slabs: bool = False,
         skip_march: bool = False,
         eval_interval: int = 50,
+        eval_save_images: bool = True,
+        eval_renderer: str = "oneshot",
         max_keep_ckpt: int = 2,
         use_checkpoint: str = "latest",
         seed: int = 0,
@@ -104,6 +106,14 @@ class Trainer:
         self.min_near = min_near
         self.tv_weight = tv_weight
         self.eval_interval = eval_interval
+        # intermediate-eval PNG dumps are pure observability; on the
+        # tunneled chip each one costs a ~58 s d2h, so headless runs
+        # (tools/parity.py) turn them off and keep only the final eval's
+        self.eval_save_images = eval_save_images
+        # "iter": compacted-worklist full-image renders (render/iterative.py,
+        # the reference's rays_alive inference loop) — needs the skip field,
+        # so it applies only when use_occupancy is on
+        self.eval_renderer = eval_renderer
         self.epoch = 0
         self.global_step = 0
         # CLIP-guided rand-pose branch (ref nerf/utils.py:796-838):
@@ -257,6 +267,29 @@ class Trainer:
 
     def _render_view(self, params, view, dataset, render_kwargs):
         """Render one eval/test view -> (img [H,W,3], depth [H,W])."""
+        if self.eval_renderer == "iter" and self.occupancy is not None:
+            from focnerf_tpu.render.iterative import render_image_iterative
+
+            kw = render_kwargs
+            occ_skip = kw.get("occ_skip")
+            if occ_skip is None:
+                from focnerf_tpu.ops.occupancy import occupancy_skip_field
+
+                occ_skip = occupancy_skip_field(kw["occ_bits"])
+            return render_image_iterative(
+                params,
+                self.cfg,
+                jnp.asarray(view["pose"]),
+                dataset.intrinsics,
+                dataset.H,
+                dataset.W,
+                occ_skip=occ_skip,
+                dt_gamma=kw.get("dt_gamma", 0.0),
+                max_steps=kw.get("max_steps", 1024),
+                min_near=kw.get("min_near", 0.2),
+                obj_feat=view.get("obj_feat"),
+                bg_color=1.0,
+            )
         return render_image(
             params,
             self.cfg,
@@ -435,7 +468,7 @@ class Trainer:
             if self._tb is not None:
                 self._tb.add_scalar("train/loss", mean_loss, self.global_step)
             if valid_dataset is not None and self.epoch % self.eval_interval == 0:
-                self.evaluate(valid_dataset)
+                self.evaluate(valid_dataset, save_images=self.eval_save_images)
             self.save_checkpoint()
 
     # ------------------------------------------------------------------ eval
@@ -474,11 +507,15 @@ class Trainer:
             view = dataset.eval_view(v)
             img, depth = self._render_view(params, view, dataset, render_kwargs)
             if "pixels" in view:
-                gt = np.asarray(view["pixels"]).reshape(dataset.H, dataset.W, -1)
+                # metrics stay ON DEVICE (meters are jnp-native): each
+                # update fetches one scalar, never the 7.7 MB image — on
+                # the tunneled chip a full-image d2h costs ~58 s/view
+                # (PERF.md), which dominated eval wall clock
+                gt = jnp.asarray(view["pixels"]).reshape(dataset.H, dataset.W, -1)
                 if gt.shape[-1] == 4:
                     gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
                 for m in self.metrics:
-                    m.update(np.asarray(img), gt)
+                    m.update(img, gt)
             if save_images:
                 self._save_image(
                     os.path.join(out_dir, f"{self.name}_{name}_{self.epoch:04d}_{v:04d}.png"),

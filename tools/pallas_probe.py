@@ -50,11 +50,26 @@ def main():
     ap.add_argument("--skip-int8", action="store_true")
     args = ap.parse_args()
 
+    # validate up front (ADVICE r3): the XLA leg's spec is derived from
+    # --size, so a non-power-of-two would otherwise fail AFTER the Pallas
+    # legs already burned their timing runs
+    log2_size = int(args.size).bit_length() - 1
+    if args.size != 1 << log2_size:
+        sys.exit(f"--size must be a power of two (got {args.size})")
+
     from focnerf_tpu.ops.hashgrid_pallas import hashgrid_bwd_level
 
     rng = np.random.default_rng(0)
-    r = jnp.asarray(rng.integers(0, args.size, args.m).astype(np.int32))
-    c = jnp.asarray(rng.normal(size=(args.m, 2)).astype(np.float32))
+    # both legs cover the SAME entry count: (m // 8) * 8 (ADVICE r3 —
+    # the XLA leg consumes 8 corner columns per point)
+    n_pts = args.m // 8
+    m = n_pts * 8
+    r = jnp.asarray(rng.integers(0, args.size, m).astype(np.int32))
+    c = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32))
+    # per-entry weights: the XLA leg builds contributions (w x g) inside
+    # _encode_bwd_mxu, so the Pallas timing path must include an
+    # equivalent build step to stay apples-to-apples (ADVICE r3)
+    w_flat = jnp.asarray(rng.uniform(size=(m, 1)).astype(np.float32))
 
     rows = {}
     # correctness spot-check against numpy scatter on a small prefix
@@ -70,11 +85,15 @@ def main():
                                use_int8=use_int8)
         )
         rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-9)
-        ms = timed(
-            lambda u=use_int8: hashgrid_bwd_level(r, c, size=args.size,
-                                                  use_int8=u),
-            args.iters,
-        )
+
+        def pallas_leg(u=use_int8):
+            # contribution build (w x g broadcast) timed INSIDE the leg,
+            # mirroring _encode_bwd_mxu's internal _contribs step
+            contribs = w_flat * c
+            return hashgrid_bwd_level(r, contribs, size=args.size,
+                                      use_int8=u)
+
+        ms = timed(pallas_leg, args.iters)
         rows[name] = ms
         print(f"pallas/{name}: {ms:.2f} ms/level  (rel err {rel:.4f})",
               flush=True)
@@ -85,13 +104,17 @@ def main():
     from focnerf_tpu.ops import hashgrid as hg
 
     spec = hg.HashGridSpec.create(
-        num_levels=1, level_dim=2, log2_hashmap_size=19,
+        num_levels=1, level_dim=2, log2_hashmap_size=log2_size,
         base_resolution=512, per_level_scale=2.0,
     )
-    assert spec.level_size(0) == args.size, spec.level_size(0)
-    n_pts = args.m // 8
-    rows8 = r[: n_pts * 8].reshape(n_pts, 8)
-    w = jnp.ones((n_pts, 8), jnp.float32)
+    if spec.level_size(0) != args.size:
+        sys.exit(
+            f"--size {args.size} is not a pure hashed level at "
+            f"base_resolution=512 (level_size {spec.level_size(0)}); "
+            "pick a size >= 512^3's hash cap"
+        )
+    rows8 = r.reshape(n_pts, 8)
+    w = w_flat.reshape(n_pts, 8)
     g = c[:n_pts, :2]
 
     def xla_leg():

@@ -60,6 +60,12 @@ def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
         "--seed", str(seed), "--num_rays", str(num_rays),
         "--num_steps", str(num_steps),
         "--scale", "1.0", "--bound", "1.0",
+        # headless parity: metrics compute on device (scalar fetches only);
+        # PNG dumps + mesh export cost ~minutes of d2h each on the tunneled
+        # chip and carry no PSNR evidence (round-3 seed: 8052 s wall for
+        # ~1140 s of training)
+        "--no-eval_save_images", "--mesh_res", "0",
+        "--eval_interval", "100",
     ] + list(extra)
     if fast:
         args.insert(1, "-O")
@@ -260,9 +266,12 @@ def main():
                                  num_steps=args.num_steps)
                     # land evidence incrementally: a wall-clock overrun (or
                     # a relay blip) mid-preset must not lose finished seeds
+                    psnr_cell = (
+                        f"{r['psnr']} dB" if r["psnr"] is not None else "FAILED"
+                    )
                     _append_row(
                         f"| hash/{pr} seed {s} | {dataset} | {args.iters} "
-                        f"| {r['psnr']} dB | {r['train_s']:.0f}s |"
+                        f"| {psnr_cell} | {r['train_s']:.0f}s |"
                     )
                     rows.append(r)
                 deltas[pr] = _aggregate(
@@ -284,9 +293,12 @@ def main():
             for s in seeds:
                 r = run_voxel(fam_scene or scene, fam, args.iters, s,
                               args.workspace, res=res)
+                psnr_cell = (
+                    f"{r['psnr']} dB" if r["psnr"] is not None else "FAILED"
+                )
                 _append_row(
                     f"| {fam} seed {s} | {fam_ds} | {args.iters} "
-                    f"| {r['psnr']} dB | {r['train_s']:.0f}s |"
+                    f"| {psnr_cell} | {r['train_s']:.0f}s |"
                 )
                 rows.append(r)
             _aggregate(fam, fam_ds, args.iters, rows)
