@@ -363,6 +363,20 @@ def bench_hash(emit: bool = True):
     min_size = 1  # promoted -O value (round-3 on-chip ladder, PERF.md)
     if "--minsize" in sys.argv:
         min_size = int(sys.argv[sys.argv.index("--minsize") + 1])
+    # round-4 capacity-shape A/B axes: L levels x F feats/level trades
+    # gather ROWS (the measured 8.6 ns/row floor binds both encode legs)
+    # against per-row width at constant total feature count — L8F4 halves
+    # rows vs the reference L16F2 (gridencoder.cu layout). --slab trades
+    # samples/ray against the marcher's budget (mean-count adaptation).
+    levels = 16
+    featdim = 2
+    slab = SLAB
+    if "--levels" in sys.argv:
+        levels = int(sys.argv[sys.argv.index("--levels") + 1])
+    if "--featdim" in sys.argv:
+        featdim = int(sys.argv[sys.argv.index("--featdim") + 1])
+    if "--slab" in sys.argv:
+        slab = int(sys.argv[sys.argv.index("--slab") + 1])
     if "--bwd" in sys.argv:
         mode = sys.argv[sys.argv.index("--bwd") + 1]
         if mode not in ("mxu", "sort", "hybrid"):  # fail FAST: a typo must
@@ -378,7 +392,8 @@ def bench_hash(emit: bool = True):
     # (1 sampled corner per hashed + big dense level during training; eval
     # stays exact) + sphere-trace skip marching
     cfg = NeRFConfig(
-        use_objfeat=False, stochastic_corners=1, stochastic_min_size=min_size
+        use_objfeat=False, stochastic_corners=1, stochastic_min_size=min_size,
+        num_levels=levels, level_dim=featdim,
     )
     optimizer = make_optimizer(lr=1e-2, iters=30000)
     state = create_train_state(jax.random.key(0), cfg, optimizer)
@@ -397,7 +412,7 @@ def bench_hash(emit: bool = True):
     def loss_fn(params, batch, rng):
         out = render_rays_occupancy(
             params, cfg, batch["rays_o"], batch["rays_d"], occ_bits,
-            dt_gamma=0.0, max_steps=MAX_STEPS, slab=SLAB, bg_color=1.0,
+            dt_gamma=0.0, max_steps=MAX_STEPS, slab=slab, bg_color=1.0,
             rng=rng, perturb=True, occ_skip=occ_skip,
         )
         return jnp.mean((out["image"] - batch["pixels"]) ** 2)
@@ -455,8 +470,8 @@ def bench_hash(emit: bool = True):
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
         "family": "hashgrid_ngp_occupancy",
         "config": {
-            "n_rays": N_RAYS, "slab": SLAB, "steps": BENCH_STEPS,
-            "minsize": min_size,
+            "n_rays": N_RAYS, "slab": slab, "steps": BENCH_STEPS,
+            "minsize": min_size, "levels": levels, "featdim": featdim,
             "bwd": hashgrid._backward_mode(),
             "build": hashgrid._onehot_build(),
             "int8": hashgrid._backward_int8(),

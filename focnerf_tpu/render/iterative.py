@@ -41,14 +41,23 @@ from focnerf_tpu.ops.marching import march_rays_skip
 _round_cache: dict = {}
 
 
-def _bucket_ladder(n: int, base: int = 4096, factor: int = 4):
-    """Bucket sizes {base, base*factor, ...} capped at n (largest = n)."""
+def _bucket_ladder(n: int, base: int = 4096, factor: int = 4,
+                   cap: int = 65536):
+    """Bucket sizes {base, base*factor, ...} capped at min(n, cap).
+
+    The cap bounds peak memory: a bucket of B rays evaluates B*sub_slab
+    samples through the EXACT encode, whose per-sample intermediates
+    (8 corners x L levels) OOM the 16 G chip well before the full 800^2
+    worklist (measured 28 G at 640 k rays). Rays beyond the cap simply
+    wait — the worklist drains in waves.
+    """
+    hi = min(n, cap)
     sizes = []
-    b = base
-    while b < n:
+    b = min(base, hi)
+    while b < hi:
         sizes.append(b)
         b *= factor
-    sizes.append(n)
+    sizes.append(hi)
     return sizes
 
 
@@ -136,6 +145,7 @@ def render_rays_iterative(
     grid_size: int = 128,
     max_rounds: int = 256,
     bucket_base: int = 4096,
+    bucket_cap: int = 65536,
 ):
     """Render a flat ray batch through the compacted worklist loop.
 
@@ -159,7 +169,7 @@ def render_rays_iterative(
     acc_ws = jnp.zeros((n,), jnp.float32)
     alive = nears < fars
 
-    buckets = _bucket_ladder(n, base=min(bucket_base, n))
+    buckets = _bucket_ladder(n, base=min(bucket_base, n), cap=bucket_cap)
     key_base = (cfg, n, sub_slab, dt_gamma, max_steps, grid_size,
                 cfg.density_scale, T_thresh, objfeat_enc is not None)
     for _ in range(max_rounds):
