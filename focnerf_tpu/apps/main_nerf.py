@@ -82,6 +82,8 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         workspace=f"{opt.workspace}_{obj}",
         lr=opt.lr,
         lr_net=opt.lr_net or None,
+        lr_warmup=opt.lr_warmup,
+        alpha_loss=opt.alpha_loss,
         iters=opt.iters,
         num_steps=opt.num_steps,
         upsample_steps=opt.upsample_steps,

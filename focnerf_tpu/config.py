@@ -27,6 +27,14 @@ class Options:
     # >0: grid at --lr, all networks at --lr_net (the DNERF reference's
     # per-group split, dnerf/network.py:255-264; its default is 1e-3)
     lr_net: float = 0.0
+    # linear LR warmup steps (0 = reference behavior). Robustness lever:
+    # cold lr=1e-2 showed seed-dependent transparent collapse in the first
+    # ~250 steps of the round-4 production parity run (tools/collapse_probe.py)
+    lr_warmup: int = 0
+    # >0 adds mean((weights_sum - gt_alpha)^2) * alpha_loss when GT is RGBA.
+    # d(alpha)/d(sigma) = T*dt stays nonzero at sigma=0, so this keeps an
+    # escape gradient out of the transparent-collapse basin (train/steps.py)
+    alpha_loss: float = 0.0
     ckpt: str = "latest"
     num_rays: int = 4096
     cuda_ray: bool = False  # kept name for parity; enables occupancy marching

@@ -27,9 +27,15 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(
-    lr: float = 1e-2, iters: int = 30000, lr_net: Optional[float] = None
+    lr: float = 1e-2, iters: int = 30000, lr_net: Optional[float] = None,
+    warmup: int = 0,
 ) -> optax.GradientTransformation:
     """Adam(0.9, 0.99, eps=1e-15) with LambdaLR 0.1**(step/iters).
+
+    ``warmup`` > 0 linearly ramps the LR from 0 over the first ``warmup``
+    steps (beyond-reference robustness lever: the round-4 production parity
+    run showed seed-dependent transparent collapse inside the first ~250
+    steps at the reference's cold lr=1e-2; see tools/collapse_probe.py).
 
     Matches main_nerf.py:211 (optimizer) and :265 (scheduler, stepped every
     iteration). The nerf-family reference trains hash-table and MLPs with
@@ -41,7 +47,12 @@ def make_optimizer(
     keeping the opt-state pytree IDENTICAL to plain adam, so checkpoint
     templates (train/checkpoints.py) restore either variant.
     """
-    schedule = lambda step: lr * 0.1 ** jnp.minimum(step / iters, 1.0)
+    def schedule(step):
+        s = lr * 0.1 ** jnp.minimum(step / iters, 1.0)
+        if warmup > 0:
+            s = s * jnp.minimum((step + 1.0) / warmup, 1.0)
+        return s
+
     base = optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
     if lr_net is None or lr_net == lr:
         return base

@@ -49,9 +49,17 @@ def make_train_step(
     mask_penalty: float = 1e-8,
     color_space: str = "srgb",
     tv_weight: float = 0.0,
+    alpha_weight: float = 0.0,
     donate: bool = True,
 ):
     """Build a jitted train step.
+
+    ``alpha_weight`` > 0 adds direct alpha supervision
+    mean((weights_sum - gt_alpha)^2) when GT carries alpha. Beyond the
+    reference: d(ray alpha)/d(sigma) = T*dt stays nonzero at sigma = 0,
+    so this term keeps a gradient path out of the transparent-collapse
+    basin that killed parity seed 0 (PARITY.md round-4) — the plain RGB
+    loss only reaches sigma through weights that vanish with sigma.
 
     The returned function has signature
       (state, batch, rng) -> (state, metrics)
@@ -91,6 +99,10 @@ def make_train_step(
         )
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
         loss = jnp.mean(per_ray)
+        if alpha_weight > 0.0 and c == 4:
+            loss = loss + alpha_weight * jnp.mean(
+                (out["weights_sum"] - pixels[..., 3]) ** 2
+            )
 
         ray_mask = batch.get("ray_mask")
         if ray_mask is not None:
@@ -180,6 +192,7 @@ def make_train_step_occupancy(
     color_space: str = "srgb",
     T_thresh: float = 1e-4,
     tv_weight: float = 0.0,
+    alpha_weight: float = 0.0,
     donate: bool = True,
     skip_field: bool = False,
 ):
@@ -224,6 +237,12 @@ def make_train_step_occupancy(
         )
         per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)
         loss = jnp.mean(per_ray)
+        if alpha_weight > 0.0 and c == 4:
+            # direct alpha supervision (see make_train_step): non-vanishing
+            # escape gradient from the transparent-collapse basin
+            loss = loss + alpha_weight * jnp.mean(
+                (out["weights_sum"] - pixels[..., 3]) ** 2
+            )
         ray_mask = batch.get("ray_mask")
         if ray_mask is not None:
             outside = jnp.where(ray_mask[:, None], 0.0, out["sigmas"])

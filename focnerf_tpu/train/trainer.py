@@ -46,6 +46,8 @@ class Trainer:
         *,
         lr: float = 1e-2,
         lr_net=None,  # >0/non-None: per-group LR for non-grid params
+        lr_warmup: int = 0,  # linear LR ramp steps (0 = reference behavior)
+        alpha_loss: float = 0.0,  # direct alpha-supervision weight (RGBA GT)
         iters: int = 30000,
         num_steps: int = 512,
         max_ray_batch: int = 4096,
@@ -141,7 +143,10 @@ class Trainer:
                 self._tb = None
 
         self.rng = jax.random.key(seed)
-        self.optimizer = make_optimizer(lr=lr, iters=iters, lr_net=lr_net)
+        self.alpha_loss = alpha_loss
+        self.optimizer = make_optimizer(
+            lr=lr, iters=iters, lr_net=lr_net, warmup=lr_warmup
+        )
         self.state: TrainState = self._create_state(seed)
         self.occupancy = self._init_occupancy() if use_occupancy else None
         self._build_steps(ema_decay=ema_decay, color_space=color_space)
@@ -227,6 +232,7 @@ class Trainer:
             ema_decay=ema_decay,
             color_space=color_space,
             tv_weight=self.tv_weight,
+            alpha_weight=self.alpha_loss,
             donate=False,
         )
         self._eval_step = make_eval_step(
@@ -252,6 +258,7 @@ class Trainer:
                 ema_decay=self._ema_decay,
                 color_space=self._color_space,
                 tv_weight=self.tv_weight,
+                alpha_weight=self.alpha_loss,
                 donate=False,
                 skip_field=self.skip_march,
             )
@@ -514,8 +521,14 @@ class Trainer:
                 gt = jnp.asarray(view["pixels"]).reshape(dataset.H, dataset.W, -1)
                 if gt.shape[-1] == 4:
                     gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+                # metrics are defined on display-range images: raw renders
+                # can exceed [0, 1] (weights_sum fp error, floaters against
+                # the bg fold), and SSIM's variance terms blow past 1.0 on
+                # out-of-range inputs (round-4 parity logged SSIM 1.33; the
+                # saved PNG scored 0.83). Clamp exactly like _save_image.
+                pred = jnp.clip(img, 0.0, 1.0)
                 for m in self.metrics:
-                    m.update(img, gt)
+                    m.update(pred, gt)
             if save_images:
                 self._save_image(
                     os.path.join(out_dir, f"{self.name}_{name}_{self.epoch:04d}_{v:04d}.png"),

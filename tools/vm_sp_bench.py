@@ -1,0 +1,106 @@
+"""512^3 VM SP step sanity (VERDICT r3 item 6): run the collapse-sharded
+VM train step at production resolution on a device mesh and record that it
+compiles, executes, and keeps every dense intermediate sharded.
+
+On this box the mesh is 8 virtual CPU devices (one real chip only), so the
+step TIME is mechanism evidence, not a throughput claim — the row it
+produces says "the 512^3 sharded step exists and runs end-to-end", which
+is what single-chip HBM (16 G) cannot do unsharded: the collapsed grid's
+fwd+bwd residuals alone exceed it (PERF.md round-3 VM 512^3 entry).
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/vm_sp_bench.py --res 512 --rank 8 --steps 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--rank", type=int, default=8)
+    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--sh_degree", type=int, default=0)
+    p.add_argument("--scale", type=int, default=2,
+                   help="intermediate_scale (2 = the ri=2R hat config)")
+    p.add_argument("--block", type=int, default=32)
+    p.add_argument("--devices", type=int, default=0,
+                   help=">0: force a CPU mesh of this many virtual devices")
+    args = p.parse_args()
+    if args.devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}"
+            # a 512^3 per-device slab takes minutes on this 1-vCPU box, so
+            # the virtual devices reach each all_reduce far apart; the
+            # default 40 s rendezvous termination kills the run (F
+            # rendezvous.cc "Termination timeout ... exceeded")
+            + " --xla_cpu_collective_call_warn_stuck_seconds=600"
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.devices:
+        jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+
+    from focnerf_tpu.parallel.vm_sp import make_vm_sp_step
+    from focnerf_tpu.train.voxel_vm import init_vm_field
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("slice",))
+    R, D = args.res, len(devs)
+    ri = R * args.scale
+    print(f"[vm_sp_bench] R={R} rank={args.rank} ri={ri} mesh={D}x{devs[0].platform}")
+
+    field = init_vm_field(R, rank=args.rank, sh_degree=args.sh_degree,
+                          rng=jax.random.key(0))
+    n_factor = sum(x.size for x in jax.tree.leaves(field))
+    print(f"[vm_sp_bench] factor params {n_factor/1e6:.1f} M "
+          f"(dense grid would be {R**3*4/1e6:.0f} M)")
+
+    opt, step = make_vm_sp_step(
+        mesh, resolution=R, warp_axis=0, flip=False,
+        sh_degree=args.sh_degree, intermediate_scale=args.scale,
+        block=args.block,
+    )
+    opt_state = opt.init(field)
+
+    pose = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(
+        jnp.asarray([2.5, 0.1, 0.2]))
+    wgt = jnp.ones((ri, ri, 3), jnp.float32) * 0.5
+    mask = jnp.ones((ri, ri), jnp.float32)
+
+    t0 = time.time()
+    field, opt_state, mse = step(field, opt_state, pose, wgt, mask)
+    jax.block_until_ready(mse)
+    t_compile = time.time() - t0
+    print(f"[vm_sp_bench] first step (compile+run) {t_compile:.1f}s "
+          f"mse={float(mse):.5f}")
+
+    times = []
+    for _ in range(max(0, args.steps - 1)):
+        t0 = time.time()
+        field, opt_state, mse = step(field, opt_state, pose, wgt, mask)
+        jax.block_until_ready(mse)
+        times.append(time.time() - t0)
+    if times:
+        print(f"[vm_sp_bench] warm step {min(times):.2f}s "
+              f"(x{len(times)}; mechanism row, not throughput, on CPU)")
+    assert np.isfinite(float(mse))
+    print("[vm_sp_bench] OK")
+
+
+if __name__ == "__main__":
+    main()
