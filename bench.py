@@ -377,6 +377,12 @@ def bench_hash(emit: bool = True):
         featdim = int(sys.argv[sys.argv.index("--featdim") + 1])
     if "--slab" in sys.argv:
         slab = int(sys.argv[sys.argv.index("--slab") + 1])
+    # >1: alternating level-subset backward (one compiled step per phase,
+    # forward exact; ops/hashgrid.py grad_levels). Cuts the 99 ms encode
+    # backward ~Nx at the cost of N-step gradient staleness per level.
+    gradphase = 0
+    if "--gradphase" in sys.argv:
+        gradphase = int(sys.argv[sys.argv.index("--gradphase") + 1])
     if "--bwd" in sys.argv:
         mode = sys.argv[sys.argv.index("--bwd") + 1]
         if mode not in ("mxu", "sort", "hybrid"):  # fail FAST: a typo must
@@ -409,22 +415,46 @@ def bench_hash(emit: bool = True):
 
     occ_skip = occupancy_skip_field(occ_bits, gs)
 
-    def loss_fn(params, batch, rng):
-        out = render_rays_occupancy(
-            params, cfg, batch["rays_o"], batch["rays_d"], occ_bits,
-            dt_gamma=0.0, max_steps=MAX_STEPS, slab=slab, bg_color=1.0,
-            rng=rng, perturb=True, occ_skip=occ_skip,
-        )
-        return jnp.mean((out["image"] - batch["pixels"]) ** 2)
+    def make_step(step_cfg):
+        def loss_fn(params, batch, rng):
+            out = render_rays_occupancy(
+                params, step_cfg, batch["rays_o"], batch["rays_d"], occ_bits,
+                dt_gamma=0.0, max_steps=MAX_STEPS, slab=slab, bg_color=1.0,
+                rng=rng, perturb=True, occ_skip=occ_skip,
+            )
+            return jnp.mean((out["image"] - batch["pixels"]) ** 2)
 
-    @jax.jit
-    def train_step(state, rng):
-        idx = jax.random.randint(jax.random.fold_in(rng, 1), (N_RAYS,), 0, all_o.shape[0])
-        batch = {"rays_o": all_o[idx], "rays_d": all_d[idx], "pixels": all_rgb[idx]}
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
+        @jax.jit
+        def train_step(state, rng):
+            idx = jax.random.randint(jax.random.fold_in(rng, 1), (N_RAYS,), 0, all_o.shape[0])
+            batch = {"rays_o": all_o[idx], "rays_d": all_d[idx], "pixels": all_rgb[idx]}
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+        return train_step
+
+    if gradphase > 1:
+        import dataclasses as _dc
+
+        phase_steps = [
+            make_step(_dc.replace(
+                cfg,
+                grad_levels=tuple(
+                    l for l in range(levels) if l % gradphase == p
+                ),
+            ))
+            for p in range(gradphase)
+        ]
+        _calls = [0]
+
+        def train_step(st, rng):
+            fn = phase_steps[_calls[0] % gradphase]
+            _calls[0] += 1
+            return fn(st, rng)
+    else:
+        train_step = make_step(cfg)
 
     fold = "--fold" in sys.argv
     if fold:
@@ -472,6 +502,7 @@ def bench_hash(emit: bool = True):
         "config": {
             "n_rays": N_RAYS, "slab": slab, "steps": BENCH_STEPS,
             "minsize": min_size, "levels": levels, "featdim": featdim,
+            "gradphase": gradphase,
             "bwd": hashgrid._backward_mode(),
             "build": hashgrid._onehot_build(),
             "int8": hashgrid._backward_int8(),

@@ -84,6 +84,8 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         lr_net=opt.lr_net or None,
         lr_warmup=opt.lr_warmup,
         alpha_loss=opt.alpha_loss,
+        grad_clip=opt.grad_clip,
+        grad_level_phases=opt.grad_level_phases,
         iters=opt.iters,
         num_steps=opt.num_steps,
         upsample_steps=opt.upsample_steps,

@@ -35,6 +35,14 @@ class Options:
     # d(alpha)/d(sigma) = T*dt stays nonzero at sigma=0, so this keeps an
     # escape gradient out of the transparent-collapse basin (train/steps.py)
     alpha_loss: float = 0.0
+    # >0: clip the global gradient norm before adam. Robustness lever for
+    # the saturation collapse (geo-feature blowup -> color sigmoid pins at
+    # 1.0 -> irrecoverable white render; round-4 parity seed 0 diagnosis)
+    grad_clip: float = 0.0
+    # >1: round-robin the hash-table backward over N level subsets (one
+    # compiled step per phase; forward always exact). Cuts the encode
+    # backward ~Nx on the -O path (ops/hashgrid.py grad_levels)
+    grad_level_phases: int = 0
     ckpt: str = "latest"
     num_rays: int = 4096
     cuda_ray: bool = False  # kept name for parity; enables occupancy marching

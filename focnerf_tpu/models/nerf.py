@@ -68,6 +68,10 @@ class NeRFConfig:
     # also sample dense levels with >= this many rows stochastically
     # (0 = hashed levels only); see HashGridSpec.stochastic_min_size
     stochastic_min_size: int = 0
+    # table-backward level subset for THIS compiled step (see
+    # HashGridSpec.grad_levels); the alternating-phase trainer compiles one
+    # step per phase via dataclasses.replace(cfg, grad_levels=...)
+    grad_levels: Any = None
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -83,6 +87,10 @@ class NeRFConfig:
                 spec,
                 stochastic_k=self.stochastic_corners,
                 stochastic_min_size=self.stochastic_min_size,
+            )
+        if self.grad_levels is not None:
+            spec = dataclasses.replace(
+                spec, grad_levels=tuple(self.grad_levels)
             )
         return spec
 

@@ -59,6 +59,13 @@ class HashGridSpec:
     # rows (their 8-corner resolution — MXU one-hots or gathers — dominates
     # the encode once the hashed levels go stochastic). 0 = hashed-only.
     stochastic_min_size: int = 0
+    # table-BACKWARD level subset: when not None, only these levels receive
+    # table gradients this step (the rest are structurally skipped — the
+    # compiler never builds their one-hot/sort legs). The alternating-phase
+    # trainer compiles one step per phase and round-robins them; with adam
+    # (per-parameter scale-invariant) no gradient rescale is needed. The
+    # FORWARD always resolves every level — rendering is unchanged.
+    grad_levels: "Tuple[int, ...] | None" = None
     # derived
     resolutions: Tuple[int, ...] = ()
     offsets: Tuple[int, ...] = ()  # num_levels + 1 entries, in table rows
@@ -682,8 +689,16 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
     n = rows.shape[0]
     d_u = jnp.zeros(u_shape, jnp.float32)
     mode = _backward_mode()
+    live = (
+        tuple(range(spec.num_levels))
+        if spec.grad_levels is None
+        else tuple(spec.grad_levels)
+    )
     if mode == "mxu":
-        d_table = _encode_bwd_mxu(spec, rows, weights, g, n_rows)
+        d_table = _encode_bwd_mxu(
+            spec, rows, weights, g, n_rows,
+            levels=None if spec.grad_levels is None else live,
+        )
         return d_table, jnp.zeros((n, spec.input_dim), g.dtype), d_u
 
     layout = _col_layout(spec)
@@ -692,10 +707,10 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
         # only the big-level entries — the TPU sort is pass-dominated, so
         # shrinking its input is the lever (PERF.md round-2 close-out)
         small = [
-            l for l in range(spec.num_levels)
+            l for l in live
             if spec.level_size(l) <= BACKWARD_HYBRID_MAX_ROWS
         ]
-        big = [l for l in range(spec.num_levels) if l not in small]
+        big = [l for l in live if l not in small]
         d_small = _encode_bwd_mxu(spec, rows, weights, g, n_rows, levels=small)
         if not big:
             return d_small, jnp.zeros((n, spec.input_dim), g.dtype), d_u
@@ -717,11 +732,18 @@ def _encode_bwd(spec: HashGridSpec, residuals, g):
         )
         return d_small + d_big, jnp.zeros((n, spec.input_dim), g.dtype), d_u
 
-    flat_rows = rows.reshape(-1)
+    if spec.grad_levels is None:
+        rows_live, col_sel = rows, None
+    else:
+        col_sel = np.concatenate(
+            [np.arange(layout[l][0], layout[l][0] + layout[l][1]) for l in live]
+        )
+        rows_live = rows[:, col_sel]
+    flat_rows = rows_live.reshape(-1)
     order = jnp.argsort(flat_rows)
     sorted_rows = flat_rows[order]
     contribs = [
-        c.reshape(-1)[order]
+        (c if col_sel is None else c[:, col_sel]).reshape(-1)[order]
         for c in _contribs(spec, layout, weights, g.astype(jnp.float32))
     ]
     d_table = (

@@ -28,14 +28,17 @@ class TrainState(NamedTuple):
 
 def make_optimizer(
     lr: float = 1e-2, iters: int = 30000, lr_net: Optional[float] = None,
-    warmup: int = 0,
+    warmup: int = 0, grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
     """Adam(0.9, 0.99, eps=1e-15) with LambdaLR 0.1**(step/iters).
 
     ``warmup`` > 0 linearly ramps the LR from 0 over the first ``warmup``
-    steps (beyond-reference robustness lever: the round-4 production parity
-    run showed seed-dependent transparent collapse inside the first ~250
-    steps at the reference's cold lr=1e-2; see tools/collapse_probe.py).
+    steps; ``grad_clip`` > 0 clips the global gradient norm before adam.
+    Beyond-reference robustness levers: the round-4 production parity run
+    showed a seed-dependent saturation collapse (geo-feature magnitudes
+    blow up, the color sigmoid pins at exactly 1.0, the render goes
+    opaque-white and the zero sigmoid gradient makes it unrecoverable —
+    diagnosed in tools/collapse_probe.py + PARITY.md round-4 notes).
 
     Matches main_nerf.py:211 (optimizer) and :265 (scheduler, stepped every
     iteration). The nerf-family reference trains hash-table and MLPs with
@@ -54,6 +57,19 @@ def make_optimizer(
         return s
 
     base = optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
+    if grad_clip > 0.0:
+        # clip INSIDE the update_fn (not optax.chain) so the opt-state
+        # pytree stays exactly adam's — checkpoint templates
+        # (train/checkpoints.py) restore clip and non-clip runs alike
+        inner = base
+
+        def clipped_update(updates, state, params=None):
+            gnorm = optax.global_norm(updates)
+            scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+            updates = jax.tree.map(lambda u: u * scale, updates)
+            return inner.update(updates, state, params)
+
+        base = optax.GradientTransformation(inner.init, clipped_update)
     if lr_net is None or lr_net == lr:
         return base
     ratio = lr_net / lr

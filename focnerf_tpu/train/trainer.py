@@ -48,6 +48,8 @@ class Trainer:
         lr_net=None,  # >0/non-None: per-group LR for non-grid params
         lr_warmup: int = 0,  # linear LR ramp steps (0 = reference behavior)
         alpha_loss: float = 0.0,  # direct alpha-supervision weight (RGBA GT)
+        grad_clip: float = 0.0,  # global grad-norm clip (0 = off)
+        grad_level_phases: int = 0,  # >1: alternating level-subset backward
         iters: int = 30000,
         num_steps: int = 512,
         max_ray_batch: int = 4096,
@@ -144,8 +146,10 @@ class Trainer:
 
         self.rng = jax.random.key(seed)
         self.alpha_loss = alpha_loss
+        self.grad_level_phases = max(0, grad_level_phases)
         self.optimizer = make_optimizer(
-            lr=lr, iters=iters, lr_net=lr_net, warmup=lr_warmup
+            lr=lr, iters=iters, lr_net=lr_net, warmup=lr_warmup,
+            grad_clip=grad_clip,
         )
         self.state: TrainState = self._create_state(seed)
         self.occupancy = self._init_occupancy() if use_occupancy else None
@@ -239,6 +243,21 @@ class Trainer:
             self.cfg, num_steps=self.num_steps, min_near=self.min_near
         )
 
+    def _phase_cfg(self):
+        """cfg for this step's backward phase (grad_level_phases > 1 round-
+        robins the hash-table backward over level subsets; the forward and
+        every eval path stay exact — see ops/hashgrid.py grad_levels)."""
+        import dataclasses as _dc
+
+        P = self.grad_level_phases
+        if P <= 1:
+            return self.cfg, 0
+        phase = self.global_step % P
+        lv = tuple(
+            l for l in range(self.cfg.num_levels) if l % P == phase
+        )
+        return _dc.replace(self.cfg, grad_levels=lv), phase
+
     def _occ_step(self, slab: int):
         """Occupancy train step compiled for this slab bucket (lazy).
 
@@ -247,9 +266,11 @@ class Trainer:
         cache = getattr(self, "_occ_step_cache", None)
         if cache is None:
             return self._train_step_occ
-        if slab not in cache:
-            cache[slab] = make_train_step_occupancy(
-                self.cfg,
+        cfg, phase = self._phase_cfg()
+        key = (slab, phase)
+        if key not in cache:
+            cache[key] = make_train_step_occupancy(
+                cfg,
                 self.optimizer,
                 dt_gamma=self.dt_gamma,
                 max_steps=self.max_steps,
@@ -262,7 +283,7 @@ class Trainer:
                 donate=False,
                 skip_field=self.skip_march,
             )
-        return cache[slab]
+        return cache[key]
 
     def _mark_untrained(self, train_dataset):
         self.occupancy = mark_untrained_grid(

@@ -39,6 +39,11 @@ def main():
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--lr_warmup", type=int, default=0)
     p.add_argument("--alpha_loss", type=float, default=0.0)
+    p.add_argument("--grad_clip", type=float, default=0.0)
+    p.add_argument("--schedule_iters", type=int, default=0,
+                   help="LR-schedule length (0 = --iters). The doomed parity "
+                        "run decayed over 10000; a short probe must match "
+                        "that schedule to reproduce its dynamics")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -58,7 +63,8 @@ def main():
 
     argv = [
         args.scene, "-O", "--workspace", f"/tmp/collapse_probe_s{args.seed}",
-        "--iters", str(args.iters), "--disable_yolo", "--seed", str(args.seed),
+        "--iters", str(args.schedule_iters or args.iters), "--disable_yolo",
+        "--seed", str(args.seed),
         "--num_rays", str(args.num_rays), "--scale", "1.0", "--bound", "1.0",
         "--lr", str(args.lr),
     ]
@@ -66,6 +72,8 @@ def main():
         argv += ["--lr_warmup", str(args.lr_warmup)]
     if args.alpha_loss:
         argv += ["--alpha_loss", str(args.alpha_loss)]
+    if args.grad_clip:
+        argv += ["--grad_clip", str(args.grad_clip)]
     opt = parse_options(argv)
     # load the scene's YOLO sidecar exactly like main_nerf (the -O config
     # trains WITH the background obj-feat; bypassing it leaves batches
@@ -91,7 +99,9 @@ def main():
         update_extra_interval=opt.update_extra_interval,
         min_near=opt.min_near, seed=opt.seed,
         lr_warmup=opt.lr_warmup, alpha_loss=opt.alpha_loss,
+        grad_clip=opt.grad_clip,
         eval_save_images=False,
+        use_checkpoint="scratch",
     )
 
     r = jnp.linspace(-1.0, 1.0, 16)
@@ -123,12 +133,15 @@ def main():
             obj_feat=batch.get("obj_feat"),
             occ_skip=bits if opt.skip_march else None,
         )
+        img = out["image"]
+        frac_sat = jnp.mean(jnp.all(img > 0.999, axis=-1))
         print(
             f"[probe step {trainer.global_step}] "
             f"occ_mean={float(occ.mean_density):.5f} "
             f"occ_frac={float(jnp.mean(bits)):.4f} "
             f"sigma_mean={float(sm):.5f} sigma_max={float(sx):.3f} "
             f"ws_mean={float(jnp.mean(out['weights_sum'])):.4f} "
+            f"sat_white={float(frac_sat):.4f} "  # the saturation-collapse tell
             f"({time.time()-t0:.1f}s)",
             flush=True,
         )

@@ -38,12 +38,6 @@ def main():
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.devices}"
-            # a 512^3 per-device slab takes minutes on this 1-vCPU box, so
-            # the virtual devices reach each all_reduce far apart; the
-            # default 40 s rendezvous termination kills the run (F
-            # rendezvous.cc "Termination timeout ... exceeded")
-            + " --xla_cpu_collective_call_warn_stuck_seconds=600"
-            + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
         )
         os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -81,6 +75,19 @@ def main():
         jnp.asarray([2.5, 0.1, 0.2]))
     wgt = jnp.ones((ri, ri, 3), jnp.float32) * 0.5
     mask = jnp.ones((ri, ri), jnp.float32)
+
+    if args.devices:
+        # on 1 vCPU the virtual devices execute their slabs SERIALLY, so
+        # they reach each collective up to (D-1) x slab-time apart; the
+        # default 40 s rendezvous termination kills any big step. These
+        # are compile-time DebugOptions (XLA_FLAGS does not register
+        # them in this jaxlib; compiler_options does).
+        step = step.lower(field, opt_state, pose, wgt, mask).compile(
+            compiler_options={
+                "xla_cpu_collective_call_warn_stuck_seconds": 600,
+                "xla_cpu_collective_call_terminate_timeout_seconds": 7200,
+            }
+        )
 
     t0 = time.time()
     field, opt_state, mse = step(field, opt_state, pose, wgt, mask)
