@@ -52,9 +52,15 @@ def _last_eval_psnr(obj_ws: str):
 
 def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
              num_steps=512, extra=()):
+    import shutil
+
     from focnerf_tpu.apps.main_nerf import main as train_main
 
     ws = os.path.join(workspace, f"hash{'O' if fast else 'X'}_s{seed}")
+    # fresh-run hygiene: stale logs would satisfy _last_eval_psnr and a
+    # stale best/ checkpoint wins the best-PSNR race against the new run
+    for stale in (ws, ws + "_background"):
+        shutil.rmtree(stale, ignore_errors=True)
     args = [
         scene, "--workspace", ws, "--iters", str(iters), "--disable_yolo",
         "--seed", str(seed), "--num_rays", str(num_rays),
@@ -66,6 +72,10 @@ def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
         # ~1140 s of training)
         "--no-eval_save_images", "--mesh_res", "0",
         "--eval_interval", "100",
+        # parity rows must be from-scratch runs: the default ckpt=latest
+        # silently RESUMES a previous ladder's checkpoint if the workspace
+        # exists (round-4 forensics: a "10k-iter" row was at step 11600)
+        "--ckpt", "scratch",
     ] + list(extra)
     if fast:
         args.insert(1, "-O")
@@ -195,6 +205,10 @@ def main():
     p.add_argument("--preset", choices=["O", "exact", "both"], default="O",
                    help="hash family: -O fast stack, exact stack, or both "
                         "(records the exact-vs-O delta)")
+    p.add_argument("--train_extra", default="",
+                   help="extra main_nerf flags appended to every hash run, "
+                        "e.g. '--grad_clip 1.0 --lr_warmup 500' (the round-4 "
+                        "saturation-collapse stabilizers)")
     p.add_argument("--workspace", type=str, default="/tmp/parity")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize "
@@ -263,7 +277,8 @@ def main():
                 for s in seeds:
                     r = run_hash(scene, args.iters, s, args.workspace,
                                  fast=(pr == "O"), num_rays=args.num_rays,
-                                 num_steps=args.num_steps)
+                                 num_steps=args.num_steps,
+                                 extra=args.train_extra.split())
                     # land evidence incrementally: a wall-clock overrun (or
                     # a relay blip) mid-preset must not lose finished seeds
                     psnr_cell = (
