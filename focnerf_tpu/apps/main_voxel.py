@@ -144,6 +144,7 @@ def main(argv=None):
                 resolution=opt.bake_res, rank=opt.voxel_kplanes,
                 time_res=opt.voxel_time_slots, bound=opt.bound,
                 sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
+                time_smooth_weight=opt.voxel_time_smooth,
                 log_every=max(opt.iters // 10, 1),
             )
             if opt.voxel_sp:
@@ -198,6 +199,7 @@ def main(argv=None):
                 resolution=opt.bake_res, rank=opt.voxel_rank,
                 time_slots=opt.voxel_time_slots, bound=opt.bound,
                 sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
+                time_smooth_weight=opt.voxel_time_smooth,
                 seed=opt.seed, log_every=max(opt.iters // 10, 1),
             )
             cache = os.path.join(

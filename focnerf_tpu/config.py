@@ -176,6 +176,10 @@ class Options:
     voxel_dynamic: bool = False
     voxel_rank: int = 4  # rank K of the time factorization
     voxel_time_slots: int = 16  # time slots S of the interpolated basis
+    # time-axis smoothness weight for the dynamic families (K-planes
+    # time-plane / dynvoxel basis second differences); the round-4 dynamic
+    # quality campaign sweeps this against per-t held-out PSNR
+    voxel_time_smooth: float = 1e-3
     # main_voxel --voxel_vm K: train the TensoRF-style VM-factorized family
     # (train/voxel_vm.py, rank K planes x vectors; 0 = dense field)
     voxel_vm: int = 0
