@@ -307,7 +307,8 @@ def main():
             rows = []
             for s in seeds:
                 r = run_voxel(fam_scene or scene, fam, args.iters, s,
-                              args.workspace, res=res)
+                              args.workspace, res=res,
+                              extra=args.train_extra.split())
                 psnr_cell = (
                     f"{r['psnr']} dB" if r["psnr"] is not None else "FAILED"
                 )

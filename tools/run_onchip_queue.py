@@ -1,16 +1,24 @@
-"""Run the round-3 on-chip measurement queue serially and record results.
+"""Run the round-4 on-chip measurement queue serially and record results.
 
 ONE TPU client at a time (a second wedges both — memory/verify-skill), so
 this runner executes each command to completion before the next, appends
 every JSON line + a stdout tail to ONCHIP_QUEUE_RESULTS.md, and keeps
 going past failures (a relay blip mid-queue must not lose the rest).
 
-Usage (the moment the relay probe succeeds):
+Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/run_onchip_queue.py
-  [--only bench|hash|quality|parity|render]   # subset by tag
+  [--only hash|profile|parity_dyn|render|parity_vox|bench]  # subset by tag
   [--timeout 3600]                            # per-command seconds
+  [--wait-pid P]                              # block until pid P exits
+                                              # (serialize behind a ladder
+                                              # already holding the chip)
 
-The queue itself is defined here (kept in sync with ONCHIP_PENDING.log).
+Round-4 ordering (VERDICT r3): the production hash parity ladder runs
+OUTSIDE this queue (tools/parity.py, launched first — it owns the chip;
+--wait-pid serializes behind it); then the hash perf ladder with the new
+gradphase/capacity axes (item 2), profile bisect (item 2), dynamic-family
+quality campaign (item 3), 512^3 uint8-resident render A/B (item 4),
+vm/dense parity rows, and a final default-bench refresh.
 """
 
 from __future__ import annotations
@@ -25,53 +33,44 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (tag, argv, per-command timeout override or None)
 QUEUE = [
-    # 1. driver-scorecard rows
-    ("bench", [sys.executable, "bench.py"], 1800),
-    ("bench", [sys.executable, "bench.py", "--dense"], 900),
-    ("bench", [sys.executable, "bench.py", "--kplanes"], 900),
-    ("bench", [sys.executable, "tools/voxel_bench.py", "--kplanes", "--res",
-               "128", "--iters", "300", "--rank", "8", "--sync-every", "50"],
-     1800),
-    # 2. hash backward A/B ladder (VERDICT item 3)
+    # 1. hash perf ladder — the 400k push (VERDICT r3 item 2). New round-4
+    # axes: alternating level-subset backward (gradphase) and capacity
+    # shapes (fewer/wider levels halve the gather rows at constant feature
+    # count). Baseline row first so same-session comparisons are in-family.
     ("hash", [sys.executable, "bench.py", "--hash"], 1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--minsize", "1"], 1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--minsize", "1",
-              "--bwd", "sort"], 1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--minsize", "1",
-              "--bwd", "hybrid"], 1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--minsize", "1",
-              "--build", "scatter"], 1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--build", "scatter"],
-     1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--bwd", "hybrid"], 1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--int8"], 1200),
-    ("hash", [sys.executable, "bench.py", "--hash", "--minsize", "1",
-              "--bwd", "sort", "--fold"], 1200),
-    # FIRST of the long tail (most important evidence, VERDICT item 2a):
-    # production parity ladders on the hard scene — explicit multi-hour
-    # timeout (tmo=None would fall back to the 2 h default and SIGKILL the
-    # most important measurement mid-ladder). Runs before render/quality so
-    # a wall-clock overrun elsewhere cannot starve it.
-    ("parity_prod", [sys.executable, "tools/parity.py", "--family", "all",
-                     "--preset", "both", "--seeds", "0,1,2", "--iters",
-                     "10000", "--res", "800", "--views", "50", "--workspace",
-                     "/tmp/parity_prod"], 21600),
-    # 6. uint8-resident render A/B at 512^3
+    ("hash", [sys.executable, "bench.py", "--hash", "--gradphase", "2"], 1200),
+    ("hash", [sys.executable, "bench.py", "--hash", "--gradphase", "4"], 1200),
+    ("hash", [sys.executable, "bench.py", "--hash", "--levels", "8",
+              "--featdim", "4"], 1200),
+    ("hash", [sys.executable, "bench.py", "--hash", "--levels", "8"], 1200),
+    ("hash", [sys.executable, "bench.py", "--hash", "--gradphase", "2",
+              "--levels", "8", "--featdim", "4"], 1200),
+    # 2. per-leg bisect of the promoted config (queue item 7 from round 3)
+    ("profile", [sys.executable, "tools/profile_step.py", "16", "--rays",
+                 "32768", "--minsize", "1", "--skip"], 1800),
+    # 3. dynamic-family quality campaign (VERDICT r3 item 3): multi-view-
+    # per-timestamp hard scene, production budget, time-smoothness on for
+    # dynvoxel (flag is a no-op for kplanes' shared-plane structure).
+    ("parity_dyn", [sys.executable, "tools/parity.py", "--family",
+                    "kplanes,dynvoxel", "--seeds", "0,1,2", "--iters",
+                    "3000", "--res", "400", "--views", "32", "--workspace",
+                    "/tmp/parity_dyn"], 10800),
+    # 4. uint8-resident render A/B at 512^3 + 4-object 800^2 frame time
+    # (VERDICT r3 item 4 — replaces both "designed expectation" entries)
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
                 "800", "--objects", "4", "--bake_res", "512"], 3600),
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
                 "800", "--objects", "4", "--bake_res", "512", "--resident"],
      3600),
-    # dynamic-family parity on the multi-view-per-t scene (unambiguous
-    # per-t held-out PSNR; ~30-60 min)
-    ("parity", [sys.executable, "tools/parity.py", "--family",
-                "kplanes,dynvoxel", "--seeds", "0,1,2", "--iters", "3000",
-                "--res", "400", "--views", "32", "--workspace",
-                "/tmp/parity_dyn"], 7200),
-    # 3. quality gates for promoted variants (on-chip confirmation of the
-    # CPU 3-seed gate; chip-independent math, lowest priority)
-    ("quality", [sys.executable, "tools/quality_exp.py", "--variants",
-                 "fast,allstoch", "--seeds", "0,1,2"], 5400),
+    # 5. vm/dense production parity rows (hash rows run outside this queue).
+    # 1000 iters: the VM family converges by ~300 (PARITY.md 256^3 row);
+    # 10k-iter voxel rows would cost ~3 h/run on the relay python-loop.
+    ("parity_vox", [sys.executable, "tools/parity.py", "--family",
+                    "dense,vm", "--seeds", "0,1,2", "--iters", "1000",
+                    "--res", "800", "--views", "50", "--workspace",
+                    "/tmp/parity_vox"], 14400),
+    # 6. refresh the default headline artifact (dual-headline JSON)
+    ("bench", [sys.executable, "bench.py"], 1800),
 ]
 
 OUT = os.path.join(REPO, "ONCHIP_QUEUE_RESULTS.md")
@@ -94,7 +93,18 @@ def main():
     ap.add_argument("--only", default="")
     ap.add_argument("--timeout", type=int, default=7200)
     ap.add_argument("--skip-probe", action="store_true")
+    ap.add_argument("--wait-pid", type=int, default=0,
+                    help="block until this pid exits (serialize behind a "
+                         "ladder already holding the single-client chip)")
     args = ap.parse_args()
+
+    if args.wait_pid:
+        import time
+        print(f"waiting for pid {args.wait_pid} to release the chip...",
+              flush=True)
+        while os.path.exists(f"/proc/{args.wait_pid}"):
+            time.sleep(30)
+        print("chip free — starting queue", flush=True)
 
     if not args.skip_probe and not probe():
         print("relay DOWN — nothing run", flush=True)
