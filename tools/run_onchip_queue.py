@@ -48,6 +48,11 @@ QUEUE = [
     # 2. per-leg bisect of the promoted config (queue item 7 from round 3)
     ("profile", [sys.executable, "tools/profile_step.py", "16", "--rays",
                  "32768", "--minsize", "1", "--skip"], 1800),
+    # 2b. per-sample inference fps at 256^2 (VERDICT r3 item 8: >=1 fps;
+    # the 800^2 probe measured iterative 3.7x over oneshot — this is the
+    # usability row at the quality-eval resolution)
+    ("evalprobe", [sys.executable, "tools/eval_probe.py", "--res", "256"],
+     1800),
     # 3. dynamic-family quality campaign (VERDICT r3 item 3): multi-view-
     # per-timestamp hard scene, production budget, time-smoothness on for
     # dynvoxel (flag is a no-op for kplanes' shared-plane structure).
