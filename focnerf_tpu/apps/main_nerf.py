@@ -86,6 +86,7 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         alpha_loss=opt.alpha_loss,
         grad_clip=opt.grad_clip,
         grad_level_phases=opt.grad_level_phases,
+        c2f=opt.c2f,
         iters=opt.iters,
         num_steps=opt.num_steps,
         upsample_steps=opt.upsample_steps,

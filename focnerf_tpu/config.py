@@ -43,6 +43,11 @@ class Options:
     # compiled step per phase; forward always exact). Cuts the encode
     # backward ~Nx on the -O path (ops/hashgrid.py grad_levels)
     grad_level_phases: int = 0
+    # coarse-to-fine hash-level schedule, e.g. "0.3:8,0.6:12": train the
+    # first 8 levels until 30% of iters, 12 until 60%, all 16 after.
+    # Encode fwd+bwd cost is ~linear in level count at stochastic K=1, so
+    # coarse stages run ~2x (train/trainer.py c2f; occupancy path only)
+    c2f: str = ""
     ckpt: str = "latest"
     num_rays: int = 4096
     cuda_ray: bool = False  # kept name for parity; enables occupancy marching

@@ -28,7 +28,12 @@ import jax.numpy as jnp
 
 from focnerf_tpu.models.mlp import mlp_apply, mlp_init
 from focnerf_tpu.ops.activation import trunc_exp
-from focnerf_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init
+from focnerf_tpu.ops.hashgrid import (
+    HashGridSpec,
+    hashgrid_encode,
+    hashgrid_encode_c2f,
+    hashgrid_init,
+)
 from focnerf_tpu.ops.sh import sh_encode
 
 Params = Dict[str, Any]
@@ -72,6 +77,11 @@ class NeRFConfig:
     # HashGridSpec.grad_levels); the alternating-phase trainer compiles one
     # step per phase via dataclasses.replace(cfg, grad_levels=...)
     grad_levels: Any = None
+    # coarse-to-fine: resolve only the first N hash levels in THIS compiled
+    # step (0 = all; see ops/hashgrid.py hashgrid_encode_c2f). The trainer's
+    # c2f schedule swaps cfgs at stage boundaries; eval paths always use the
+    # full cfg (active_levels=0) so rendering stays exact.
+    active_levels: int = 0
 
     @property
     def grid_spec(self) -> HashGridSpec:
@@ -151,7 +161,9 @@ def density_fn(params: Params, cfg: NeRFConfig, x: jax.Array, rng: Optional[jax.
     ``rng`` activates the stochastic-corner encode (training only; see
     NeRFConfig.stochastic_corners)."""
     x01 = (x + cfg.bound) / (2.0 * cfg.bound)
-    feats = hashgrid_encode(params["grid"], x01, cfg.grid_spec, rng=rng)
+    feats = hashgrid_encode_c2f(
+        params["grid"], x01, cfg.grid_spec, cfg.active_levels, rng=rng
+    )
     h = mlp_apply(params["sigma_net"], feats, cfg.compute_dtype)
     sigma = trunc_exp(h[..., 0])
     geo_feat = h[..., 1:]

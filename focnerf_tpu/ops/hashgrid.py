@@ -111,6 +111,32 @@ class HashGridSpec:
             hashed=tuple(hashed),
         )
 
+    def truncate(self, active: int) -> "HashGridSpec":
+        """Spec for the first ``active`` levels (coarse-to-fine training).
+
+        Levels are laid out independently and offsets are cumulative, so
+        the truncated table is exactly ``table[:sub.table_rows]`` — a
+        prefix slice of the full table. Used by hashgrid_encode_c2f: a
+        stage trained at ``active < num_levels`` structurally skips the
+        fine levels' gathers AND their backward one-hot/sort legs (the
+        coarse-to-fine schedule of the NGP-family literature, here as a
+        throughput lever: at stochastic K=1 the encode cost is linear in
+        the level count).
+        """
+        if not 0 < active <= self.num_levels:
+            raise ValueError(f"active={active} outside [1, {self.num_levels}]")
+        gl = self.grad_levels
+        if gl is not None:
+            gl = tuple(l for l in gl if l < active) or None
+        return dataclasses.replace(
+            self,
+            num_levels=active,
+            resolutions=self.resolutions[:active],
+            offsets=self.offsets[: active + 1],
+            hashed=self.hashed[:active],
+            grad_levels=gl,
+        )
+
     @property
     def table_rows(self) -> int:
         return self.offsets[-1]
@@ -473,6 +499,40 @@ def hashgrid_encode(
     else:
         out = _encode_sorted_bwd(table, x, u, spec)
     return out.reshape(*prefix, spec.output_dim)  # out already [N, L*C]
+
+
+def hashgrid_encode_c2f(
+    table: jax.Array,
+    x01: jax.Array,
+    spec: HashGridSpec,
+    active_levels: int,
+    input_grads: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Coarse-to-fine encode: resolve only the first ``active_levels``
+    levels, zero-fill the fine levels' feature slots.
+
+    ``active_levels`` is STATIC (one compiled step per stage — same
+    recipe as the grad_levels phase steps). 0 or >= num_levels means the
+    plain full encode. Feature order is level-major (out[:, l*C + c]), so
+    the zero fill is a trailing pad; the sigma MLP sees a constant-zero
+    block for inactive levels and their table rows receive exactly zero
+    gradient (the cotangent of the prefix slice). The schedule itself
+    lives in the trainer (Trainer(c2f=...)); quality rationale: coarse
+    levels first is the BARF/Nerfies anti-aliasing schedule, used here
+    for throughput — encode fwd AND bwd cost is ~linear in level count
+    at stochastic K=1.
+    """
+    if active_levels <= 0 or active_levels >= spec.num_levels:
+        return hashgrid_encode(table, x01, spec, input_grads=input_grads, rng=rng)
+    sub = spec.truncate(active_levels)
+    out = hashgrid_encode(
+        table[: sub.table_rows], x01, sub, input_grads=input_grads, rng=rng
+    )
+    pad = jnp.zeros(
+        (*out.shape[:-1], spec.output_dim - sub.output_dim), out.dtype
+    )
+    return jnp.concatenate([out, pad], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -50,6 +50,7 @@ class Trainer:
         alpha_loss: float = 0.0,  # direct alpha-supervision weight (RGBA GT)
         grad_clip: float = 0.0,  # global grad-norm clip (0 = off)
         grad_level_phases: int = 0,  # >1: alternating level-subset backward
+        c2f: str = "",  # coarse-to-fine stage list "frac:levels,..." — see below
         iters: int = 30000,
         num_steps: int = 512,
         max_ray_batch: int = 4096,
@@ -147,6 +148,32 @@ class Trainer:
         self.rng = jax.random.key(seed)
         self.alpha_loss = alpha_loss
         self.grad_level_phases = max(0, grad_level_phases)
+        # coarse-to-fine level schedule: "0.3:8,0.6:12" trains the first 8
+        # hash levels until 30% of iters, 12 until 60%, all afterwards
+        # (boundaries <= 1 are fractions of iters, > 1 absolute steps). One
+        # compiled step per stage (cfg.active_levels is static); encode
+        # fwd+bwd cost is ~linear in level count at stochastic K=1, so the
+        # early stages run ~2x. Eval/occupancy updates always use the full
+        # cfg. Throughput lever + the BARF/Nerfies anti-overfit schedule.
+        self._c2f_stages: list = []
+        for part in filter(None, (p.strip() for p in c2f.split(","))):
+            b, lv = part.split(":")
+            bf = float(b)
+            end = int(round(bf * iters)) if bf <= 1.0 else int(bf)
+            self._c2f_stages.append((end, int(lv)))
+        self._c2f_stages.sort()
+        if self._c2f_stages:
+            if not use_occupancy:
+                raise ValueError(
+                    "c2f schedule requires the occupancy path (its per-stage "
+                    "step cache lives in _occ_step); drop c2f or pass "
+                    "use_occupancy=True / --cuda_ray"
+                )
+            bad = [lv for _, lv in self._c2f_stages if not 0 < lv <= cfg.num_levels]
+            if bad:
+                raise ValueError(
+                    f"c2f levels {bad} outside [1, {cfg.num_levels}]"
+                )
         self.optimizer = make_optimizer(
             lr=lr, iters=iters, lr_net=lr_net, warmup=lr_warmup,
             grad_clip=grad_clip,
@@ -244,19 +271,32 @@ class Trainer:
         )
 
     def _phase_cfg(self):
-        """cfg for this step's backward phase (grad_level_phases > 1 round-
-        robins the hash-table backward over level subsets; the forward and
-        every eval path stay exact — see ops/hashgrid.py grad_levels)."""
+        """cfg for this step's backward phase and c2f stage.
+
+        grad_level_phases > 1 round-robins the hash-table backward over
+        level subsets; a c2f schedule truncates the encode to the stage's
+        active level count. Both are static in the compiled step — the
+        returned key distinguishes cache entries. Forward (phases) and
+        every eval path stay exact; see ops/hashgrid.py."""
         import dataclasses as _dc
 
+        cfg = self.cfg
+        active = 0
+        for end, lv in self._c2f_stages:
+            if self.global_step < end:
+                active = lv
+                break
+        if active:
+            cfg = _dc.replace(cfg, active_levels=active)
         P = self.grad_level_phases
         if P <= 1:
-            return self.cfg, 0
+            return cfg, (0, active)
         phase = self.global_step % P
-        lv = tuple(
-            l for l in range(self.cfg.num_levels) if l % P == phase
-        )
-        return _dc.replace(self.cfg, grad_levels=lv), phase
+        # subset over the ACTIVE levels only — inactive fine levels get no
+        # gradient anyway, and phase-splitting them would waste a phase
+        n_lv = active or cfg.num_levels
+        lv = tuple(l for l in range(n_lv) if l % P == phase)
+        return _dc.replace(cfg, grad_levels=lv), (phase, active)
 
     def _occ_step(self, slab: int):
         """Occupancy train step compiled for this slab bucket (lazy).
