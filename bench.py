@@ -383,6 +383,13 @@ def bench_hash(emit: bool = True):
     gradphase = 0
     if "--gradphase" in sys.argv:
         gradphase = int(sys.argv[sys.argv.index("--gradphase") + 1])
+    # steady-state step speed of a coarse-to-fine stage with N active
+    # levels (trainer c2f schedule; ops/hashgrid.py hashgrid_encode_c2f).
+    # Unlike --levels N this keeps the FULL 16-level spec + table and
+    # truncates the encode, exactly what a c2f stage compiles.
+    c2f_active = 0
+    if "--c2f" in sys.argv:
+        c2f_active = int(sys.argv[sys.argv.index("--c2f") + 1])
     if "--bwd" in sys.argv:
         mode = sys.argv[sys.argv.index("--bwd") + 1]
         if mode not in ("mxu", "sort", "hybrid"):  # fail FAST: a typo must
@@ -399,7 +406,7 @@ def bench_hash(emit: bool = True):
     # stays exact) + sphere-trace skip marching
     cfg = NeRFConfig(
         use_objfeat=False, stochastic_corners=1, stochastic_min_size=min_size,
-        num_levels=levels, level_dim=featdim,
+        num_levels=levels, level_dim=featdim, active_levels=c2f_active,
     )
     optimizer = make_optimizer(lr=1e-2, iters=30000)
     state = create_train_state(jax.random.key(0), cfg, optimizer)
@@ -502,7 +509,7 @@ def bench_hash(emit: bool = True):
         "config": {
             "n_rays": N_RAYS, "slab": slab, "steps": BENCH_STEPS,
             "minsize": min_size, "levels": levels, "featdim": featdim,
-            "gradphase": gradphase,
+            "gradphase": gradphase, "c2f": c2f_active,
             "bwd": hashgrid._backward_mode(),
             "build": hashgrid._onehot_build(),
             "int8": hashgrid._backward_int8(),

@@ -45,6 +45,10 @@ QUEUE = [
     ("hash", [sys.executable, "bench.py", "--hash", "--levels", "8"], 1200),
     ("hash", [sys.executable, "bench.py", "--hash", "--gradphase", "2",
               "--levels", "8", "--featdim", "4"], 1200),
+    # coarse-to-fine stage step speeds (full 16-level table, truncated
+    # encode — exactly what a trainer c2f stage compiles)
+    ("hash", [sys.executable, "bench.py", "--hash", "--c2f", "8"], 1200),
+    ("hash", [sys.executable, "bench.py", "--hash", "--c2f", "12"], 1200),
     # 2. per-leg bisect of the promoted config (queue item 7 from round 3)
     ("profile", [sys.executable, "tools/profile_step.py", "16", "--rays",
                  "32768", "--minsize", "1", "--skip"], 1800),
