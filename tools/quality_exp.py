@@ -69,7 +69,12 @@ def make_views(n_views, H, W, seed):
     )
 
 
-def run_variant(name, cfg, iters, data_train, data_test, occ_bits, occ_skip=None, seed=0):
+def run_variant(name, cfg, iters, data_train, data_test, occ_bits,
+                occ_skip=None, seed=0, cfg_for_step=None):
+    """``cfg_for_step(i, iters, cfg) -> cfg`` (optional) varies the STEP
+    config over training — the gradphase round-robin and the c2f stage
+    schedule compile one step per distinct cfg (cached below); eval always
+    uses the base cfg (exact, all levels)."""
     import optax
 
     from focnerf_tpu.render.renderer import render_rays_occupancy
@@ -78,28 +83,39 @@ def run_variant(name, cfg, iters, data_train, data_test, occ_bits, occ_skip=None
     state = create_train_state(jax.random.key(seed), cfg, optimizer)
     tr_o, tr_d, tr_rgb = data_train
 
-    def loss_fn(params, batch, rng):
-        out = render_rays_occupancy(
-            params, cfg, batch["rays_o"], batch["rays_d"], occ_bits,
-            dt_gamma=0.0, max_steps=MAX_STEPS, slab=SLAB, bg_color=1.0,
-            rng=rng, perturb=True, occ_skip=occ_skip,
-        )
-        return jnp.mean((out["image"] - batch["pixels"]) ** 2)
+    def make_step(step_cfg):
+        def loss_fn(params, batch, rng):
+            out = render_rays_occupancy(
+                params, step_cfg, batch["rays_o"], batch["rays_d"], occ_bits,
+                dt_gamma=0.0, max_steps=MAX_STEPS, slab=SLAB, bg_color=1.0,
+                rng=rng, perturb=True, occ_skip=occ_skip,
+            )
+            return jnp.mean((out["image"] - batch["pixels"]) ** 2)
 
-    @jax.jit
-    def train_step(state, rng):
-        idx = jax.random.randint(jax.random.fold_in(rng, 1), (N_RAYS,), 0, tr_o.shape[0])
-        batch = {"rays_o": tr_o[idx], "rays_d": tr_d[idx], "pixels": tr_rgb[idx]}
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
+        @jax.jit
+        def train_step(state, rng):
+            idx = jax.random.randint(jax.random.fold_in(rng, 1), (N_RAYS,), 0, tr_o.shape[0])
+            batch = {"rays_o": tr_o[idx], "rays_d": tr_d[idx], "pixels": tr_rgb[idx]}
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state._replace(params=params, opt_state=opt_state, step=state.step + 1), loss
 
-    state, loss = train_step(state, jax.random.key(seed * 100000))
+        return train_step
+
+    steps = {}
+
+    def step_at(i):
+        c = cfg if cfg_for_step is None else cfg_for_step(i, iters, cfg)
+        if c not in steps:
+            steps[c] = make_step(c)
+        return steps[c]
+
+    state, loss = step_at(0)(state, jax.random.key(seed * 100000))
     jax.block_until_ready(loss)
     t0 = time.time()
     for i in range(1, iters):
-        state, loss = train_step(state, jax.random.key(seed * 100000 + i))
+        state, loss = step_at(i)(state, jax.random.key(seed * 100000 + i))
     loss = float(loss)
     dt = (time.time() - t0) / (iters - 1)
 
@@ -166,7 +182,43 @@ def main():
         # round-3 candidate: ALL levels stochastic (uniform-K layout ->
         # pure-gather forward + lean backward); gate vs "fast"
         "allstoch": (False, 1, 1, True),
+        # round-4 throughput levers on top of allstoch (gate vs it):
+        # alternating 2-phase table backward / coarse-to-fine stages /
+        # both together. Scheduled variants recompile at stage boundaries,
+        # so their step_ms column here is polluted by compiles — quality
+        # is the gate; speed comes from bench --hash --gradphase/--c2f.
+        "gp2": (False, 1, 1, True),
+        "c2f": (False, 1, 1, True),
+        "c2fgp2": (False, 1, 1, True),
     }
+
+    import dataclasses as _dc
+
+    def _c2f_active(i, iters):
+        if i < 0.3 * iters:
+            return 8
+        if i < 0.6 * iters:
+            return 12
+        return 0
+
+    def _sched(name):
+        if name == "gp2":
+            return lambda i, it, c: _dc.replace(
+                c, grad_levels=tuple(l for l in range(c.num_levels) if l % 2 == i % 2)
+            )
+        if name == "c2f":
+            return lambda i, it, c: _dc.replace(c, active_levels=_c2f_active(i, it))
+        if name == "c2fgp2":
+            def f(i, it, c):
+                a = _c2f_active(i, it)
+                n = a or c.num_levels
+                return _dc.replace(
+                    c, active_levels=a,
+                    grad_levels=tuple(l for l in range(n) if l % 2 == i % 2),
+                )
+            return f
+        return None
+
     for name in args.variants.split(","):
         use_int8, k, ms, skipm = variants[name]
         hashgrid.BACKWARD_INT8 = use_int8
@@ -176,7 +228,8 @@ def main():
         for seed in (int(x) for x in args.seeds.split(",")):
             run_variant(f"{name}/s{seed}", cfg, args.iters, data_train,
                         data_test, occ_bits,
-                        occ_skip=occ_skip_field if skipm else None, seed=seed)
+                        occ_skip=occ_skip_field if skipm else None, seed=seed,
+                        cfg_for_step=_sched(name))
     hashgrid.BACKWARD_INT8 = None
 
 
