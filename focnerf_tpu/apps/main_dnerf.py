@@ -44,6 +44,7 @@ def build_trainer(opt, cfg):
         min_near=opt.min_near,
         color_space=opt.color_space,
         use_checkpoint=opt.ckpt,
+        ckpt_interval=opt.ckpt_interval,
         seed=opt.seed,
         time_slots=opt.time_slots,
     )
@@ -69,7 +70,9 @@ def main(argv=None):
         val_ds = None
 
     steps_per_epoch = max(train_ds.n_views, 1)
-    max_epochs = max(1, int(np.ceil(opt.iters / steps_per_epoch)))
+    # remaining-iters semantics on resume (see main_nerf.py)
+    remaining = max(0, opt.iters - trainer.global_step)
+    max_epochs = int(np.ceil(remaining / steps_per_epoch))
     t0 = time.time()
     trainer.train(train_ds, val_ds, max_epochs=max_epochs, steps_per_epoch=steps_per_epoch)
     trainer.log(f"[dnerf] trained {opt.iters} iters in {time.time()-t0:.1f}s")

@@ -107,11 +107,16 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         rand_pose=opt.rand_pose,
         clip_text=opt.clip_text,
         eval_interval=opt.eval_interval,
+        ckpt_interval=opt.ckpt_interval,
         eval_save_images=opt.eval_save_images,
         eval_renderer=opt.eval_renderer,
     )
     steps_per_epoch = max(train_ds.n_views, 1)
-    max_epochs = max(1, int(np.ceil(opt.iters / steps_per_epoch)))
+    # train the REMAINING iters: on --ckpt latest resume, global_step is
+    # already at the checkpoint step — recomputing from opt.iters alone
+    # would train opt.iters extra steps past the target
+    remaining = max(0, opt.iters - trainer.global_step)
+    max_epochs = int(np.ceil(remaining / steps_per_epoch))
     t0 = time.time()
     trainer.train(train_ds, val_ds, max_epochs=max_epochs, steps_per_epoch=steps_per_epoch)
     train_time = time.time() - t0

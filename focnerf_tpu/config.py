@@ -75,6 +75,11 @@ class Options:
     max_ray_batch: int = 4096
     # epochs between intermediate evals (ref main_nerf.py --eval_interval)
     eval_interval: int = 50
+    # epochs between rolling checkpoint saves (1 = reference behavior:
+    # save_checkpoint every epoch). On the tunneled chip the full-state d2h
+    # measured ~84 s vs 59 s of epoch compute at the production parity
+    # config; the final epoch always saves.
+    ckpt_interval: int = 1
     # --no-eval_save_images: skip intermediate-eval PNG dumps (metrics stay
     # on device; on the tunneled chip each 800^2 image d2h costs ~58 s)
     eval_save_images: bool = True
@@ -132,6 +137,13 @@ class Options:
     # relative gradient noise — quality-gated in tools/quality_exp.py).
     # Off by default so the reference-parity path trains with exact grads.
     grid_int8: bool = False
+    # hash-grid capacity shape: L levels x F feats/level at the SAME
+    # desired_resolution (2048*bound) and feature count. The reference pins
+    # 16x2 (gridencoder __init__); 8x4 halves the per-sample gather rows —
+    # a round-4 throughput axis (bench.py --levels/--featdim), promotable
+    # once the on-chip ladder + 3-seed quality gate pass.
+    grid_levels: int = 16
+    grid_featdim: int = 2
 
     # yolo / objects / composition (flags.py:58-64)
     yolo_model: str = "yolov8s-seg.pt"
@@ -227,6 +239,8 @@ class Options:
             compute_dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
             stochastic_corners=self.stochastic_corners,
             stochastic_min_size=self.stochastic_min_size,
+            num_levels=self.grid_levels,
+            level_dim=self.grid_featdim,
         )
 
     def dnerf_config(self):

@@ -334,12 +334,18 @@ class NeRFDataset:
             self._train_batch_jit = jax.jit(_assemble)
 
         if view is None:
-            view = int(
-                jax.random.randint(jax.random.fold_in(rng, 17), (), 0, self.n_views)
+            # keep the draw ON DEVICE: int(...) here would force a
+            # device->host fetch per step — on the tunneled chip that sync
+            # flushes the dispatch pipeline and costs a full RTT (~100 ms/
+            # step measured at the production parity config, vs ~23 ms of
+            # compute). Same PRNG draw either way, so batches are
+            # bit-identical to the synced version.
+            view = jax.random.randint(
+                jax.random.fold_in(rng, 17), (), 0, self.n_views
             )
         return self._train_batch_jit(
             rng,
-            jnp.int32(view),
+            jnp.asarray(view, jnp.int32),
             self.poses_dev,
             self.images,
             self.masks_dev,

@@ -37,6 +37,16 @@ from focnerf_tpu.train.steps import (
 )
 
 
+@jax.jit
+def _error_map_step(error_map, view, inds_coarse, per_ray_error):
+    """Per-step error-map EMA as ONE dispatch with a device view index
+    (ref nerf/utils.py:893-899 error_map update). Keeping this fused and
+    sync-free matters on the tunneled chip: every host round-trip in the
+    step loop costs ~an RTT (PERF.md round-4 dispatch note)."""
+    em = update_error_map(error_map[view], inds_coarse, per_ray_error)
+    return error_map.at[view].set(em)
+
+
 class Trainer:
     def __init__(
         self,
@@ -68,6 +78,7 @@ class Trainer:
         bucket_slabs: bool = False,
         skip_march: bool = False,
         eval_interval: int = 50,
+        ckpt_interval: int = 1,  # epochs between rolling checkpoint saves
         eval_save_images: bool = True,
         eval_renderer: str = "oneshot",
         max_keep_ckpt: int = 2,
@@ -111,6 +122,12 @@ class Trainer:
         self.min_near = min_near
         self.tv_weight = tv_weight
         self.eval_interval = eval_interval
+        # rolling-checkpoint cadence in epochs. The reference saves every
+        # epoch (nerf/utils.py train: save_checkpoint per epoch) — over the
+        # tunneled chip that d2h of the full train state measured ~84 s per
+        # 59 s epoch at the production parity config, i.e. >half the wall.
+        # The final epoch always saves regardless.
+        self.ckpt_interval = max(1, int(ckpt_interval))
         # intermediate-eval PNG dumps are pure observability; on the
         # tunneled chip each one costs a ~58 s d2h, so headless runs
         # (tools/parity.py) turn them off and keep only the final eval's
@@ -501,9 +518,14 @@ class Trainer:
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1, steps_per_epoch: Optional[int] = None):
         if steps_per_epoch is None:
             steps_per_epoch = train_dataset.n_views
+        if self.epoch == 0 and self.global_step > 0 and steps_per_epoch > 0:
+            # resumed from a checkpoint: continue the epoch numbering so
+            # eval/ckpt cadences line up with the pre-crash run (orbax
+            # restores step, not epoch)
+            self.epoch = self.global_step // steps_per_epoch
         if self.occupancy is not None:
             self._mark_untrained(train_dataset)
-        for _ in range(max_epochs):
+        for _ep in range(max_epochs):
             self.epoch += 1
             t0 = time.time()
             losses = []
@@ -524,10 +546,12 @@ class Trainer:
                 self.global_step += 1
                 losses.append(metrics["loss"])
                 if train_dataset.error_map is not None and "inds_coarse" in batch:
-                    view = batch["view"]
-                    em = train_dataset.error_map[view]
-                    em = update_error_map(em, batch["inds_coarse"], metrics["per_ray_error"])
-                    train_dataset.error_map = train_dataset.error_map.at[view].set(em)
+                    # one fused dispatch (gather + EMA + scatter); view stays
+                    # a device scalar — no host sync in the step loop
+                    train_dataset.error_map = _error_map_step(
+                        train_dataset.error_map, batch["view"],
+                        batch["inds_coarse"], metrics["per_ray_error"],
+                    )
             mean_loss = float(jnp.mean(jnp.stack(losses)))
             self.log(
                 f"[epoch {self.epoch}] loss={mean_loss:.6f} "
@@ -537,7 +561,8 @@ class Trainer:
                 self._tb.add_scalar("train/loss", mean_loss, self.global_step)
             if valid_dataset is not None and self.epoch % self.eval_interval == 0:
                 self.evaluate(valid_dataset, save_images=self.eval_save_images)
-            self.save_checkpoint()
+            if self.epoch % self.ckpt_interval == 0 or _ep == max_epochs - 1:
+                self.save_checkpoint()
 
     # ------------------------------------------------------------------ eval
     def _render_kwargs(self) -> dict:

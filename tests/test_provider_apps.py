@@ -196,6 +196,38 @@ class TestMainNerfCLI:
         assert any(r.endswith(".png") for r in results)
         assert any(r.endswith("_gt.png") for r in results)
 
+    def test_resume_trains_remaining_iters_only(self, scene, tmp_path):
+        """--ckpt latest resumes at the checkpoint step and trains only the
+        REMAINING iters (round-4 relay-wedge recovery: the old code re-ran
+        ceil(iters/epoch) full epochs past the target), continuing the
+        epoch numbering so eval/ckpt cadences line up."""
+        from focnerf_tpu.apps.main_nerf import main
+        from focnerf_tpu.train.checkpoints import CheckpointManager
+
+        ws = str(tmp_path / "ws")
+        # scene has 6 train views -> steps_per_epoch=6; epoch-aligned iters
+        # keep the step counts exact (partial epochs round up by design)
+        argv = [
+            scene, "--workspace", ws, "--iters", "12", "--num_steps", "24",
+            "--disable_yolo", "--scale", "1.0", "--num_rays", "64",
+            "--bound", "1.0", "--max_ray_batch", "256",
+        ]
+        main(argv)
+        ck = os.path.join(f"{ws}_background", "checkpoints")
+        mgr = CheckpointManager(ck)
+        assert mgr.latest_step() == 12
+        mgr.close()
+        # same target: nothing left to train — step must stay at 12
+        main(argv)
+        mgr = CheckpointManager(ck)
+        assert mgr.latest_step() == 12
+        mgr.close()
+        # raised target: trains exactly the one remaining epoch
+        main([a if a != "12" else "18" for a in argv])
+        mgr = CheckpointManager(ck)
+        assert mgr.latest_step() == 18
+        mgr.close()
+
 
 class TestConfig:
     def test_O_macro(self):

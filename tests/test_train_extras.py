@@ -208,6 +208,38 @@ class TestCheckpoints:
         mgr.close()
 
 
+class TestCkptInterval:
+    def test_saves_on_cadence_and_final_epoch(self, tmp_path):
+        """ckpt_interval=3 over 4 epochs saves at epoch 3 (cadence) and
+        epoch 4 (final) only — the per-epoch full-state d2h is the dominant
+        ladder wall cost on the tunneled chip (PERF.md round 4)."""
+        from focnerf_tpu.data.provider import DatasetOptions, NeRFDataset
+        from focnerf_tpu.models.nerf import NeRFConfig
+        from focnerf_tpu.train.trainer import Trainer
+        from helpers import make_synthetic_scene
+
+        scene = make_synthetic_scene(
+            str(tmp_path / "scene"), n_train=2, n_val=1, H=16, W=16
+        )
+        ds = NeRFDataset(DatasetOptions(path=scene, num_rays=64, scale=1.0),
+                         split="train")
+        cfg = NeRFConfig(
+            num_levels=2, base_resolution=4, log2_hashmap_size=8,
+            hidden_dim=16, hidden_dim_color=16, geo_feat_dim=7,
+            use_objfeat=False, compute_dtype=jnp.float32,
+        )
+        tr = Trainer(
+            "t", cfg, workspace=str(tmp_path / "ws"), iters=8, num_steps=16,
+            ckpt_interval=3, eval_interval=1000, use_tensorboard=False,
+            eval_save_images=False,
+        )
+        tr.train(ds, None, max_epochs=4, steps_per_epoch=2)
+        ck = tmp_path / "ws" / "checkpoints"
+        steps = sorted(int(d) for d in os.listdir(ck) if d.isdigit())
+        # epoch 3 -> step 6 (cadence), epoch 4 -> step 8 (final always saves)
+        assert steps == [6, 8]
+
+
 class TestErrorMap:
     def test_update(self):
         from focnerf_tpu.train.steps import update_error_map
@@ -469,3 +501,62 @@ class TestGraftEntry:
 
         fn, args = g.entry()
         jax.jit(fn).lower(*args)  # tracing succeeds = shapes consistent
+
+
+class TestGridCapacityShape:
+    """Round-4 capacity-shape axis: --grid_levels/--grid_featdim reshape the
+    hash grid (L x F) at the SAME desired_resolution and feature count. The
+    reference pins 16x2 (gridencoder/grid.py __init__); 8x4 halves gather
+    rows per sample — quality-gated in tools/quality_exp.py (cap84)."""
+
+    def test_flags_reach_nerf_config(self):
+        from focnerf_tpu.config import parse_options
+
+        o = parse_options(["x", "--grid_levels", "8", "--grid_featdim", "4"])
+        c = o.nerf_config()
+        assert (c.num_levels, c.level_dim) == (8, 4)
+
+    def test_same_desired_resolution_and_width(self):
+        from focnerf_tpu.config import parse_options
+
+        c16 = parse_options(["x"]).nerf_config()
+        c8 = parse_options(
+            ["x", "--grid_levels", "8", "--grid_featdim", "4"]
+        ).nerf_config()
+        s16, s8 = c16.grid_spec, c8.grid_spec
+        # same finest lattice up to geometric-ladder ceil rounding
+        # (desired_resolution = 2048*bound for both)
+        assert abs(s16.resolutions[-1] - s8.resolutions[-1]) <= 2
+        # same concatenated feature width -> MLP input unchanged
+        assert s16.output_dim == s8.output_dim == 32
+
+    def test_cap84_train_step_smoke(self):
+        """One optimization step on the 8x4 shape with the -O stochastic
+        stack: params update, loss is finite (plumbing end-to-end)."""
+        import optax
+
+        from focnerf_tpu.models.nerf import (
+            NeRFConfig, color_fn, density_fn, init_nerf_params,
+        )
+
+        cfg = NeRFConfig(
+            use_objfeat=False, num_levels=8, level_dim=4,
+            stochastic_corners=1, stochastic_min_size=1,
+            compute_dtype=jnp.float32,
+        )
+        params = init_nerf_params(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (64, 3), minval=-1, maxval=1)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (64, 1))
+
+        def loss_fn(p, rng):
+            sigma, geo = density_fn(p, cfg, x, rng=rng)
+            color = color_fn(p, cfg, d, geo)
+            return jnp.mean(sigma**2) + jnp.mean((color - 0.5) ** 2)
+
+        opt = optax.adam(1e-2)
+        st = opt.init(params)
+        l0, g = jax.value_and_grad(loss_fn)(params, jax.random.key(2))
+        up, st = opt.update(g, st)
+        p1 = optax.apply_updates(params, up)
+        assert np.isfinite(float(l0))
+        assert float(jnp.abs(p1["grid"] - params["grid"]).max()) > 0

@@ -72,6 +72,11 @@ def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
         # ~1140 s of training)
         "--no-eval_save_images", "--mesh_res", "0",
         "--eval_interval", "100",
+        # rolling ckpt every 10 epochs (500 steps): the per-epoch full-state
+        # d2h costs ~84 s vs 59 s of compute on the tunneled chip — saving
+        # every epoch more than doubles ladder wall time for <=500 steps of
+        # extra crash exposure
+        "--ckpt_interval", "10",
         # parity rows must be from-scratch runs: the default ckpt=latest
         # silently RESUMES a previous ladder's checkpoint if the workspace
         # exists (round-4 forensics: a "10k-iter" row was at step 11600)

@@ -190,6 +190,17 @@ def main():
         "gp2": (False, 1, 1, True),
         "c2f": (False, 1, 1, True),
         "c2fgp2": (False, 1, 1, True),
+        # round-4 capacity-shape candidates (bench --levels 8 --featdim 4
+        # speed axis): 8 levels x 4 feats at the SAME desired_resolution
+        # and feature count — halves gather rows; gate quality vs allstoch
+        "cap84": (False, 1, 1, True),
+        "gp4": (False, 1, 1, True),
+        "cap84gp4": (False, 1, 1, True),
+    }
+    # model-shape overrides (applied to NeRFConfig, not the step schedule)
+    shape_overrides = {
+        "cap84": dict(num_levels=8, level_dim=4),
+        "cap84gp4": dict(num_levels=8, level_dim=4),
     }
 
     import dataclasses as _dc
@@ -205,6 +216,10 @@ def main():
         if name == "gp2":
             return lambda i, it, c: _dc.replace(
                 c, grad_levels=tuple(l for l in range(c.num_levels) if l % 2 == i % 2)
+            )
+        if name in ("gp4", "cap84gp4"):
+            return lambda i, it, c: _dc.replace(
+                c, grad_levels=tuple(l for l in range(c.num_levels) if l % 4 == i % 4)
             )
         if name == "c2f":
             return lambda i, it, c: _dc.replace(c, active_levels=_c2f_active(i, it))
@@ -223,7 +238,8 @@ def main():
         use_int8, k, ms, skipm = variants[name]
         hashgrid.BACKWARD_INT8 = use_int8
         cfg = NeRFConfig(
-            use_objfeat=False, stochastic_corners=k, stochastic_min_size=ms
+            use_objfeat=False, stochastic_corners=k, stochastic_min_size=ms,
+            **shape_overrides.get(name, {}),
         )
         for seed in (int(x) for x in args.seeds.split(",")):
             run_variant(f"{name}/s{seed}", cfg, args.iters, data_train,

@@ -45,6 +45,10 @@ QUEUE = [
     ("hash", [sys.executable, "bench.py", "--hash", "--levels", "8"], 1200),
     ("hash", [sys.executable, "bench.py", "--hash", "--gradphase", "2",
               "--levels", "8", "--featdim", "4"], 1200),
+    # most aggressive composition: if gradphase-2 x capacity stacks
+    # multiplicatively this is the 400k candidate (encode-bwd ~12 ms)
+    ("hash", [sys.executable, "bench.py", "--hash", "--gradphase", "4",
+              "--levels", "8", "--featdim", "4"], 1200),
     # coarse-to-fine stage step speeds (full 16-level table, truncated
     # encode — exactly what a trainer c2f stage compiles)
     ("hash", [sys.executable, "bench.py", "--hash", "--c2f", "8"], 1200),
