@@ -101,6 +101,44 @@ def probe(timeout_s: int = 150) -> bool:
         return False
 
 
+def _run_with_stall_guard(argv, timeout_s, stall_s=900):
+    """Run one queue command, killing it EARLY if it produces no output for
+    ``stall_s`` — a wedged PJRT client (futex-blocked first RPC, zero CPU;
+    PERF.md round-4 relay-wedge note) would otherwise burn the full
+    per-command timeout. Healthy bench/parity commands print at least every
+    few minutes (epoch lines, bench JSON, compile banners)."""
+    import threading
+    import time
+
+    p = subprocess.Popen(
+        argv, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    chunks = []
+    last = [time.monotonic()]
+
+    def _pump():
+        for line in p.stdout:
+            chunks.append(line)
+            last[0] = time.monotonic()
+
+    t = threading.Thread(target=_pump, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    while True:
+        if p.poll() is not None:
+            t.join(timeout=10)
+            return "".join(chunks), f"rc={p.returncode}"
+        now = time.monotonic()
+        if now - t0 > timeout_s:
+            p.kill()
+            return "".join(chunks), f"TIMEOUT {timeout_s}s"
+        if now - last[0] > stall_s:
+            p.kill()
+            return "".join(chunks), f"STALLED {stall_s}s no-output (wedge guard)"
+        time.sleep(5)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="")
@@ -133,16 +171,7 @@ def main():
             continue
         cmd = " ".join(argv[1:])
         print(f"=== [{tag}] {cmd}", flush=True)
-        try:
-            r = subprocess.run(
-                argv, cwd=REPO, timeout=tmo or args.timeout,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            )
-            body = r.stdout
-            status = f"rc={r.returncode}"
-        except subprocess.TimeoutExpired as e:
-            body = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-            status = f"TIMEOUT {tmo or args.timeout}s"
+        body, status = _run_with_stall_guard(argv, tmo or args.timeout)
         tail = "\n".join(body.strip().splitlines()[-12:])
         print(tail, flush=True)
         with open(OUT, "a") as log:
