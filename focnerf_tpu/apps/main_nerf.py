@@ -99,6 +99,7 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
         skip_march=opt.skip_march,
         density_thresh=opt.density_thresh,
         update_extra_interval=opt.update_extra_interval,
+        steps_per_dispatch=opt.steps_per_dispatch,
         min_near=opt.min_near,
         color_space=opt.color_space,
         tv_weight=opt.tv_weight,

@@ -72,6 +72,12 @@ class Options:
     basis: bool = False
     hyper: bool = False
     update_extra_interval: int = 16
+    # >1: fuse K optimizer steps into ONE device dispatch (lax.scan over
+    # on-device batch assembly + step + error-map EMA, train/fused.py).
+    # Amortizes the per-dispatch RTT on tunneled/remote chips ~Kx; PRNG
+    # chain is bit-identical to per-step training. 16 aligns with
+    # --update_extra_interval so occupancy ticks stay at chunk boundaries.
+    steps_per_dispatch: int = 1
     max_ray_batch: int = 4096
     # epochs between intermediate evals (ref main_nerf.py --eval_interval)
     eval_interval: int = 50

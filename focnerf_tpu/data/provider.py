@@ -33,6 +33,37 @@ from focnerf_tpu.core.camera import nerf_matrix_to_ngp, rand_poses
 from focnerf_tpu.core.rays import get_rays, sample_ray_indices
 
 
+def make_batch_assemble(H: int, W: int, num_rays: int, intrinsics, patch_size: int = 1):
+    """Pure batch assembler: (rng, view, poses, images, masks, obj_feats,
+    error_map) -> train-step batch dict. The on-device equivalent of the
+    reference's DataLoader collate + get_rays (nerf/provider.py:398-447,
+    nerf/utils.py:56-157); module-level so the fused K-step scan
+    (train/fused.py) can trace the identical function."""
+
+    def _assemble(rng, view_idx, poses, images, masks, obj_feats, error_map):
+        k1, k2 = jax.random.split(rng)
+        em = None if error_map is None else error_map[view_idx]
+        inds, inds_coarse = sample_ray_indices(
+            k1, H, W, num_rays, error_map=em, patch_size=patch_size
+        )
+        rays = get_rays(poses[view_idx], intrinsics, H, W, inds=inds)
+        batch = {
+            "rays_o": rays["rays_o"],
+            "rays_d": rays["rays_d"],
+            "pixels": images[view_idx][inds].astype(jnp.float32),
+        }
+        if masks is not None:
+            batch["ray_mask"] = masks[view_idx][inds]
+        if obj_feats is not None:
+            batch["obj_feat"] = obj_feats[view_idx]
+        if inds_coarse is not None:
+            batch["inds_coarse"] = inds_coarse
+        batch["view"] = view_idx
+        return batch
+
+    return _assemble
+
+
 @dataclasses.dataclass
 class DatasetOptions:
     path: str
@@ -298,6 +329,19 @@ class NeRFDataset:
         return self.images is not None or self.images_host is not None
 
     # ------------------------------------------------------------------ batches
+    def assemble_fn(self):
+        """Pure jittable batch assembler for this dataset's static shape —
+        shared by the per-step path and the fused K-step scan
+        (train/fused.py), so both produce bit-identical batches."""
+        return make_batch_assemble(
+            self.H, self.W, self.opt.num_rays, self.intrinsics,
+            patch_size=self.opt.patch_size,
+        )
+
+    def fused_batch_inputs(self):
+        """Device arrays consumed by the fused chunk, in assemble order."""
+        return (self.poses_dev, self.images, self.masks_dev, self.obj_feats_dev)
+
     def train_batch(self, rng: jax.Array, view: Optional[int] = None):
         """One training batch: random view, ``num_rays`` sampled pixels.
 
@@ -307,31 +351,7 @@ class NeRFDataset:
         if self.images_host is not None:
             return self._host_train_batch(view)
         if self._train_batch_jit is None:
-            H, W, num_rays = self.H, self.W, self.opt.num_rays
-            patch = self.opt.patch_size
-
-            def _assemble(rng, view_idx, poses, images, masks, obj_feats, error_map):
-                k1, k2 = jax.random.split(rng)
-                em = None if error_map is None else error_map[view_idx]
-                inds, inds_coarse = sample_ray_indices(
-                    k1, H, W, num_rays, error_map=em, patch_size=patch
-                )
-                rays = get_rays(poses[view_idx], self.intrinsics, H, W, inds=inds)
-                batch = {
-                    "rays_o": rays["rays_o"],
-                    "rays_d": rays["rays_d"],
-                    "pixels": images[view_idx][inds].astype(jnp.float32),
-                }
-                if masks is not None:
-                    batch["ray_mask"] = masks[view_idx][inds]
-                if obj_feats is not None:
-                    batch["obj_feat"] = obj_feats[view_idx]
-                if inds_coarse is not None:
-                    batch["inds_coarse"] = inds_coarse
-                batch["view"] = view_idx
-                return batch
-
-            self._train_batch_jit = jax.jit(_assemble)
+            self._train_batch_jit = jax.jit(self.assemble_fn())
 
         if view is None:
             # keep the draw ON DEVICE: int(...) here would force a

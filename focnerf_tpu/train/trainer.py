@@ -78,6 +78,7 @@ class Trainer:
         bucket_slabs: bool = False,
         skip_march: bool = False,
         eval_interval: int = 50,
+        steps_per_dispatch: int = 1,  # >1: fuse K steps into ONE device dispatch
         ckpt_interval: int = 1,  # epochs between rolling checkpoint saves
         eval_save_images: bool = True,
         eval_renderer: str = "oneshot",
@@ -122,6 +123,14 @@ class Trainer:
         self.min_near = min_near
         self.tv_weight = tv_weight
         self.eval_interval = eval_interval
+        # fused multi-step dispatch (train/fused.py): lax.scan K optimizer
+        # steps + on-device batch assembly + error-map EMA into one compiled
+        # program. On the tunneled chip one dispatch costs ~one RTT (~100 ms,
+        # PERF.md round-4), so K=16 cuts the dispatch tax ~16x. Bit-identical
+        # PRNG chain to the per-step loop (tests/test_fused_steps.py).
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        self._fused_cache: dict = {}
+        self._fused_assemble = None
         # rolling-checkpoint cadence in epochs. The reference saves every
         # epoch (nerf/utils.py train: save_checkpoint per epoch) — over the
         # tunneled chip that d2h of the full train state measured ~84 s per
@@ -268,6 +277,7 @@ class Trainer:
     def _build_steps(self, *, ema_decay: float, color_space: str):
         self._ema_decay = ema_decay
         self._color_space = color_space
+        self._supports_fused = True  # subclasses with bespoke steps opt out
         if self.use_occupancy:
             self._occ_step_cache = {}
             self._train_step_occ = self._occ_step(self.train_slab)
@@ -515,6 +525,149 @@ class Trainer:
             self._occ_cache = bits
         return self._occ_cache
 
+    # ------------------------------------------------------------ fused chunks
+    def _cfg_phase_list(self):
+        """Per-substep cfgs for the current c2f stage: length P when
+        grad_level_phases is on (phase i trains level subset i), else [cfg].
+        Mirrors _phase_cfg but enumerates ALL phases — the fused chunk
+        unrolls one sub-step per phase (train/fused.py)."""
+        import dataclasses as _dc
+
+        cfg = self.cfg
+        active = 0
+        for end, lv in self._c2f_stages:
+            if self.global_step < end:
+                active = lv
+                break
+        if active:
+            cfg = _dc.replace(cfg, active_levels=active)
+        P = self.grad_level_phases
+        if P <= 1:
+            return [cfg], (1, active)
+        n_lv = active or cfg.num_levels
+        cfgs = [
+            _dc.replace(
+                cfg, grad_levels=tuple(l for l in range(n_lv) if l % P == phase)
+            )
+            for phase in range(P)
+        ]
+        return cfgs, (P, active)
+
+    def _fused_steps_possible(self, train_dataset, remaining: int) -> int:
+        """How many steps the next dispatch may fuse (1 = per-step path).
+
+        Fusing is only used when a full steps_per_dispatch chunk fits —
+        bounded by the epoch remainder, the next occupancy-update tick
+        (grid maintenance stays at chunk boundaries, preserving the
+        sequential cadence), the next c2f stage boundary, and gradphase
+        alignment — so the compile cache holds exactly one chunk per
+        (slab, stage) instead of one per odd-sized tail."""
+        K = self.steps_per_dispatch
+        if (
+            K <= 1
+            or not getattr(self, "_supports_fused", False)
+            or self.rand_pose >= 0
+            or getattr(train_dataset, "images", None) is None
+        ):
+            return 1
+        if remaining < K:
+            return 1
+        gs = self.global_step
+        if self.occupancy is not None:
+            # a due occupancy update must never fall strictly inside the
+            # chunk — the NEXT tick after gs is at the next multiple of iv
+            # (the tick at gs itself already fired before this chunk)
+            iv = self.update_extra_interval
+            next_due = ((gs // iv) + 1) * iv if gs % iv else gs + iv
+            if gs + K > next_due:
+                return 1
+        for end, _lv in self._c2f_stages:
+            if gs < end < gs + K:
+                return 1
+        P = self.grad_level_phases
+        if P > 1 and (gs % P != 0 or K % P != 0):
+            return 1
+        return K
+
+    def _fused_chunk_fn(self, train_dataset, K: int):
+        cfgs, (P, active) = self._cfg_phase_list()
+        has_em = train_dataset.error_map is not None
+        key = (K, self.active_slab if self.use_occupancy else -1, P, active,
+               has_em, train_dataset.masks_dev is not None,
+               train_dataset.obj_feats_dev is not None)
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+        if self._fused_assemble is None:
+            self._fused_assemble = train_dataset.assemble_fn()
+        if self.use_occupancy:
+            raws = [
+                make_train_step_occupancy(
+                    cfg,
+                    self.optimizer,
+                    dt_gamma=self.dt_gamma,
+                    max_steps=self.max_steps,
+                    slab=self.active_slab,
+                    min_near=self.min_near,
+                    ema_decay=self._ema_decay,
+                    color_space=self._color_space,
+                    tv_weight=self.tv_weight,
+                    alpha_weight=self.alpha_loss,
+                    donate=False,
+                    skip_field=self.skip_march,
+                ).raw
+                for cfg in cfgs
+            ]
+        else:
+            raws = [
+                make_train_step(
+                    cfg,
+                    self.optimizer,
+                    num_steps=self.num_steps,
+                    upsample_steps=self.upsample_steps,
+                    min_near=self.min_near,
+                    ema_decay=self._ema_decay,
+                    color_space=self._color_space,
+                    tv_weight=self.tv_weight,
+                    alpha_weight=self.alpha_loss,
+                    donate=False,
+                ).raw
+                for cfg in cfgs
+            ]
+        from focnerf_tpu.train.fused import make_fused_chunk
+
+        fn = make_fused_chunk(
+            raws,
+            self._fused_assemble,
+            train_dataset.n_views,
+            K=K,
+            use_occupancy=self.use_occupancy,
+            has_error_map=has_em,
+            # params/ema_params alias one buffer at init (and whenever a
+            # checkpoint restores them equal) — donating the state would
+            # donate that buffer twice. Matches the per-step path.
+            donate=False,
+        )
+        self._fused_cache[key] = fn
+        return fn
+
+    def _run_fused_chunk(self, train_dataset, K: int):
+        """Dispatch one fused K-step chunk; returns the per-step losses [K]."""
+        bits = self._occ_bits_for_batch(None) if self.occupancy is not None else None
+        fn = self._fused_chunk_fn(train_dataset, K)
+        state, em, rng, losses, msamples = fn(
+            self.state, train_dataset.error_map, self.rng, bits,
+            *train_dataset.fused_batch_inputs(),
+        )
+        self.state = state
+        self.rng = rng
+        if train_dataset.error_map is not None:
+            train_dataset.error_map = em
+        if self.occupancy is not None:
+            self._last_mean_samples = jnp.mean(msamples)
+        self.global_step += K
+        return losses
+
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1, steps_per_epoch: Optional[int] = None):
         if steps_per_epoch is None:
             steps_per_epoch = train_dataset.n_views
@@ -529,8 +682,17 @@ class Trainer:
             self.epoch += 1
             t0 = time.time()
             losses = []
-            for _ in range(steps_per_epoch):
+            done = 0
+            while done < steps_per_epoch:
                 self._maybe_update_occupancy()
+                n = self._fused_steps_possible(train_dataset, steps_per_epoch - done)
+                if n > 1:
+                    # one device dispatch for n steps (train/fused.py):
+                    # batch assembly, optimizer steps and the error-map EMA
+                    # all ride a single lax.scan program
+                    losses.append(self._run_fused_chunk(train_dataset, n))
+                    done += n
+                    continue
                 # distinct subkeys: pixel sampling and the train step's random
                 # background must not share a stream
                 k_batch, k = jax.random.split(self._next_rng())
@@ -544,6 +706,7 @@ class Trainer:
                 else:
                     self.state, metrics = self._train_step(self.state, batch, k)
                 self.global_step += 1
+                done += 1
                 losses.append(metrics["loss"])
                 if train_dataset.error_map is not None and "inds_coarse" in batch:
                     # one fused dispatch (gather + EMA + scatter); view stays
@@ -552,7 +715,9 @@ class Trainer:
                         train_dataset.error_map, batch["view"],
                         batch["inds_coarse"], metrics["per_ray_error"],
                     )
-            mean_loss = float(jnp.mean(jnp.stack(losses)))
+            mean_loss = float(
+                jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in losses]))
+            )
             self.log(
                 f"[epoch {self.epoch}] loss={mean_loss:.6f} "
                 f"steps={self.global_step} time={time.time()-t0:.1f}s"

@@ -1,0 +1,150 @@
+"""Fused K-step dispatch (train/fused.py) must match per-step training.
+
+The fused chunk's contract is bit-compatible PRNG consumption with the
+sequential loop, so two trainers with the same seed — one at
+steps_per_dispatch=1, one at K>1 — must produce the same parameter
+trajectory, error map and occupancy state.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focnerf_tpu.data.provider import DatasetOptions, NeRFDataset
+from focnerf_tpu.models.nerf import NeRFConfig
+from focnerf_tpu.train.trainer import Trainer
+
+from helpers import make_synthetic_scene
+
+
+def _tiny_cfg():
+    return NeRFConfig(
+        num_levels=2, base_resolution=4, log2_hashmap_size=8,
+        hidden_dim=16, hidden_dim_color=16, geo_feat_dim=7,
+        use_objfeat=False, compute_dtype=jnp.float32,
+    )
+
+
+def _dataset(tmp_path, tag, error_map=False):
+    scene = make_synthetic_scene(
+        str(tmp_path / f"scene_{tag}"), n_train=3, n_val=1, H=16, W=16
+    )
+    return NeRFDataset(
+        DatasetOptions(path=scene, num_rays=64, scale=1.0, error_map=error_map),
+        split="train",
+    )
+
+
+def _trainer(tmp_path, tag, K, **kw):
+    return Trainer(
+        f"t{tag}", _tiny_cfg(), workspace=str(tmp_path / f"ws_{tag}"),
+        iters=8, num_steps=16, steps_per_dispatch=K, eval_interval=1000,
+        use_tensorboard=False, eval_save_images=False, use_checkpoint="scratch",
+        seed=3, **kw,
+    )
+
+
+def _assert_tree_close(a, b, atol=2e-4, frac=0.02):
+    """Trees equal up to adam-amplified float noise.
+
+    scan vs eager reassociates float reductions; for a hash-table entry
+    whose gradient is near zero, adam's m/sqrt(v) normalization turns that
+    rounding noise into a full ±lr step. So individual entries may differ
+    by ~lr — correctness evidence is that only a tiny FRACTION do (a wrong
+    batch or RNG chain shifts essentially every parameter)."""
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    bad = total = 0
+    for x, y in zip(la, lb):
+        x, y = np.asarray(x), np.asarray(y)
+        bad += int(np.sum(np.abs(x - y) > atol + 0.05 * np.abs(y)))
+        total += x.size
+    assert bad / max(total, 1) <= frac, f"{bad}/{total} elements differ"
+
+
+class TestFusedParity:
+    def test_uniform_path_matches_per_step(self, tmp_path):
+        ds1 = _dataset(tmp_path, "a")
+        ds2 = _dataset(tmp_path, "b")
+        t1 = _trainer(tmp_path, "seq", 1)
+        t2 = _trainer(tmp_path, "fused", 4)
+        t1.train(ds1, None, max_epochs=1, steps_per_epoch=8)
+        t2.train(ds2, None, max_epochs=1, steps_per_epoch=8)
+        assert t1.global_step == t2.global_step == 8
+        assert t2._fused_cache, "fused path never engaged"
+        _assert_tree_close(t1.state.params, t2.state.params)
+        _assert_tree_close(t1.state.ema_params, t2.state.ema_params)
+
+    def test_error_map_matches(self, tmp_path):
+        ds1 = _dataset(tmp_path, "a", error_map=True)
+        ds2 = _dataset(tmp_path, "b", error_map=True)
+        t1 = _trainer(tmp_path, "seq", 1)
+        t2 = _trainer(tmp_path, "fused", 4)
+        t1.train(ds1, None, max_epochs=1, steps_per_epoch=4)
+        t2.train(ds2, None, max_epochs=1, steps_per_epoch=4)
+        assert t2._fused_cache, "fused path never engaged"
+        np.testing.assert_allclose(
+            np.asarray(ds1.error_map), np.asarray(ds2.error_map),
+            rtol=0.05, atol=2e-4,
+        )
+
+    def test_occupancy_path_matches_and_respects_update_ticks(self, tmp_path):
+        kw = dict(
+            use_occupancy=True, update_extra_interval=4, train_slab=16,
+            max_steps=64, density_thresh=0.01,
+        )
+        ds1 = _dataset(tmp_path, "a")
+        ds2 = _dataset(tmp_path, "b")
+        t1 = _trainer(tmp_path, "seq", 1, **kw)
+        t2 = _trainer(tmp_path, "fused", 4, **kw)
+        t1.train(ds1, None, max_epochs=1, steps_per_epoch=8)
+        t2.train(ds2, None, max_epochs=1, steps_per_epoch=8)
+        assert t2._fused_cache, "fused path never engaged"
+        _assert_tree_close(t1.state.params, t2.state.params)
+        np.testing.assert_allclose(
+            np.asarray(t1.occupancy.density_grid),
+            np.asarray(t2.occupancy.density_grid), rtol=0.05, atol=2e-4,
+        )
+
+    def test_chunk_never_straddles_occupancy_tick(self, tmp_path):
+        """K=8 > interval=4: the fuser must cap chunks at the next tick
+        rather than skip grid updates mid-chunk (here that means it falls
+        back to 1-step chunks until aligned, then fuses 4 at a time —
+        never 8)."""
+        kw = dict(
+            use_occupancy=True, update_extra_interval=4, train_slab=16,
+            max_steps=64, density_thresh=0.01,
+        )
+        ds = _dataset(tmp_path, "a")
+        t = _trainer(tmp_path, "cap", 8, **kw)
+        assert t._fused_steps_possible(ds, remaining=8) == 1
+
+    def test_gradphase_fused_matches_per_step(self, tmp_path):
+        kw = dict(
+            use_occupancy=True, update_extra_interval=4, train_slab=16,
+            max_steps=64, density_thresh=0.01, grad_level_phases=2,
+        )
+        ds1 = _dataset(tmp_path, "a")
+        ds2 = _dataset(tmp_path, "b")
+        t1 = _trainer(tmp_path, "seq", 1, **kw)
+        t2 = _trainer(tmp_path, "fused", 4, **kw)
+        t1.train(ds1, None, max_epochs=1, steps_per_epoch=4)
+        t2.train(ds2, None, max_epochs=1, steps_per_epoch=4)
+        assert t2._fused_cache, "fused path never engaged"
+        _assert_tree_close(t1.state.params, t2.state.params)
+
+    def test_fallbacks(self, tmp_path):
+        ds = _dataset(tmp_path, "a")
+        # rand_pose >= 0 (CLIP branch) is per-step only
+        t = _trainer(tmp_path, "rp", 4)
+        t.rand_pose = 0
+        assert t._fused_steps_possible(ds, remaining=8) == 1
+        # epoch remainder smaller than K stays per-step
+        t2 = _trainer(tmp_path, "rem", 4)
+        assert t2._fused_steps_possible(ds, remaining=3) == 1
+        # gradphase misalignment (K % P != 0) stays per-step
+        t3 = _trainer(tmp_path, "gp", 3, use_occupancy=True,
+                      update_extra_interval=16, train_slab=16, max_steps=64,
+                      grad_level_phases=2)
+        assert t3._fused_steps_possible(ds, remaining=16) == 1
