@@ -570,24 +570,30 @@ class Trainer:
             or getattr(train_dataset, "images", None) is None
         ):
             return 1
-        if remaining < K:
-            return 1
         gs = self.global_step
+        cap = remaining
         if self.occupancy is not None:
             # a due occupancy update must never fall strictly inside the
             # chunk — the NEXT tick after gs is at the next multiple of iv
             # (the tick at gs itself already fired before this chunk)
             iv = self.update_extra_interval
             next_due = ((gs // iv) + 1) * iv if gs % iv else gs + iv
-            if gs + K > next_due:
-                return 1
+            cap = min(cap, next_due - gs)
         for end, _lv in self._c2f_stages:
-            if gs < end < gs + K:
-                return 1
-        P = self.grad_level_phases
-        if P > 1 and (gs % P != 0 or K % P != 0):
-            return 1
-        return K
+            if gs < end:
+                cap = min(cap, end - gs)
+                break
+        # step DOWN through power-of-two sizes so epoch remainders and
+        # tick-misaligned starts still fuse — the compile cache stays
+        # bounded at {K} ∪ {powers of two < K} per (slab, stage)
+        P = max(1, self.grad_level_phases)
+        for n in sorted({K} | {1 << i for i in range(K.bit_length())},
+                        reverse=True):
+            if n <= 1:
+                break
+            if n <= cap and n % P == 0 and (P == 1 or gs % P == 0):
+                return n
+        return 1
 
     def _fused_chunk_fn(self, train_dataset, K: int):
         cfgs, (P, active) = self._cfg_phase_list()

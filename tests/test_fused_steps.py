@@ -109,16 +109,17 @@ class TestFusedParity:
 
     def test_chunk_never_straddles_occupancy_tick(self, tmp_path):
         """K=8 > interval=4: the fuser must cap chunks at the next tick
-        rather than skip grid updates mid-chunk (here that means it falls
-        back to 1-step chunks until aligned, then fuses 4 at a time —
-        never 8)."""
+        (fusing 4, the largest power of two that fits) rather than skip
+        grid updates mid-chunk."""
         kw = dict(
             use_occupancy=True, update_extra_interval=4, train_slab=16,
             max_steps=64, density_thresh=0.01,
         )
         ds = _dataset(tmp_path, "a")
         t = _trainer(tmp_path, "cap", 8, **kw)
-        assert t._fused_steps_possible(ds, remaining=8) == 1
+        assert t._fused_steps_possible(ds, remaining=8) == 4
+        t.global_step = 2  # misaligned: only 2 steps until the next tick
+        assert t._fused_steps_possible(ds, remaining=8) == 2
 
     def test_gradphase_fused_matches_per_step(self, tmp_path):
         kw = dict(
@@ -140,11 +141,15 @@ class TestFusedParity:
         t = _trainer(tmp_path, "rp", 4)
         t.rand_pose = 0
         assert t._fused_steps_possible(ds, remaining=8) == 1
-        # epoch remainder smaller than K stays per-step
+        # epoch remainder smaller than K: fuse the power-of-two that fits
         t2 = _trainer(tmp_path, "rem", 4)
-        assert t2._fused_steps_possible(ds, remaining=3) == 1
-        # gradphase misalignment (K % P != 0) stays per-step
+        assert t2._fused_steps_possible(ds, remaining=3) == 2
+        assert t2._fused_steps_possible(ds, remaining=1) == 1
+        # gradphase: chunk must be a multiple of P (K=3 -> fuse 2)
         t3 = _trainer(tmp_path, "gp", 3, use_occupancy=True,
                       update_extra_interval=16, train_slab=16, max_steps=64,
                       grad_level_phases=2)
+        assert t3._fused_steps_possible(ds, remaining=16) == 2
+        # gradphase phase-misaligned start stays per-step
+        t3.global_step = 1
         assert t3._fused_steps_possible(ds, remaining=16) == 1
