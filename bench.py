@@ -400,6 +400,10 @@ def bench_hash(emit: bool = True):
         hashgrid.BACKWARD_ONEHOT_BUILD = sys.argv[sys.argv.index("--build") + 1]
     if "--int8" in sys.argv:
         hashgrid.BACKWARD_INT8 = True
+    # first output BEFORE any device RPC: lets queue stall guards tell a
+    # wedged PJRT client (silence from the start) from a slow cold compile
+    print("[bench] hash family: building model + first dispatch...",
+          file=sys.stderr, flush=True)
 
     # the -O production config (config.py): stochastic-corner hash encode
     # (1 sampled corner per hashed + big dense level during training; eval
@@ -488,10 +492,20 @@ def bench_hash(emit: bool = True):
         _ = float(loss)
         dt = time.time() - t0
     else:
-        # warmup + compile
-        for i in range(WARMUP_STEPS):
+        # warmup + compile — must cover EVERY phase variant (gradphase N
+        # round-robins N distinct compiled steps; warming fewer than N puts
+        # compiles inside the timed loop) and print progress per compile
+        # (queue stall guards kill silent commands; a cold-cache gradphase-4
+        # warmup is ~20 min of otherwise-silent compilation)
+        n_warm = max(WARMUP_STEPS, gradphase)
+        for i in range(n_warm):
             state, loss = train_step(state, jax.random.key(i))
-        jax.block_until_ready(loss)
+            jax.block_until_ready(loss)
+            print(f"[bench] warmup/compile {i + 1}/{n_warm}",
+                  file=sys.stderr, flush=True)
+        # keep the timed loop phase-aligned with the warmup start
+        if gradphase > 1:
+            _calls[0] = 0
 
         t0 = time.time()
         for i in range(BENCH_STEPS):

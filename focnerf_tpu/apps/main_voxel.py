@@ -147,6 +147,8 @@ def main(argv=None):
                 time_smooth_weight=opt.voxel_time_smooth,
                 log_every=max(opt.iters // 10, 1),
             )
+            if not opt.voxel_sp:
+                kp_common["steps_per_dispatch"] = opt.steps_per_dispatch
             if opt.voxel_sp:
                 # collapse-sharded over all local devices (the dense grid a
                 # device materializes is R_loc x R x R — parallel/kplanes_sp;
@@ -201,6 +203,7 @@ def main(argv=None):
                 sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
                 time_smooth_weight=opt.voxel_time_smooth,
                 seed=opt.seed, log_every=max(opt.iters // 10, 1),
+                steps_per_dispatch=opt.steps_per_dispatch,
             )
             cache = os.path.join(
                 opt.workspace, f"dynvoxel_{opt.bake_res}_sh{opt.bake_sh}.npz"
@@ -271,6 +274,7 @@ def main(argv=None):
             resolution=opt.bake_res, rank=opt.voxel_vm, bound=opt.bound,
             sh_degree=opt.bake_sh, iters=opt.iters, bg_color=1.0,
             log_every=max(opt.iters // 10, 1),
+            steps_per_dispatch=opt.steps_per_dispatch,
         )
         if os.path.exists(vm_path):  # warm-start (--ckpt latest semantics)
             prev, prev_bound, prev_sh = load_vm_field(vm_path)
@@ -360,6 +364,7 @@ def main(argv=None):
             bound=opt.bound, sh_degree=opt.bake_sh, iters=opt.iters,
             bg_color=1.0, density_scale=1.0,
             log_every=max(opt.iters // 10, 1), supervise=opt.voxel_supervise,
+            steps_per_dispatch=opt.steps_per_dispatch,
         )
         if opt.voxel_c2f > 1:
             vol, info = fit_voxels_c2f(

@@ -116,6 +116,7 @@ def _fit_field_loop(
     supervise: str = "intermediate",
     times: Optional[np.ndarray] = None,  # [V] per-view scalars fed to raw_fn
     tag: str = "voxel",
+    steps_per_dispatch: int = 1,
 ) -> Tuple[object, Dict]:
     """Shared whole-image descent engine for all voxel field families.
 
@@ -191,7 +192,6 @@ def _fit_field_loop(
                 mse = jnp.mean((img - gt) ** 2)
                 return mse + reg_fn(params), mse
 
-        @jax.jit
         def step(params, opt_state, pose_dev, t, target, mask):
             (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, pose_dev, t, target, mask
@@ -199,7 +199,7 @@ def _fit_field_loop(
             updates, opt_state = optimizer.update(g, opt_state)
             return optax.apply_updates(params, updates), opt_state, mse
 
-        return step
+        return step  # un-jitted; callers jit (per-step) or scan (fused)
 
     def targets_for(v: int, key: Tuple[int, bool]):
         if supervise == "screen":
@@ -214,18 +214,74 @@ def _fit_field_loop(
     order = np.random.default_rng(seed).integers(0, V, iters)
     t0 = time.time()
     mse = jnp.float32(1.0)
-    for it in range(iters):
-        v = int(order[it])
-        key = _pose_variant(poses[v], bound)
-        if key not in step_cache:
-            step_cache[key] = make_step(*key)
-        target_v, mask_v = targets_for(v, key)
-        params, opt_state, mse = step_cache[key](
-            params, opt_state, jnp.asarray(poses[v]),
-            jnp.float32(t_arr[v]), target_v, mask_v,
+    K = max(1, int(steps_per_dispatch))
+    if K > 1 and iters >= K:
+        # fused dispatch: lax.scan over the shuffled view schedule with a
+        # lax.switch over the <=6 (axis, flip) compositing variants. The
+        # update SEQUENCE is identical to the per-step loop (same `order`,
+        # same per-view step math) — only the host<->device dispatch count
+        # changes, which is the entire cost on a tunneled chip (~120 ms
+        # RTT vs ~3.5 ms of 128^3 step compute, PERF.md round-4).
+        variant_keys = sorted({_pose_variant(poses[v], bound) for v in range(V)})
+        key_to_idx = {k: i for i, k in enumerate(variant_keys)}
+        tm = [targets_for(v, _pose_variant(poses[v], bound)) for v in range(V)]
+        targets_dev = jnp.stack([t for t, _ in tm])
+        masks_dev = jnp.stack([m for _, m in tm])
+        poses_dev = jnp.asarray(poses)
+        t_dev = jnp.asarray(t_arr)
+        vidx = jnp.asarray(
+            [key_to_idx[_pose_variant(poses[v], bound)] for v in range(V)],
+            jnp.int32,
         )
-        if log_every and (it + 1) % log_every == 0:
-            print(f"[{tag}] iter {it+1}/{iters} mse {float(mse):.5f}", flush=True)
+        step_raws = [make_step(*k) for k in variant_keys]
+
+        def chunk(params, opt_state, view_ids):
+            def body(carry, v):
+                params, opt_state = carry
+                branches = [
+                    (
+                        lambda sr: lambda p, o: sr(
+                            p, o, poses_dev[v], t_dev[v],
+                            targets_dev[v], masks_dev[v],
+                        )
+                    )(sr)
+                    for sr in step_raws
+                ]
+                params, opt_state, mse = jax.lax.switch(
+                    vidx[v], branches, params, opt_state
+                )
+                return (params, opt_state), mse
+
+            (params, opt_state), mses = jax.lax.scan(
+                body, (params, opt_state), view_ids
+            )
+            return params, opt_state, mses
+
+        chunk_jit = jax.jit(chunk, donate_argnums=(0, 1))
+        it = 0
+        while it < iters:
+            n = min(K, iters - it)  # tail = one extra trace at length n
+            ids = jnp.asarray(order[it : it + n], jnp.int32)
+            params, opt_state, mses = chunk_jit(params, opt_state, ids)
+            mse = mses[-1]
+            it += n
+            if log_every and (it % log_every) < n:
+                print(f"[{tag}] iter {it}/{iters} mse {float(mse):.5f}",
+                      flush=True)
+    else:
+        for it in range(iters):
+            v = int(order[it])
+            key = _pose_variant(poses[v], bound)
+            if key not in step_cache:
+                step_cache[key] = jax.jit(make_step(*key))
+            target_v, mask_v = targets_for(v, key)
+            params, opt_state, mse = step_cache[key](
+                params, opt_state, jnp.asarray(poses[v]),
+                jnp.float32(t_arr[v]), target_v, mask_v,
+            )
+            if log_every and (it + 1) % log_every == 0:
+                print(f"[{tag}] iter {it+1}/{iters} mse {float(mse):.5f}",
+                      flush=True)
     jax.block_until_ready(mse)
     dt = time.time() - t0
     psnr = -10.0 * float(jnp.log10(jnp.maximum(mse, 1e-10)))
@@ -277,6 +333,7 @@ def fit_voxels(
     intermediate_scale: int = 2,
     remat: bool = True,
     supervise: str = "intermediate",
+    steps_per_dispatch: int = 1,
 ) -> Tuple[BakedVolume, Dict]:
     """Fit a dense voxel field to posed images by whole-image descent.
 
@@ -309,6 +366,7 @@ def fit_voxels(
         seed=seed, log_every=log_every,
         intermediate_scale=intermediate_scale, remat=remat,
         supervise=supervise, tag="voxel",
+        steps_per_dispatch=steps_per_dispatch,
     )
     info["raw"] = raw  # pre-activation field (coarse-to-fine staging)
     return field_to_volume(raw, bound, sh_degree), info

@@ -172,6 +172,7 @@ def fit_dyn_voxels(
     seed: int = 0,
     log_every: int = 0,
     remat: bool = True,
+    steps_per_dispatch: int = 1,
 ) -> Tuple[DynVoxelField, Dict]:
     """Fit the dynamic field to (pose, image, t) triples by whole-image
     descent with intermediate-plane supervision (train/voxel.py semantics).
@@ -197,4 +198,5 @@ def fit_dyn_voxels(
         iters=iters, lr=lr, bg_color=bg_color, density_scale=density_scale,
         seed=seed, log_every=log_every, remat=remat,
         times=times, tag="dynvoxel",
+        steps_per_dispatch=steps_per_dispatch,
     )

@@ -288,6 +288,7 @@ def fit_kplanes(
     seed: int = 0,
     log_every: int = 0,
     remat: bool = True,
+    steps_per_dispatch: int = 1,
 ) -> Tuple[KPlanesField, Dict]:
     """Fit the K-planes field to (pose, image, t) triples through the shared
     whole-image descent engine (train/voxel.py::_fit_field_loop).
@@ -317,4 +318,5 @@ def fit_kplanes(
         iters=iters, lr=lr, bg_color=bg_color, density_scale=density_scale,
         seed=seed, log_every=log_every, remat=remat,
         times=times, tag="kplanes",
+        steps_per_dispatch=steps_per_dispatch,
     )

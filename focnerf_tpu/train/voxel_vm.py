@@ -176,6 +176,7 @@ def fit_vm_voxels(
     log_every: int = 0,
     intermediate_scale: int = 2,
     remat: bool = True,
+    steps_per_dispatch: int = 1,
 ) -> Tuple[BakedVolume, Dict]:
     """Fit the VM-factorized field by whole-image descent with
     intermediate-plane supervision (train/voxel.py semantics: GTs are
@@ -206,6 +207,7 @@ def fit_vm_voxels(
         iters=iters, lr=lr, bg_color=bg_color, density_scale=density_scale,
         seed=seed, log_every=log_every,
         intermediate_scale=intermediate_scale, remat=remat, tag="vmvoxel",
+        steps_per_dispatch=steps_per_dispatch,
     )
     info["field"] = field
     return vm_field_to_volume(field, bound, sh_degree), info

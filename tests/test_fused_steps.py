@@ -153,3 +153,50 @@ class TestFusedParity:
         # gradphase phase-misaligned start stays per-step
         t3.global_step = 1
         assert t3._fused_steps_possible(ds, remaining=16) == 1
+
+
+class TestVoxelFused:
+    def test_voxel_fused_matches_per_step(self):
+        """_fit_field_loop with steps_per_dispatch>1 (scan + variant switch)
+        must reproduce the per-step trajectory: same shuffled view order,
+        same per-view step math, same final PSNR up to scan float noise."""
+        from focnerf_tpu.core.camera import rand_poses
+        from focnerf_tpu.render.baked import render_baked
+        from focnerf_tpu.train.voxel import fit_voxels
+
+        from test_voxel_train import _gt_volume
+
+        gt_vol = _gt_volume(16)
+        H = W = 24
+        intr = (28.8, 28.8, 12.0, 12.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(0), 8, radius=2.5))
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, W)[0]) for p in poses]
+        )
+        kw = dict(resolution=16, iters=22, lr=0.1, tv_weight=1e-5, seed=5)
+        vol1, info1 = fit_voxels(poses, imgs, intr, **kw)
+        vol2, info2 = fit_voxels(poses, imgs, intr, steps_per_dispatch=8, **kw)
+        # 22 iters = chunks 8+8+6 (tail trace) — exercises the tail path
+        assert info2["psnr"] == pytest.approx(info1["psnr"], abs=0.2)
+        np.testing.assert_allclose(
+            np.asarray(vol1.rgba), np.asarray(vol2.rgba), atol=5e-3
+        )
+
+    def test_vm_fused_matches_per_step(self):
+        from focnerf_tpu.core.camera import rand_poses
+        from focnerf_tpu.render.baked import render_baked
+        from focnerf_tpu.train.voxel_vm import fit_vm_voxels
+
+        from test_voxel_train import _gt_volume
+
+        gt_vol = _gt_volume(16)
+        H = W = 24
+        intr = (28.8, 28.8, 12.0, 12.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(1), 6, radius=2.5))
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, W)[0]) for p in poses]
+        )
+        kw = dict(resolution=16, rank=4, iters=16, lr=0.05, seed=2)
+        vol1, info1 = fit_vm_voxels(poses, imgs, intr, **kw)
+        vol2, info2 = fit_vm_voxels(poses, imgs, intr, steps_per_dispatch=8, **kw)
+        assert info2["psnr"] == pytest.approx(info1["psnr"], abs=0.2)
