@@ -200,3 +200,26 @@ class TestVoxelFused:
         vol1, info1 = fit_vm_voxels(poses, imgs, intr, **kw)
         vol2, info2 = fit_vm_voxels(poses, imgs, intr, steps_per_dispatch=8, **kw)
         assert info2["psnr"] == pytest.approx(info1["psnr"], abs=0.2)
+
+    def test_kplanes_fused_matches_per_step(self):
+        """Time-conditioned family: the fused loop must feed each view's own
+        t through the switch (a wrong t indexing trains the wrong plane)."""
+        from focnerf_tpu.core.camera import rand_poses
+        from focnerf_tpu.render.baked import render_baked
+        from focnerf_tpu.train.voxel_kplanes import fit_kplanes
+
+        from test_voxel_train import _gt_volume
+
+        gt_vol = _gt_volume(16)
+        H = W = 24
+        intr = (28.8, 28.8, 12.0, 12.0)
+        poses = np.asarray(rand_poses(np.random.default_rng(2), 6, radius=2.5))
+        imgs = np.stack(
+            [np.asarray(render_baked(gt_vol, p, intr, H, W)[0]) for p in poses]
+        )
+        times = np.linspace(0, 1, 6).astype(np.float32)
+        kw = dict(resolution=16, rank=2, time_res=4, iters=12, lr=0.05, seed=7)
+        f1, info1 = fit_kplanes(poses, imgs, times, intr, **kw)
+        f2, info2 = fit_kplanes(poses, imgs, times, intr,
+                                steps_per_dispatch=6, **kw)
+        assert info2["psnr"] == pytest.approx(info1["psnr"], abs=0.2)

@@ -67,7 +67,8 @@ QUEUE = [
     ("parity_dyn", [sys.executable, "tools/parity.py", "--family",
                     "kplanes,dynvoxel", "--seeds", "0,1,2", "--iters",
                     "3000", "--res", "400", "--views", "32", "--workspace",
-                    "/tmp/parity_dyn"], 10800),
+                    "/tmp/parity_dyn", "--train_extra",
+                    "--steps_per_dispatch 16"], 10800),
     # 4. uint8-resident render A/B at 512^3 + 4-object 800^2 frame time
     # (VERDICT r3 item 4 — replaces both "designed expectation" entries)
     ("render", [sys.executable, "tools/render_bench.py", "--baked", "--res",
@@ -81,7 +82,8 @@ QUEUE = [
     ("parity_vox", [sys.executable, "tools/parity.py", "--family",
                     "dense,vm", "--seeds", "0,1,2", "--iters", "1000",
                     "--res", "800", "--views", "50", "--workspace",
-                    "/tmp/parity_vox"], 14400),
+                    "/tmp/parity_vox", "--train_extra",
+                    "--steps_per_dispatch 16"], 14400),
     # 6. refresh the default headline artifact (dual-headline JSON)
     ("bench", [sys.executable, "bench.py"], 1800),
 ]
