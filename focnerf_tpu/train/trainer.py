@@ -131,6 +131,7 @@ class Trainer:
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self._fused_cache: dict = {}
         self._fused_assemble = None
+        self._fused_assemble_ds = None
         # rolling-checkpoint cadence in epochs. The reference saves every
         # epoch (nerf/utils.py train: save_checkpoint per epoch) — over the
         # tunneled chip that d2h of the full train state measured ~84 s per
@@ -174,6 +175,15 @@ class Trainer:
         self.rng = jax.random.key(seed)
         self.alpha_loss = alpha_loss
         self.grad_level_phases = max(0, grad_level_phases)
+        if self.grad_level_phases > 1 and not use_occupancy:
+            # the non-occupancy per-step path compiles one unphased step in
+            # _build_steps; silently phase-splitting only the fused path
+            # would break the fused==sequential bit-compat contract
+            raise ValueError(
+                "grad_level_phases > 1 requires the occupancy path (the "
+                "phased step cache lives in _occ_step); drop gradphase or "
+                "pass use_occupancy=True / --cuda_ray"
+            )
         # coarse-to-fine level schedule: "0.3:8,0.6:12" trains the first 8
         # hash levels until 30% of iters, 12 until 60%, all afterwards
         # (boundaries <= 1 are fractions of iters, > 1 absolute steps). One
@@ -598,14 +608,18 @@ class Trainer:
     def _fused_chunk_fn(self, train_dataset, K: int):
         cfgs, (P, active) = self._cfg_phase_list()
         has_em = train_dataset.error_map is not None
+        # key on dataset identity too: the assembler bakes in the dataset's
+        # intrinsics/poses, so a second train() with a different dataset must
+        # not silently reuse the previous dataset's compiled chunk
         key = (K, self.active_slab if self.use_occupancy else -1, P, active,
                has_em, train_dataset.masks_dev is not None,
-               train_dataset.obj_feats_dev is not None)
+               train_dataset.obj_feats_dev is not None, id(train_dataset))
         fn = self._fused_cache.get(key)
         if fn is not None:
             return fn
-        if self._fused_assemble is None:
+        if self._fused_assemble is None or self._fused_assemble_ds != id(train_dataset):
             self._fused_assemble = train_dataset.assemble_fn()
+            self._fused_assemble_ds = id(train_dataset)
         if self.use_occupancy:
             raws = [
                 make_train_step_occupancy(
@@ -670,7 +684,10 @@ class Trainer:
         if train_dataset.error_map is not None:
             train_dataset.error_map = em
         if self.occupancy is not None:
-            self._last_mean_samples = jnp.mean(msamples)
+            # the per-step loop stores only the LAST step's mean_samples;
+            # match that cadence exactly so _maybe_repick_slab's EMA (and
+            # hence the slab-bucket trajectory) is identical in both paths
+            self._last_mean_samples = msamples[-1]
         self.global_step += K
         return losses
 

@@ -135,6 +135,12 @@ class TestFusedParity:
         assert t2._fused_cache, "fused path never engaged"
         _assert_tree_close(t1.state.params, t2.state.params)
 
+    def test_gradphase_requires_occupancy(self, tmp_path):
+        # the non-occupancy per-step path compiles a single unphased step;
+        # allowing gradphase there would silently break fused==sequential
+        with pytest.raises(ValueError, match="grad_level_phases"):
+            _trainer(tmp_path, "gpguard", 1, grad_level_phases=2)
+
     def test_fallbacks(self, tmp_path):
         ds = _dataset(tmp_path, "a")
         # rand_pose >= 0 (CLIP branch) is per-step only
