@@ -51,16 +51,20 @@ def _last_eval_psnr(obj_ws: str):
 
 
 def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
-             num_steps=512, extra=()):
+             num_steps=512, extra=(), resume=False):
     import shutil
 
     from focnerf_tpu.apps.main_nerf import main as train_main
 
     ws = os.path.join(workspace, f"hash{'O' if fast else 'X'}_s{seed}")
     # fresh-run hygiene: stale logs would satisfy _last_eval_psnr and a
-    # stale best/ checkpoint wins the best-PSNR race against the new run
-    for stale in (ws, ws + "_background"):
-        shutil.rmtree(stale, ignore_errors=True)
+    # stale best/ checkpoint wins the best-PSNR race against the new run.
+    # ``resume`` (wedge-guard retries, VERDICT r4 item 8) keeps the
+    # workspace and continues from the latest rolling checkpoint instead —
+    # a killed 10k-iter ladder run must not restart from scratch.
+    if not resume:
+        for stale in (ws, ws + "_background"):
+            shutil.rmtree(stale, ignore_errors=True)
     args = [
         scene, "--workspace", ws, "--iters", str(iters), "--disable_yolo",
         "--seed", str(seed), "--num_rays", str(num_rays),
@@ -79,8 +83,11 @@ def run_hash(scene, iters, seed, workspace, *, fast=True, num_rays=4096,
         "--ckpt_interval", "10",
         # parity rows must be from-scratch runs: the default ckpt=latest
         # silently RESUMES a previous ladder's checkpoint if the workspace
-        # exists (round-4 forensics: a "10k-iter" row was at step 11600)
-        "--ckpt", "scratch",
+        # exists (round-4 forensics: a "10k-iter" row was at step 11600).
+        # --resume retries flip this to latest (the workspace was created
+        # by THIS ladder invocation; true-resume semantics train only the
+        # remaining iters, test_provider_apps.py)
+        "--ckpt", "latest" if resume else "scratch",
     ] + list(extra)
     if fast:
         args.insert(1, "-O")
@@ -214,6 +221,10 @@ def main():
                    help="extra main_nerf flags appended to every hash run, "
                         "e.g. '--grad_clip 1.0 --lr_warmup 500' (the round-4 "
                         "saturation-collapse stabilizers)")
+    p.add_argument("--resume", action="store_true",
+                   help="wedge-guard retry mode (hash family): keep the "
+                        "workspace and resume from the latest rolling "
+                        "checkpoint instead of wiping + scratch")
     p.add_argument("--workspace", type=str, default="/tmp/parity")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize "
@@ -283,7 +294,8 @@ def main():
                     r = run_hash(scene, args.iters, s, args.workspace,
                                  fast=(pr == "O"), num_rays=args.num_rays,
                                  num_steps=args.num_steps,
-                                 extra=args.train_extra.split())
+                                 extra=args.train_extra.split(),
+                                 resume=args.resume)
                     # land evidence incrementally: a wall-clock overrun (or
                     # a relay blip) mid-preset must not lose finished seeds
                     psnr_cell = (
