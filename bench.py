@@ -324,6 +324,24 @@ def bench_voxel(
     per_step = min(times) / FOLD
     rays_per_sec = RI * RI / per_step
     assert np.isfinite(mse_last) and mse_last < mse0, (mse0, mse_last)
+    try:  # roofline anchor (VERDICT r4 item 6); never erases the headline
+        from focnerf_tpu.utils.flops import roofline
+
+        roof = roofline(
+            fold, params, opt_state, jnp.int32(0),
+            step_seconds=per_step, steps_per_program=FOLD,
+        )
+        roof_row = {
+            "mfu": round(roof["mfu"], 4),
+            "achieved_tflops": round(roof["achieved_tflops"], 2),
+            "gather_gbps": round(roof["gather_gbps"], 2),
+            "hbm_gather_util": round(roof["hbm_gather_util"], 4),
+            "peak": "v5e 197 bf16 TFLOP/s, 819 GB/s HBM",
+        }
+        if roof["lower_bound"]:
+            roof_row["note"] = "dynamic while in program: counts are lower bounds"
+    except Exception as e:
+        roof_row = {"error": f"{type(e).__name__}: {e}"[:200]}
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -337,6 +355,7 @@ def bench_voxel(
         ),
         "config": {"field": R, "image": H, "ri": RI, "fold": FOLD},
         "step_ms": round(per_step * 1e3, 2),
+        "roofline": roof_row,
     }
     if emit:
         print(json.dumps(result))
@@ -514,6 +533,34 @@ def bench_hash(emit: bool = True):
         dt = time.time() - t0
 
     rays_per_sec = N_RAYS * BENCH_STEPS / dt
+    try:  # roofline anchor (VERDICT r4 item 6)
+        from focnerf_tpu.utils.flops import roofline
+
+        # count the program actually dispatched per step: phase 0's step
+        # for gradphase (representative; later phases differ only in which
+        # level-subset gets gradients), the folded program / BENCH_STEPS
+        # for --fold
+        if fold:
+            roof = roofline(
+                fold_steps, state, jax.random.key(0),
+                step_seconds=dt / BENCH_STEPS, steps_per_program=BENCH_STEPS,
+            )
+        else:
+            fn = phase_steps[0] if gradphase > 1 else train_step
+            roof = roofline(
+                fn, state, jax.random.key(0), step_seconds=dt / BENCH_STEPS
+            )
+        roof_row = {
+            "mfu": round(roof["mfu"], 4),
+            "achieved_tflops": round(roof["achieved_tflops"], 2),
+            "gather_gbps": round(roof["gather_gbps"], 2),
+            "hbm_gather_util": round(roof["hbm_gather_util"], 4),
+            "peak": "v5e 197 bf16 TFLOP/s, 819 GB/s HBM",
+        }
+        if roof["lower_bound"]:
+            roof_row["note"] = "dynamic while in program: counts are lower bounds"
+    except Exception as e:
+        roof_row = {"error": f"{type(e).__name__}: {e}"[:200]}
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -530,6 +577,7 @@ def bench_hash(emit: bool = True):
             "fold": fold,
         },
         "step_ms": round(dt / BENCH_STEPS * 1e3, 2),
+        "roofline": roof_row,
     }
     assert np.isfinite(loss), f"bench produced non-finite loss: {loss}"
     if emit:
