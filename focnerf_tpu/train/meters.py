@@ -55,6 +55,13 @@ def _ssim_parts(
             jnp.transpose(kern2d, (2, 3, 0, 1)),  # [1, 1, K, K]
             window_strides=(1, 1),
             padding="VALID",
+            # metrics must be exact: TPU XLA lowers f32 convs to bf16
+            # multiplies by default, and the variance terms
+            # (filt(x^2) - mu^2) amplify that error enough to push SSIM
+            # ABOVE 1.0 on real eval images (round-5 forensics: the r4c
+            # exact ladder logged SSIM 1.08; in-range SSIM is provably
+            # <= 1). HIGHEST forces f32-accurate convolution.
+            precision=jax.lax.Precision.HIGHEST,
         )
         hh, ww = y.shape[-2:]
         return jnp.transpose(y.reshape(b, c, hh, ww), (0, 2, 3, 1))

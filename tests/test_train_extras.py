@@ -473,6 +473,22 @@ class TestMSSSIM:
         # small images auto-shrink the pyramid instead of crashing
         assert np.isfinite(float(ms_ssim(a[:16, :16], small[:16, :16])))
 
+    def test_ssim_bounded_on_in_range_inputs(self):
+        """SSIM of [0,1] images is provably <= 1. The TPU backend's default
+        bf16 conv precision violated this in production (r4c exact ladder
+        logged SSIM 1.08); meters now force Precision.HIGHEST — this pins
+        the invariant on whatever backend runs the suite."""
+        from focnerf_tpu.train.meters import ssim
+
+        rng = np.random.default_rng(3)
+        for i in range(5):
+            a = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
+            b = jnp.clip(
+                a + 0.3 * jnp.asarray(rng.normal(size=a.shape)), 0, 1
+            ).astype(jnp.float32)
+            v = float(ssim(a, b))
+            assert -1.0 <= v <= 1.0 + 1e-5, v
+
     def test_lpips_meter_substitute(self):
         """Without lpips weights the meter measures 1 - ms_ssim and says so
         in its name (never silently zero, never mislabeled as real LPIPS)."""
