@@ -77,7 +77,8 @@ def main(argv=None):
     trainer.train(train_ds, val_ds, max_epochs=max_epochs, steps_per_epoch=steps_per_epoch)
     trainer.log(f"[dnerf] trained {opt.iters} iters in {time.time()-t0:.1f}s")
 
-    if val_ds is not None:
+    if val_ds is not None and trainer.last_eval_step != trainer.global_step:
+        # skip when the cadence eval already ran at the final step
         trainer.evaluate(val_ds)
     try:
         if opt.mesh_t is not None:

@@ -123,7 +123,9 @@ def train_one_object(opt: Options, obj: str, sidecar_train, sidecar_val):
     train_time = time.time() - t0
     with open(os.path.join(opt.workspace, "train_times.txt"), "a") as f:
         f.write(f"{obj}: {train_time:.2f}s for {opt.iters} iters\n")
-    if val_ds is not None:
+    if val_ds is not None and trainer.last_eval_step != trainer.global_step:
+        # skip when the cadence eval already ran at the final step — a
+        # second full-val eval costs ~20 min of chip time per ladder run
         trainer.evaluate(val_ds)
     if opt.mesh_res > 0:
         try:

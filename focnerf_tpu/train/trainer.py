@@ -147,6 +147,11 @@ class Trainer:
         # so it applies only when use_occupancy is on
         self.eval_renderer = eval_renderer
         self.epoch = 0
+        # step of the most recent evaluate() — lets callers skip a redundant
+        # post-train eval when the cadence eval already ran at the final
+        # step (a full 800^2/50-view eval costs ~20 min on the tunneled
+        # chip; the r5 exact ladder paid it twice)
+        self.last_eval_step = -1
         self.global_step = 0
         # CLIP-guided rand-pose branch (ref nerf/utils.py:796-838):
         # rand_pose == 0 -> every step is a GT-free random-pose step;
@@ -814,6 +819,7 @@ class Trainer:
             for m in self.metrics:
                 self._tb.add_scalar(f"eval/{m.name}", m.measure(), self.global_step)
         results = {m.name: m.measure() for m in self.metrics}
+        self.last_eval_step = self.global_step
         psnr_meter = next((m for m in self.metrics if m.name == "PSNR"), None)
         # only update best when real GT views were measured (vals non-empty)
         psnr = results["PSNR"] if (psnr_meter is not None and psnr_meter.vals) else None

@@ -261,8 +261,11 @@ class TestDNeRFTrainer:
 
         # time-conditioned render + mesh export
         val_ds = DNeRFDataset(dopt, split="val")
+        assert tr2.last_eval_step != tr2.global_step
         res = tr2.evaluate(val_ds, save_images=False)
         assert np.isfinite(res["PSNR"])
+        # apps skip their redundant post-train eval through this marker
+        assert tr2.last_eval_step == tr2.global_step
         path = tr2.save_mesh(resolution=24, threshold=0.5, t=0.5)
         assert path.endswith("t0.50.obj")
 
