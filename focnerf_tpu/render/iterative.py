@@ -61,11 +61,13 @@ def _bucket_ladder(n: int, base: int = 4096, factor: int = 4,
     return sizes
 
 
-def _make_round_step(cfg: NeRFConfig, bucket: int, n: int, sub_slab: int,
+def _make_round_body(cfg: NeRFConfig, bucket: int, n: int, sub_slab: int,
                      dt_gamma: float, max_steps: int, grid_size: int,
                      density_scale: float, T_thresh: float, has_objfeat: bool):
-    @jax.jit
-    def round_step(params, ro, rd, fars, t_cur, acc_od, acc_rgb, acc_dep,
+    """One compaction round at a fixed bucket size — shared by the
+    host-driven ladder (``_make_round_step``) and the device-resident
+    drain loop (``_make_fused_render``)."""
+    def round_body(params, ro, rd, fars, t_cur, acc_od, acc_rgb, acc_dep,
                    acc_ws, alive, occ_skip, objfeat_enc, aabb):
         idx = jnp.nonzero(alive, size=bucket, fill_value=n)[0]  # [B]
         in_work = idx < n
@@ -124,7 +126,61 @@ def _make_round_step(cfg: NeRFConfig, bucket: int, n: int, sub_slab: int,
         alive = alive.at[idx].set(still, mode="drop")
         return t_cur, acc_od, acc_rgb, acc_dep, acc_ws, alive
 
-    return round_step
+    return round_body
+
+
+def _make_round_step(cfg: NeRFConfig, bucket: int, n: int, sub_slab: int,
+                     dt_gamma: float, max_steps: int, grid_size: int,
+                     density_scale: float, T_thresh: float, has_objfeat: bool):
+    return jax.jit(_make_round_body(
+        cfg, bucket, n, sub_slab, dt_gamma, max_steps, grid_size,
+        density_scale, T_thresh, has_objfeat))
+
+
+def _make_fused_render(cfg: NeRFConfig, n: int, sub_slab: int,
+                       dt_gamma: float, max_steps: int, grid_size: int,
+                       density_scale: float, T_thresh: float,
+                       has_objfeat: bool, sweep_bucket: int,
+                       drain_bucket: int, max_rounds: int):
+    """Device-resident worklist drain: ONE dispatch per image.
+
+    The host-driven ladder pays a dispatch + an ``n_alive`` d2h sync per
+    round — on the tunneled chip that overhead (~25-50 ms/round over
+    10-20 rounds) rivals the compute itself (round-4 eval probe: 838 ms
+    at 256^2). Here the whole drain is one compiled program: an initial
+    full-width sweep round (every ray marches its first sub-slab — the
+    round that kills background rays), then a ``lax.while_loop`` of
+    fixed ``drain_bucket`` rounds whose continue-condition
+    (``any(alive)``) evaluates ON DEVICE. No host round-trips at all.
+    """
+    sweep = _make_round_body(cfg, sweep_bucket, n, sub_slab, dt_gamma,
+                             max_steps, grid_size, density_scale, T_thresh,
+                             has_objfeat)
+    drain = _make_round_body(cfg, drain_bucket, n, sub_slab, dt_gamma,
+                             max_steps, grid_size, density_scale, T_thresh,
+                             has_objfeat)
+
+    @jax.jit
+    def run(params, ro, rd, fars, t_cur, acc_od, acc_rgb, acc_dep,
+            acc_ws, alive, occ_skip, objfeat_enc, aabb):
+        carry = (t_cur, acc_od, acc_rgb, acc_dep, acc_ws, alive)
+        # sweep waves: ceil(n / sweep_bucket) fixed rounds touch every ray
+        for _ in range(-(-n // sweep_bucket)):
+            carry = sweep(params, ro, rd, fars, *carry, occ_skip,
+                          objfeat_enc, aabb)
+
+        def cond(c):
+            return jnp.logical_and(c[0] < max_rounds, jnp.any(c[1][5]))
+
+        def body(c):
+            r, cc = c
+            return r + 1, drain(params, ro, rd, fars, *cc, occ_skip,
+                                objfeat_enc, aabb)
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        return carry
+
+    return run
 
 
 def render_rays_iterative(
@@ -146,6 +202,7 @@ def render_rays_iterative(
     max_rounds: int = 256,
     bucket_base: int = 4096,
     bucket_cap: int = 65536,
+    device_loop: bool = False,
 ):
     """Render a flat ray batch through the compacted worklist loop.
 
@@ -169,9 +226,27 @@ def render_rays_iterative(
     acc_ws = jnp.zeros((n,), jnp.float32)
     alive = nears < fars
 
-    buckets = _bucket_ladder(n, base=min(bucket_base, n), cap=bucket_cap)
     key_base = (cfg, n, sub_slab, dt_gamma, max_steps, grid_size,
                 cfg.density_scale, T_thresh, objfeat_enc is not None)
+    if device_loop:
+        key = key_base + ("fused", bucket_base, bucket_cap, max_rounds)
+        if key not in _round_cache:
+            _round_cache[key] = _make_fused_render(
+                cfg, n, sub_slab, dt_gamma, max_steps, grid_size,
+                cfg.density_scale, T_thresh, objfeat_enc is not None,
+                sweep_bucket=min(n, bucket_cap),
+                drain_bucket=min(n, bucket_base), max_rounds=max_rounds)
+        t_cur, acc_od, acc_rgb, acc_dep, acc_ws, alive = _round_cache[key](
+            params, rays_o, rays_d, fars, t_cur, acc_od, acc_rgb, acc_dep,
+            acc_ws, alive, occ_skip, objfeat_enc, aabb)
+        image = acc_rgb
+        if bg_color is not None:
+            image = image + (1.0 - acc_ws)[:, None] * bg_color
+        depth = jnp.clip(acc_dep - nears, 0.0, None) / jnp.maximum(
+            fars - nears, 1e-10)
+        return {"image": image, "depth": depth, "weights_sum": acc_ws}
+
+    buckets = _bucket_ladder(n, base=min(bucket_base, n), cap=bucket_cap)
     for _ in range(max_rounds):
         n_alive = int(jnp.sum(alive))  # one scalar d2h per round (the CUDA
         if n_alive == 0:               # loop syncs shapes the same way)

@@ -84,6 +84,25 @@ class TestIterativeRender:
             np.asarray(out["image"]), 1.0, atol=1e-5
         )
 
+    def test_device_loop_matches_host_ladder(self):
+        """The one-dispatch drain (sweep + lax.while_loop) must produce the
+        host-driven ladder's image bit-for-bit on the same bucket math —
+        both run the identical round body, only the loop driver differs."""
+        gs = 32
+        params, skip, o, d = _sphere_setup(gs)
+        kw = dict(dt_gamma=0.0, max_steps=256, bg_color=1.0, grid_size=gs,
+                  sub_slab=8, bucket_base=16)
+        host = render_rays_iterative(params, CFG, o, d, skip, **kw)
+        dev = render_rays_iterative(params, CFG, o, d, skip,
+                                    device_loop=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(dev["image"]), np.asarray(host["image"]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(dev["weights_sum"]),
+            np.asarray(host["weights_sum"]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(dev["depth"]), np.asarray(host["depth"]), atol=2e-5)
+
     def test_image_entrypoint(self):
         gs = 32
         params, skip, _, _ = _sphere_setup(gs)

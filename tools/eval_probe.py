@@ -119,6 +119,13 @@ def main():
         print(f"{tag:48s} {dt*1000:9.1f} ms/image  ({H*W/dt/1e6:.2f} Mray/s)",
               flush=True)
 
+    # device-resident drain (round-5): sweep + lax.while_loop in ONE
+    # dispatch — removes the per-round dispatch + n_alive d2h sync that
+    # dominated the 256^2 ladder (838 ms with ~10-20 host round-trips)
+    run_iter("ITER-DEV sub_slab 16 drain 4k", device_loop=True)
+    run_iter("ITER-DEV sub_slab 32 drain 4k", device_loop=True, sub_slab=32)
+    run_iter("ITER-DEV sub_slab 16 drain 8k", device_loop=True,
+             bucket_base=8192)
     run_iter("ITER sub_slab 16 base 4k")
     run_iter("ITER sub_slab 32 base 4k", sub_slab=32)
     run_iter("ITER sub_slab 16 base 16k", bucket_base=16384)
