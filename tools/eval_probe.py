@@ -37,6 +37,12 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    if args.cpu:
+        # the axon sitecustomize force-selects the TPU through jax.config,
+        # which beats the env var — without this a "--cpu" probe contends
+        # for (and can wedge) the one-client relay (parity.py:233-237)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
