@@ -92,9 +92,10 @@ class Options:
     # post-train mesh export resolution (ref main_nerf.py:298 uses 256);
     # 0 skips the export entirely (headless parity runs)
     mesh_res: int = 256
-    # full-image eval renderer: "oneshot" ([N, slab] chunks) or "iter"
+    # full-image eval renderer: "oneshot" ([N, slab] chunks), "iter"
     # (compacted alive-ray worklist, render/iterative.py — the reference's
-    # rays_alive loop; needs --cuda_ray)
+    # rays_alive loop; needs --cuda_ray), or "iter_dev" (same worklist but
+    # drained entirely on device in one dispatch — no per-round host sync)
     eval_renderer: str = "oneshot"
     patch_size: int = 1
     train_slab: int = 128  # TPU addition: per-ray sample budget (occupancy path)

@@ -377,7 +377,10 @@ class Trainer:
 
     def _render_view(self, params, view, dataset, render_kwargs):
         """Render one eval/test view -> (img [H,W,3], depth [H,W])."""
-        if self.eval_renderer == "iter" and self.occupancy is not None:
+        if (
+            self.eval_renderer in ("iter", "iter_dev")
+            and self.occupancy is not None
+        ):
             from focnerf_tpu.render.iterative import render_image_iterative
 
             kw = render_kwargs
@@ -399,6 +402,9 @@ class Trainer:
                 min_near=kw.get("min_near", 0.2),
                 obj_feat=view.get("obj_feat"),
                 bg_color=1.0,
+                # "iter_dev": the whole worklist drain is ONE dispatch
+                # (sweep + on-device while_loop) — no per-round host sync
+                device_loop=(self.eval_renderer == "iter_dev"),
             )
         return render_image(
             params,
