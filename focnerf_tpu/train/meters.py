@@ -9,11 +9,14 @@ distance instead, clearly labeled ``LPIPS* (ms-ssim-dist)``.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_file_cache = functools.lru_cache(maxsize=None)
 
 
 def psnr(pred: jax.Array, gt: jax.Array, max_val: float = 1.0) -> jax.Array:
@@ -22,10 +25,22 @@ def psnr(pred: jax.Array, gt: jax.Array, max_val: float = 1.0) -> jax.Array:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-20) / (max_val**2))
 
 
-def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x**2) / (2 * sigma**2))
-    return g / jnp.sum(g)
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+@_file_cache
+def _band_matrix(n_in: int, size: int, sigma: float) -> np.ndarray:
+    """[n_in-size+1, n_in] Toeplitz matrix applying the VALID 1-D Gaussian:
+    (B @ x)[i] = sum_j k[j] x[i+j]."""
+    k = _gaussian_kernel(size, sigma)
+    n_out = n_in - size + 1
+    B = np.zeros((n_out, n_in), np.float32)
+    for j in range(size):
+        B[np.arange(n_out), np.arange(n_out) + j] = k[j]
+    return B
 
 
 def _ssim_parts(
@@ -43,28 +58,27 @@ def _ssim_parts(
     pred = pred.astype(jnp.float32)
     gt = gt.astype(jnp.float32)
 
-    k = _gaussian_kernel(kernel_size, sigma)
-    kern2d = jnp.outer(k, k)[:, :, None, None]  # [K, K, 1, 1]
+    # Separable Gaussian as two banded-matrix MATMULS, not
+    # conv_general_dilated: metrics must be exact, and the experimental
+    # axon TPU backend produced wrong conv outputs for this depthwise
+    # shape — per-view SSIM landed ABOVE 1.0 on real eval images (round-5
+    # forensics: the r4c exact ladder logged SSIM 1.08; in-range SSIM is
+    # provably <= 1, and Precision.HIGHEST on the conv changed nothing
+    # bit-for-bit). dot_general with HIGHEST precision is the numerically
+    # pinned, backend-stable path.
+    h_in = pred.shape[1]
+    w_in = pred.shape[2]
+    Bh = jnp.asarray(_band_matrix(h_in, kernel_size, sigma))
+    Bw = jnp.asarray(_band_matrix(w_in, kernel_size, sigma))
 
     def filt(img):
-        # depthwise valid conv over H, W per channel
-        b, h, w, c = img.shape
-        x = jnp.transpose(img, (0, 3, 1, 2)).reshape(b * c, 1, h, w)
-        y = jax.lax.conv_general_dilated(
-            x,
-            jnp.transpose(kern2d, (2, 3, 0, 1)),  # [1, 1, K, K]
-            window_strides=(1, 1),
-            padding="VALID",
-            # metrics must be exact: TPU XLA lowers f32 convs to bf16
-            # multiplies by default, and the variance terms
-            # (filt(x^2) - mu^2) amplify that error enough to push SSIM
-            # ABOVE 1.0 on real eval images (round-5 forensics: the r4c
-            # exact ladder logged SSIM 1.08; in-range SSIM is provably
-            # <= 1). HIGHEST forces f32-accurate convolution.
-            precision=jax.lax.Precision.HIGHEST,
+        # [B, H, W, C]: rows then columns, fp32 all the way
+        hi = jnp.einsum(
+            "oh,bhwc->bowc", Bh, img, precision=jax.lax.Precision.HIGHEST
         )
-        hh, ww = y.shape[-2:]
-        return jnp.transpose(y.reshape(b, c, hh, ww), (0, 2, 3, 1))
+        return jnp.einsum(
+            "pw,bowc->bopc", Bw, hi, precision=jax.lax.Precision.HIGHEST
+        )
 
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
