@@ -788,7 +788,13 @@ class Trainer:
                 kw["occ_skip"] = occupancy_skip_field(bits)
         return kw
 
-    def evaluate(self, dataset, name: str = "val", save_images: bool = True, use_ema: bool = True):
+    def evaluate(self, dataset, name: str = "val", save_images=None, use_ema: bool = True):
+        # default to the configured cadence behavior: callers that forget
+        # save_images must not override --no-eval_save_images (round-5
+        # forensics: the post-train eval d2h'd 50 800^2 PNGs at ~90 s/view
+        # through the tunneled chip and tripped the wedge guard)
+        if save_images is None:
+            save_images = self.eval_save_images
         params = self.state.ema_params if use_ema else self.state.params
         for m in self.metrics:
             m.clear()
