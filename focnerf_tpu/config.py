@@ -95,8 +95,12 @@ class Options:
     # full-image eval renderer: "oneshot" ([N, slab] chunks), "iter"
     # (compacted alive-ray worklist, render/iterative.py — the reference's
     # rays_alive loop; needs --cuda_ray), or "iter_dev" (same worklist but
-    # drained entirely on device in one dispatch — no per-round host sync)
-    eval_renderer: str = "oneshot"
+    # drained entirely on device in one dispatch — no per-round host sync).
+    # Default "iter" since round 5: it is the reference-faithful inference
+    # path (raymarching.cu:701-914), matches oneshot to 2e-3
+    # (tests/test_iterative_render.py), and measured 3.6x faster on-chip
+    # (PERF.md round-4). Falls back to oneshot when occupancy is off.
+    eval_renderer: str = "iter"
     patch_size: int = 1
     train_slab: int = 128  # TPU addition: per-ray sample budget (occupancy path)
     # bucketed slab schedule: precompiled 16/32/.../train_slab occupancy
