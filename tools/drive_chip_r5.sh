@@ -41,10 +41,13 @@ guard () {
   for i in $(seq 1 "$tries"); do
     log=/tmp/r5_${name}_a${i}.log
     : > "$log"
+    # run the command DIRECTLY (no subshell): $pid must be the python
+    # process itself, or the stall-kill orphans the real worker to PPID 1
+    # with the TPU client still held (round-4/5 wedge forensics)
     if [ "$i" -ge 2 ] && [ -n "${RETRY_EXTRA:-}" ]; then
-      ( "$@" $RETRY_EXTRA >>"$log" 2>&1 ) & pid=$!
+      "$@" $RETRY_EXTRA >>"$log" 2>&1 & pid=$!
     else
-      ( "$@" >>"$log" 2>&1 ) & pid=$!
+      "$@" >>"$log" 2>&1 & pid=$!
     fi
     while kill -0 $pid 2>/dev/null; do
       sleep 30
