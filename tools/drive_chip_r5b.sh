@@ -87,24 +87,34 @@ RETRY_EXTRA=--resume guard e_parity_s1 2400 3 python -u tools/parity.py --family
     --data $SCENE --workspace /tmp/parity_prod_r4c \
     --train_extra "--lr_warmup 500 $FUSED_FLAG"
 
+echo "=== B: quality gates gp2/c2f/c2fgp2 vs allstoch (3 seeds)"
+guard b_gates 1800 2 python -u tools/quality_exp.py \
+    --variants allstoch,gp2,c2f,c2fgp2 --seeds 0,1,2 --iters 800
+echo "=== B2: composed gp2 x c2f stage speed row"
+guard b2_comp 1500 2 python -u bench.py --hash --gradphase 2 --c2f 8
+
+echo "=== K: int8 one-hot backward recorded row (policy opt-in, 2x MXU peak)"
+guard k_int8 1500 1 python -u bench.py --hash --int8
+
+echo "=== J: eval-latency probe at 256^2 (<500 ms target, incl. ITER-DEV)"
+guard j_evalprobe 1800 2 python -u tools/eval_probe.py --res 256
+
 echo "=== F: parity seed-2 -O"
 RETRY_EXTRA=--resume guard f_parity_s2 2400 3 python -u tools/parity.py --family hash \
     --iters 10000 --res 800 --views 50 --preset O --seeds 2 \
     --data $SCENE --workspace /tmp/parity_prod_r4c \
     --train_extra "--lr_warmup 500 $FUSED_FLAG"
 
-echo "=== B: quality gates gp2/c2f/c2fgp2 vs allstoch (3 seeds)"
-guard b_gates 1800 2 python -u tools/quality_exp.py \
-    --variants allstoch,gp2,c2f,c2fgp2 --seeds 0,1,2 --iters 800
-echo "=== B2: composed gp2 x c2f stage speed row"
-guard b2_comp 1500 2 python -u bench.py --hash --gradphase 2 --c2f 8
-guard b3_cap 1500 1 python -u tools/quality_exp.py \
-    --variants cap84 --seeds 0,1,2 --iters 800
-
 echo "=== G: vm/dense production parity rows (1000 iters, 3 seeds)"
 guard g_vox 2400 2 python -u tools/parity.py --family dense,vm --seeds 0,1,2 \
     --iters 1000 --res 800 --views 50 --workspace /tmp/parity_vox_r5 \
     --train_extra "--steps_per_dispatch 16"
+
+echo "=== C: 512^3 uint8-resident render A/B + 4-object frame time"
+guard c_render 2400 2 python -u tools/render_bench.py --baked --res 800 \
+    --objects 4 --bake_res 512
+guard c_render_res 2400 2 python -u tools/render_bench.py --baked --res 800 \
+    --objects 4 --bake_res 512 --resident
 
 echo "=== H: dynamic campaign (multi-view-per-t, 3 seeds)"
 guard h_dyn 2400 2 python -u tools/parity.py --family kplanes,dynvoxel \
@@ -116,17 +126,8 @@ guard h2_dyn_nosmooth 2400 1 python -u tools/parity.py --family dynvoxel \
     --workspace /tmp/parity_dyn_r5_ns \
     --train_extra "--steps_per_dispatch 16 --voxel_time_smooth 0"
 
-echo "=== C: 512^3 uint8-resident render A/B + 4-object frame time"
-guard c_render 2400 2 python -u tools/render_bench.py --baked --res 800 \
-    --objects 4 --bake_res 512
-guard c_render_res 2400 2 python -u tools/render_bench.py --baked --res 800 \
-    --objects 4 --bake_res 512 --resident
-
-echo "=== J: eval-latency probe at 256^2 (<500 ms target, incl. ITER-DEV)"
-guard j_evalprobe 1800 2 python -u tools/eval_probe.py --res 256
-
-echo "=== K: int8 one-hot backward recorded row (policy opt-in, 2x MXU peak)"
-guard k_int8 1500 1 python -u bench.py --hash --int8
+guard b3_cap 1500 1 python -u tools/quality_exp.py \
+    --variants cap84 --seeds 0,1,2 --iters 800
 
 echo "=== I: headline bench refresh (picks up the MFU/roofline line)"
 guard i_bench 1800 2 python -u bench.py
