@@ -295,6 +295,13 @@ def build_parser(edit: bool = False, dnerf: bool = False) -> argparse.ArgumentPa
     p = argparse.ArgumentParser()
     p.add_argument("path", type=str)
     p.add_argument("-O", action="store_true", help="equals --fp16 --cuda_ray --preload")
+    p.add_argument("-O2", action="store_true",
+                   help="-O plus the round-5 quality-gated throughput levers: "
+                        "alternating level-subset backward (--grad_level_phases 2) and "
+                        "the coarse-to-fine stage schedule (--c2f 0.3:8,0.6:12). "
+                        "3-seed gates: within allstoch's seed spread, mean "
+                        "-0.4 dB at the 800-iter gate budget (PERF.md round-5); "
+                        "prefer -O when quality is the headline")
     defaults = Options()
     for f in dataclasses.fields(Options):
         if f.name == "path":
@@ -324,6 +331,8 @@ def parse_options(argv=None, **parser_kw) -> Options:
     args = build_parser(**parser_kw).parse_args(argv)
     d = vars(args)
     O_flag = d.pop("O", False)
+    O2_flag = d.pop("O2", False)
+    O_flag = O_flag or O2_flag
     opt = Options(**{k: v for k, v in d.items() if k in {f.name for f in dataclasses.fields(Options)}})
     if opt.offset is not None:
         opt.offset = tuple(float(x) for x in opt.offset)
@@ -349,6 +358,19 @@ def parse_options(argv=None, **parser_kw) -> Options:
         opt.stochastic_min_size = 1
         opt.bucket_slabs = True
         opt.skip_march = True
+    if O2_flag:
+        # round-5 throughput tier: levers pass the 3-seed quality gate at
+        # the seed-spread bar (allstoch sigma 0.51 dB; gp2 -0.36, c2f -0.23,
+        # composed -0.42 — tools/quality_exp.py, ONCHIP_QUEUE_RESULTS r5)
+        # but not the strict ~0.3 dB bar composed, so they stay OUT of -O.
+        # Measured stage speeds at the reference config: gp2 241k, c2f-8
+        # 315k rays/s vs the 190k -O default (PERF.md round-4/5 ladders).
+        if not opt.grad_level_phases:
+            opt.grad_level_phases = 2
+        if not opt.c2f and opt.grid_levels >= 12:
+            # default schedule assumes the reference's 16 levels; shrunken
+            # grids (--grid_levels 8) keep c2f opt-in rather than erroring
+            opt.c2f = "0.3:8,0.6:12"
     if opt.grid_int8:
         from focnerf_tpu.ops import hashgrid
 

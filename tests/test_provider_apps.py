@@ -236,6 +236,28 @@ class TestConfig:
         opt = parse_options(["scene", "-O"])
         assert opt.fp16 and opt.cuda_ray and opt.preload
 
+    def test_O2_macro(self):
+        from focnerf_tpu.config import parse_options
+
+        opt = parse_options(["scene", "-O2"])
+        # O2 implies everything -O sets...
+        assert opt.fp16 and opt.cuda_ray and opt.preload
+        assert opt.stochastic_min_size == 1 and opt.skip_march
+        # ...plus the round-5 quality-gated throughput levers
+        assert opt.grad_level_phases == 2
+        assert opt.c2f == "0.3:8,0.6:12"
+        # explicit user flags win over the tier defaults
+        opt = parse_options(["scene", "-O2", "--grad_level_phases", "4",
+                             "--c2f", "0.5:8"])
+        assert opt.grad_level_phases == 4
+        assert opt.c2f == "0.5:8"
+        # shrunken grids keep the 16-level default schedule OFF
+        opt = parse_options(["scene", "-O2", "--grid_levels", "8"])
+        assert opt.c2f == ""
+        # -O alone stays exactly the reference-parity fast preset
+        opt = parse_options(["scene", "-O"])
+        assert opt.grad_level_phases == 0 and opt.c2f == ""
+
     def test_defaults_match_reference(self):
         from focnerf_tpu.config import parse_options
 
